@@ -1,0 +1,170 @@
+"""ctypes bindings for the first-party C++ helpers in ``native/``.
+
+Provides unicode-aware Levenshtein distance and CTC prefix beam search.
+The shared library is built lazily with ``make`` on first use and cached;
+every entry point degrades gracefully (returns a sentinel / ``None``) when
+the toolchain or library is unavailable, and pure-Python fallbacks live at
+the call sites (:mod:`rcnn_ocr_tpu.training.metrics`,
+:mod:`rcnn_ocr_tpu.ops.ctc`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "librcnn_ocr_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s"],
+            cwd=_NATIVE_DIR,
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO_PATH) and os.path.isdir(_NATIVE_DIR):
+            _build()
+        if not os.path.exists(_SO_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+
+        lib.rcnn_levenshtein_u32.restype = ctypes.c_int64
+        lib.rcnn_levenshtein_u32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64,
+        ]
+        lib.rcnn_ctc_beam_search_batch.restype = ctypes.c_int64
+        lib.rcnn_ctc_beam_search_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_u32(seq) -> np.ndarray:
+    if isinstance(seq, str):
+        return np.frombuffer(seq.encode("utf-32-le"), dtype=np.uint32).copy()
+    return np.asarray(seq, dtype=np.uint32)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Edit distance between two strings; -1 when the library is missing."""
+    lib = _load()
+    if lib is None:
+        return -1
+    aa = _as_u32(a)
+    bb = _as_u32(b)
+    return int(
+        lib.rcnn_levenshtein_u32(
+            aa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(aa),
+            bb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(bb),
+        )
+    )
+
+
+def levenshtein_ids(a: Sequence[int], b: Sequence[int]) -> int:
+    """Edit distance between two id sequences; -1 when unavailable."""
+    lib = _load()
+    if lib is None:
+        return -1
+    aa = _as_u32(a)
+    bb = _as_u32(b)
+    return int(
+        lib.rcnn_levenshtein_u32(
+            aa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(aa),
+            bb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(bb),
+        )
+    )
+
+
+def ctc_beam_search_batch(
+    log_probs: np.ndarray,
+    blank: int,
+    beam_width: int,
+    lengths: Optional[np.ndarray] = None,
+    max_out: Optional[int] = None,
+) -> Optional[Tuple[List[List[int]], np.ndarray]]:
+    """Beam-search decode a batch of CTC log-prob frames.
+
+    ``log_probs``: float32 [B, T, V]. Returns ``(label_lists, log_probs)``
+    or ``None`` when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+    batch, t_steps, vocab = lp.shape
+    cap = int(max_out if max_out is not None else t_steps)
+    out_labels = np.zeros((batch, max(cap, 1)), dtype=np.int32)
+    out_lens = np.zeros((batch,), dtype=np.int64)
+    out_lp = np.zeros((batch,), dtype=np.float32)
+    lens_arr = None
+    lens_ptr = None
+    if lengths is not None:
+        lens_arr = np.ascontiguousarray(lengths, dtype=np.int64)
+        lens_ptr = lens_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    res = lib.rcnn_ctc_beam_search_batch(
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        batch,
+        t_steps,
+        vocab,
+        lens_ptr,
+        int(blank),
+        int(beam_width),
+        out_labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_labels.shape[1],
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if res < 0:
+        return None
+    labels = [out_labels[i, : out_lens[i]].tolist() for i in range(batch)]
+    return labels, out_lp

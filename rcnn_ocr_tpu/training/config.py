@@ -1,0 +1,172 @@
+"""JSON config system with resume-overlay semantics.
+
+Reference parity: `/root/reference/training/train.py:59-137`.
+
+* A config is a JSON dict exposed as attributes; ``cfg["key"]`` aliases
+  ``getattr``.
+* When ``exp_dir`` is unset, the first free ``expN`` directory name is
+  auto-assigned.
+* ``save()`` re-dumps the dict to ``exp_dir/config.json``.
+* Resume overlay: when ``resume_path`` is set (a checkpoint file or an
+  experiment directory), the checkpoint is located (preferring
+  last > best_loss > best_acc), that experiment's ``config.json`` is loaded
+  as the base, and the user's non-``None`` keys are overlaid on top;
+  ``exp_dir`` becomes the resume directory.
+
+Every consumer reads hyperparameters through :meth:`Config.get` so partial
+configs work; defaults match the reference's ``getattr`` defaults
+(`/root/reference/training/train.py:210-235`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+# Checkpoint slot filenames (our native format; see training/checkpoint.py).
+RESUME_CKPT_CANDIDATES = [
+    "last_ckpt.msgpack",
+    "best_loss_ckpt.msgpack",
+    "best_acc_ckpt.msgpack",
+    # reference-format torch checkpoints are also importable
+    "last_ckpt.pth",
+    "best_loss_ckpt.pth",
+    "best_acc_ckpt.pth",
+]
+
+# Reference-default hyperparameters (train.py:210-235 of the reference).
+DEFAULTS: Dict[str, Any] = {
+    "encoding": "utf-8",
+    "img_h": 64,
+    "img_w": 256,
+    "max_len": 25,
+    "hidden_size": 256,
+    "batch_size": 32,
+    "epochs": 20,
+    "lr": 1e-3,
+    "optimizer": "Adam",
+    "scheduler": "ReduceLROnPlateau",
+    "weight_decay": 0.0,
+    "momentum": 0.9,
+    "seed": 42,
+    "eval_every": 1,
+    "val_size": 3000,
+    "num_workers": 0,
+    "train_proportions": None,
+    "resume_path": None,
+    "val_csvs": None,
+    "val_roots": None,
+    # --- TPU-native knobs (no reference counterpart) ---
+    "head": "attention",  # "attention" | "ctc" | "both"
+    "ctc_loss_weight": 1.0,
+    "compute_dtype": "bfloat16",  # MXU-native compute precision
+    "mesh_shape": None,  # e.g. [8] or [4, 2]; None = all devices, data-parallel
+    "mesh_axes": ["data"],
+    "width_buckets": None,  # e.g. [64, 128, 192, 256]; None = single img_w
+    "use_pallas": True,
+    "sampling_prob": 0.0,
+    "enc_dropout_p": 0.1,
+    "dropblock_p": 0.0,
+    "dropblock_block_size": 5,
+    "shift_limit": 0.03,
+    "scale_limit": 0.08,
+    "rotate_limit": 3,
+    "p_ShiftScaleRotate": 0.3,
+    "brightness_limit": 0.2,
+    "contrast_limit": 0.2,
+    "p_BrightnessContrast": 0.3,
+    "invert_p": 0.0,
+}
+
+
+class Config:
+    """Attribute-bag config loaded from JSON (or a dict) with resume overlay."""
+
+    def __init__(self, path_or_dict: "str | Dict[str, Any]"):
+        if isinstance(path_or_dict, str):
+            with open(path_or_dict, "r", encoding="utf-8") as f:
+                user_data = json.load(f)
+        else:
+            user_data = dict(path_or_dict)
+
+        merged = self._maybe_apply_resume(user_data)
+        for k, v in merged.items():
+            setattr(self, k, v)
+
+        if not getattr(self, "exp_dir", None):
+            exp_idx = 1
+            while os.path.exists(f"exp{exp_idx}"):
+                exp_idx += 1
+            self.exp_dir = f"exp{exp_idx}"
+
+    # -- dict-ish access ---------------------------------------------------
+    def __getitem__(self, key: str) -> Any:
+        return getattr(self, key)
+
+    def get(self, key: str, default: Any = None) -> Any:
+        """Read a hyperparameter, falling back to reference defaults."""
+        if hasattr(self, key):
+            return getattr(self, key)
+        if key in DEFAULTS:
+            return DEFAULTS[key]
+        return default
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dict(self.__dict__)
+
+    def save(self, out_path: Optional[str] = None) -> None:
+        if out_path is None:
+            out_path = os.path.join(self.exp_dir, "config.json")
+        parent = os.path.dirname(out_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(out_path, "w", encoding="utf-8") as f:
+            json.dump(self.__dict__, f, indent=4, ensure_ascii=False)
+
+    # -- resume overlay ----------------------------------------------------
+    def _maybe_apply_resume(self, user_data: Dict[str, Any]) -> Dict[str, Any]:
+        resume_path = user_data.get("resume_path")
+        if not resume_path:
+            return dict(user_data)
+
+        resume = Path(resume_path).expanduser().resolve()
+        if not resume.exists():
+            raise FileNotFoundError(f"Resume path not found: {resume}")
+
+        if resume.is_dir():
+            resume_dir = resume
+            resume_ckpt = None
+            for name in RESUME_CKPT_CANDIDATES:
+                candidate = resume_dir / name
+                if candidate.is_file():
+                    resume_ckpt = candidate
+                    break
+            if resume_ckpt is None:
+                raise FileNotFoundError(
+                    f"No checkpoint among {RESUME_CKPT_CANDIDATES} in {resume_dir}"
+                )
+        else:
+            resume_ckpt = resume
+            resume_dir = resume_ckpt.parent
+
+        resume_config: Dict[str, Any] = {}
+        resume_config_path = resume_dir / "config.json"
+        if resume_config_path.is_file():
+            try:
+                with open(resume_config_path, "r", encoding="utf-8") as f:
+                    resume_config = json.load(f)
+            except Exception as e:  # match the reference's tolerant read
+                print(f"[Config] Could not read resume config {resume_config_path}: {e}")
+        else:
+            print("[Config] Resume dir has no config.json; using current config")
+
+        merged = dict(resume_config)
+        for key, value in user_data.items():
+            if value is not None:
+                merged[key] = value
+
+        merged["resume_path"] = str(resume_ckpt)
+        merged["exp_dir"] = str(resume_dir)
+        return merged

@@ -1,0 +1,69 @@
+import math
+
+import numpy as np
+import pytest
+
+from rcnn_ocr_tpu import native
+
+
+def test_native_builds_and_levenshtein():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    assert native.levenshtein("kitten", "sitting") == 3
+    assert native.levenshtein("", "") == 0
+    assert native.levenshtein("ѣдок", "едок") == 1
+    assert native.levenshtein_ids([1, 2, 3], [1, 3]) == 1
+
+
+def _brute_force_ctc_best(log_probs, blank):
+    """Enumerate all alignments to find the true best labeling by total prob."""
+    T, V = log_probs.shape
+    from itertools import product
+
+    scores = {}
+    for path in product(range(V), repeat=T):
+        lp = sum(log_probs[t, c] for t, c in enumerate(path))
+        # collapse
+        out = []
+        prev = None
+        for c in path:
+            if c != blank and c != prev:
+                out.append(c)
+            prev = c
+        key = tuple(out)
+        scores[key] = np.logaddexp(scores.get(key, -np.inf), lp)
+    best = max(scores.items(), key=lambda kv: kv[1])
+    return list(best[0]), best[1]
+
+
+def test_native_ctc_beam_matches_bruteforce():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(42)
+    for _ in range(5):
+        T, V = 5, 4
+        logits = rng.normal(size=(T, V)).astype(np.float32)
+        log_probs = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        want_labels, want_lp = _brute_force_ctc_best(log_probs, blank=0)
+        # beam wide enough to be exhaustive (<= 364 prefixes at T=5, V=4)
+        got = native.ctc_beam_search_batch(log_probs[None], blank=0, beam_width=512)
+        assert got is not None
+        labels, lps = got
+        assert labels[0] == want_labels
+        assert math.isclose(lps[0], want_lp, rel_tol=1e-4, abs_tol=1e-4)
+        # narrow beam still finds the same best labeling on these easy cases
+        narrow = native.ctc_beam_search_batch(log_probs[None], blank=0, beam_width=16)
+        assert narrow is not None and narrow[0][0] == want_labels
+
+
+def test_native_ctc_beam_lengths():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    # frames past `lengths` must be ignored
+    lp = np.full((1, 4, 3), -10.0, dtype=np.float32)
+    lp[0, :, 0] = -0.01  # blank highly likely
+    lp[0, 1, 1] = 0.0  # class 1 at t=1
+    lp[0, 3, 2] = 0.0  # class 2 at t=3 (should be cut off)
+    got = native.ctc_beam_search_batch(lp, blank=0, beam_width=4, lengths=np.array([2]))
+    assert got is not None
+    assert got[0][0] == [1]
