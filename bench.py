@@ -1,0 +1,119 @@
+"""Throughput benchmark: batched greedy-decode inference on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+
+Measures the flagship pipeline at the reference's shipped input size
+(32x128, charset 194, max_len 25 decoder steps == the BASELINE.json
+configuration): CNN encode + BiLSTM + autoregressive greedy decode, and a
+CTC greedy decode variant (the BASELINE metric names greedy CTC decode).
+The reported headline is the CTC-greedy number; both are printed to
+stderr for context.  Baseline target: 20,000 line-images/sec/chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 20_000.0
+
+
+def _fetch(out):
+    """Force completion with a real device->host transfer (some remote
+    platforms no-op block_until_ready; an in-order device must finish all
+    queued work before the final output can be copied out)."""
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), out)
+
+
+def _time_fn(fn, *args, iters=20, warmup=3):
+    for _ in range(warmup):
+        out = fn(*args)
+    _fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _fetch(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from rcnn_ocr_tpu.models import RCNN
+    from rcnn_ocr_tpu.ops.ctc import ctc_greedy_decode_jnp
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    batch = 1024 if on_tpu else 8
+    img_h, img_w = 32, 128
+    num_classes = 194
+    max_len = 25
+
+    model = RCNN(
+        num_classes=num_classes,
+        hidden_size=256,
+        sos_id=1,
+        eos_id=2,
+        pad_id=0,
+        blank_id=None,
+        with_ctc_head=True,
+        ctc_blank_id=0,
+        dtype=jnp.bfloat16,
+        use_pallas=on_tpu,
+    )
+    rng = jax.random.PRNGKey(0)
+    x_init = jnp.zeros((2, img_h, img_w, 3), jnp.float32)
+    variables = model.init(
+        {"params": rng},
+        x_init,
+        text=jnp.zeros((2, max_len + 1), jnp.int32),
+        batch_max_length=max_len,
+        method=model.init_all,
+    )
+    variables = jax.device_put(variables)
+
+    images = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, img_h, img_w, 3)).astype(np.float32)
+    )
+
+    @jax.jit
+    def attn_greedy(variables, images):
+        logits = model.apply(variables, images, train=False, batch_max_length=max_len)
+        return jnp.argmax(logits, axis=-1)
+
+    @jax.jit
+    def ctc_greedy(variables, images):
+        logits = model.apply(variables, images, train=False, method=model.ctc_logits)
+        tokens, valid = ctc_greedy_decode_jnp(logits, 0)
+        return tokens, valid
+
+    dt_ctc = _time_fn(ctc_greedy, variables, images)
+    ctc_ips = batch / dt_ctc
+    dt_attn = _time_fn(attn_greedy, variables, images)
+    attn_ips = batch / dt_attn
+
+    print(
+        f"[bench] platform={platform} batch={batch} "
+        f"ctc_greedy={ctc_ips:,.0f} img/s  attn_greedy={attn_ips:,.0f} img/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "line-images/sec/chip (greedy CTC decode, 32x128, bs%d)" % batch,
+                "value": round(ctc_ips, 1),
+                "unit": "img/s",
+                "vs_baseline": round(ctc_ips / BASELINE_IMGS_PER_SEC, 4),
+                "attn_greedy_img_s": round(attn_ips, 1),
+                "platform": platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Dataset evaluation CLI.
+
+Mirror of the reference CLI (`/root/reference/evaluate_dataset.py`):
+
+    python evaluate_dataset.py --model model.msgpack --charset charset.txt \
+        --csv labels.csv --root images/
+
+Loads a labeled CSV (columns ``filename``, ``text``; extension guessing
+fallback), runs batched prediction, reports exact-match accuracy / CER /
+WER with min/max/median stats and the top-5 worst-CER examples, and writes
+``evaluation_results_<model>.csv`` with per-sample rows.
+
+Extensions over the reference: ``--decode`` picks the head
+(``attention`` greedy | ``ctc_greedy`` | ``ctc_beam``) and reference
+``.pth`` checkpoints load directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from rcnn_ocr_tpu.inference import OCRInference
+from rcnn_ocr_tpu.training.metrics import (
+    character_error_rate,
+    compute_accuracy,
+    word_error_rate,
+)
+
+IMAGE_EXTS = [".png", ".jpg", ".jpeg", ".bmp", ".tiff"]
+
+
+def load_dataset(csv_path: str, root_path: str) -> Tuple[List[str], List[str]]:
+    """CSV with filename/text columns -> (image_paths, texts)."""
+    if not os.path.exists(csv_path):
+        raise FileNotFoundError(f"CSV file not found: {csv_path}")
+    if not os.path.exists(root_path):
+        raise FileNotFoundError(f"Images folder not found: {root_path}")
+
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    if "filename" not in df.columns or "text" not in df.columns:
+        raise ValueError("CSV must contain 'filename' and 'text' columns")
+
+    image_paths: List[str] = []
+    texts: List[str] = []
+    for _, row in df.iterrows():
+        filename = row["filename"]
+        text = str(row["text"])
+        image_path = os.path.join(root_path, filename)
+        if not os.path.exists(image_path):
+            for ext in IMAGE_EXTS:
+                candidate = os.path.join(root_path, str(filename) + ext)
+                if os.path.exists(candidate):
+                    image_path = candidate
+                    break
+        if os.path.exists(image_path):
+            image_paths.append(image_path)
+            texts.append(text)
+        else:
+            print(f"  image not found: {filename}")
+    return image_paths, texts
+
+
+def evaluate_model(
+    model_path: str,
+    charset_path: str,
+    csv_path: str,
+    root_path: str,
+    batch_size: int = 16,
+    max_samples: int | None = None,
+    img_h: int = 32,
+    img_w: int = 128,
+    decode: str = "attention",
+    max_length: int = 25,
+    beam_width: int = 16,
+):
+    print("Evaluating model on dataset")
+    print(f"  model:   {model_path}")
+    print(f"  charset: {charset_path}")
+    print(f"  csv:     {csv_path}")
+    print(f"  images:  {root_path}")
+    print(f"  size:    {img_h}x{img_w}   decode: {decode}")
+    print("-" * 60)
+
+    ocr = OCRInference(model_path, charset_path, device="auto", img_h=img_h, img_w=img_w)
+    image_paths, true_texts = load_dataset(csv_path, root_path)
+    if max_samples:
+        image_paths = image_paths[:max_samples]
+        true_texts = true_texts[:max_samples]
+    print(f"Found {len(image_paths)} samples")
+    if not image_paths:
+        print("No data to evaluate!")
+        return None
+
+    from tqdm import tqdm
+
+    predicted: List[str] = []
+    for i in tqdm(range(0, len(image_paths), batch_size), desc="Predict"):
+        chunk = image_paths[i : i + batch_size]
+        if decode == "attention":
+            predicted.extend(ocr.predict(chunk, max_length=max_length, batch_size=batch_size))
+        elif decode == "ctc_greedy":
+            predicted.extend(ocr.predict_ctc(chunk, batch_size=batch_size, method="greedy"))
+        elif decode == "ctc_beam":
+            predicted.extend(
+                ocr.predict_ctc(chunk, batch_size=batch_size, method="beam", beam_width=beam_width)
+            )
+        else:
+            raise ValueError(f"unknown decode mode: {decode}")
+
+    accuracy = compute_accuracy(true_texts, predicted)
+    cers = [character_error_rate(t, p) for t, p in zip(true_texts, predicted)]
+    wers = []
+    for t, p in zip(true_texts, predicted):
+        w = word_error_rate(t, p)
+        wers.append(1.0 if not math.isfinite(w) else w)
+    avg_cer = float(np.mean(cers))
+    avg_wer = float(np.mean(wers))
+
+    print("\n" + "=" * 60)
+    print("EVALUATION RESULTS")
+    print("=" * 60)
+    print(f"Samples:               {len(image_paths)}")
+    print(f"Accuracy (exact match): {accuracy:.4f} ({accuracy * 100:.2f}%)")
+    print(f"Mean CER:               {avg_cer:.4f} ({avg_cer * 100:.2f}%)")
+    print(f"Mean WER:               {avg_wer:.4f} ({avg_wer * 100:.2f}%)")
+    print("\nError stats:")
+    print(f"CER: min={min(cers):.3f}, max={max(cers):.3f}, median={np.median(cers):.3f}")
+    print(f"WER: min={min(wers):.3f}, max={max(wers):.3f}, median={np.median(wers):.3f}")
+
+    print("\nWorst examples (top-5 by CER):")
+    worst = sorted(zip(true_texts, predicted, cers), key=lambda x: x[2], reverse=True)
+    for i, (true, pred, cer) in enumerate(worst[:5]):
+        print(f"{i + 1}. CER={cer:.3f}")
+        print(f"   true:      '{true}'")
+        print(f"   predicted: '{pred}'")
+        print()
+
+    import pandas as pd
+
+    results_df = pd.DataFrame(
+        {
+            "image_path": [os.path.basename(p) for p in image_paths],
+            "true_text": true_texts,
+            "predicted_text": predicted,
+            "cer": cers,
+            "wer": wers,
+            "exact_match": [t == p for t, p in zip(true_texts, predicted)],
+        }
+    )
+    output_path = f"evaluation_results_{os.path.basename(model_path)}.csv"
+    results_df.to_csv(output_path, index=False, encoding="utf-8")
+    print(f"Per-sample results written to: {output_path}")
+    return {"accuracy": accuracy, "cer": avg_cer, "wer": avg_wer, "n": len(image_paths)}
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description="Evaluate an OCR model on a dataset")
+    parser.add_argument("--model", type=str, required=True, help="model checkpoint (.msgpack or .pth)")
+    parser.add_argument("--charset", type=str, required=True, help="charset file")
+    parser.add_argument("--csv", type=str, required=True, help="labels CSV")
+    parser.add_argument("--root", type=str, required=True, help="images folder")
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--max-samples", type=int, default=None)
+    parser.add_argument("--img-h", type=int, default=32)
+    parser.add_argument("--img-w", type=int, default=128)
+    parser.add_argument(
+        "--decode",
+        type=str,
+        default="attention",
+        choices=["attention", "ctc_greedy", "ctc_beam"],
+    )
+    parser.add_argument("--max-length", type=int, default=25)
+    parser.add_argument("--beam-width", type=int, default=16)
+    args = parser.parse_args()
+
+    if not os.path.exists(args.model):
+        print(f"Model not found: {args.model}")
+        return 1
+    if not os.path.exists(args.charset):
+        print(f"Charset not found: {args.charset}")
+        return 1
+    try:
+        evaluate_model(
+            model_path=args.model,
+            charset_path=args.charset,
+            csv_path=args.csv,
+            root_path=args.root,
+            batch_size=args.batch_size,
+            max_samples=args.max_samples,
+            img_h=args.img_h,
+            img_w=args.img_w,
+            decode=args.decode,
+            max_length=args.max_length,
+            beam_width=args.beam_width,
+        )
+    except Exception as e:
+        print(f"Error: {e}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

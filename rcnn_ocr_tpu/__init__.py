@@ -15,6 +15,19 @@ over a `Mesh`, and the hot ops have Pallas TPU kernels.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor the documented env var even when a host sitecustomize has
+    # already forced a platform programmatically (jax's config, once set
+    # in-process, wins over the env; we restore env-var semantics here).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from rcnn_ocr_tpu.vocab.charset import (  # noqa: F401
     load_charset,
     decode_tokens,

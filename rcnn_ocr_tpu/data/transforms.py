@@ -1,0 +1,214 @@
+"""Host-side image transforms: resize-pad, augmentation, normalization.
+
+First-party replacements for the reference's albumentations pipeline
+(`/root/reference/data/transforms.py:62-120,160-193`), implemented directly
+on NumPy/OpenCV:
+
+* :class:`ResizeAndPad` — aspect-preserving resize onto a white 255 canvas,
+  left/center alignment, INTER_AREA when shrinking else INTER_LINEAR;
+* :func:`shift_scale_rotate` — the affine augmentation (white border fill);
+* :func:`random_brightness_contrast`, :func:`invert_img`;
+* normalization to ``(x/255 - 0.5) / 0.5`` = [-1, 1].
+
+Output is NHWC float32 (the TPU-native layout) — the reference emitted CHW
+torch tensors; conversion happens only in the torch-interop tools.
+
+A transform is a callable ``(image HWC uint8, rng) -> HWC float32``; the
+train transform draws randomness from a supplied ``numpy.random.Generator``
+so data workers are reproducible and independent.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Callable, Dict, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+# Our loader parallelizes across images with Python threads; OpenCV's
+# internal per-image threading only fights XLA's thread pools (and can
+# deadlock OpenMP on small hosts), so it is disabled globally.
+cv2.setNumThreads(0)
+
+IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff"}
+
+
+def build_file_index(roots, exts=IMG_EXTS) -> Dict[str, List[str]]:
+    """Recursive walk of image roots -> {lowercased basename: [abs paths]}.
+
+    Reference parity: `/root/reference/data/transforms.py:12-26`.
+    """
+    if isinstance(roots, str):
+        roots = [roots]
+    index: Dict[str, List[str]] = defaultdict(list)
+    for root in roots:
+        if not root or not os.path.isdir(root):
+            continue
+        for dirpath, _, filenames in os.walk(root):
+            for fn in filenames:
+                ext = os.path.splitext(fn)[1].lower()
+                if exts and ext not in exts:
+                    continue
+                index[fn.lower()].append(os.path.join(dirpath, fn))
+    return index
+
+
+def imread_cv2(path: str) -> np.ndarray:
+    """Unicode-safe image read -> RGB uint8 HWC.
+
+    Reference parity: `/root/reference/data/transforms.py:29-36`.
+    """
+    data = np.fromfile(path, dtype=np.uint8)
+    img = cv2.imdecode(data, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(f"Failed to read image: {path}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def ensure_rgb(img: np.ndarray) -> np.ndarray:
+    """Gray/RGBA -> RGB uint8."""
+    if img.ndim == 2:
+        return cv2.cvtColor(img, cv2.COLOR_GRAY2RGB)
+    if img.shape[2] == 4:
+        return cv2.cvtColor(img, cv2.COLOR_RGBA2RGB)
+    return img
+
+
+class ResizeAndPad:
+    """Aspect-preserving resize pasted onto a white canvas.
+
+    Geometry contract (`/root/reference/data/transforms.py:62-120`):
+    scale = min(img_h/h, img_w/w); new size >= 1px; INTER_AREA when either
+    dimension shrinks, else INTER_LINEAR; paste at left (h) / center (v) by
+    default on a 255-filled canvas.
+    """
+
+    def __init__(self, img_h=32, img_w=256, align_h="left", align_v="center"):
+        self.img_h = int(img_h)
+        self.img_w = int(img_w)
+        self.align_h = align_h
+        self.align_v = align_v
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        img = ensure_rgb(img)
+        h, w = img.shape[:2]
+
+        scale = min(self.img_h / max(h, 1), self.img_w / max(w, 1))
+        new_w = max(1, int(round(w * scale)))
+        new_h = max(1, int(round(h * scale)))
+
+        interp = cv2.INTER_AREA if (new_h < h or new_w < w) else cv2.INTER_LINEAR
+        resized = cv2.resize(img, (new_w, new_h), interpolation=interp)
+
+        canvas = np.full((self.img_h, self.img_w, 3), 255, dtype=img.dtype)
+        if self.align_h == "left":
+            x0 = 0
+        elif self.align_h == "right":
+            x0 = self.img_w - new_w
+        else:
+            x0 = (self.img_w - new_w) // 2
+        if self.align_v == "top":
+            y0 = 0
+        elif self.align_v == "bottom":
+            y0 = self.img_h - new_h
+        else:
+            y0 = (self.img_h - new_h) // 2
+        x0 = max(0, min(x0, self.img_w - new_w))
+        y0 = max(0, min(y0, self.img_h - new_h))
+        canvas[y0 : y0 + new_h, x0 : x0 + new_w] = resized
+        return canvas
+
+
+def shift_scale_rotate(
+    img: np.ndarray,
+    rng: np.random.Generator,
+    shift_limit: float = 0.03,
+    scale_limit: float = 0.08,
+    rotate_limit: float = 3.0,
+    fill=(255, 255, 255),
+) -> np.ndarray:
+    """Random affine: rotation about center + isotropic scale + translation.
+
+    Matches albumentations.ShiftScaleRotate semantics: angle ~ U(-rot, rot)
+    degrees, scale ~ 1 + U(-s, s), shift ~ U(-sh, sh) * (w, h); constant
+    white border (border_mode=0, value=255).
+    """
+    h, w = img.shape[:2]
+    angle = rng.uniform(-rotate_limit, rotate_limit)
+    scale = 1.0 + rng.uniform(-scale_limit, scale_limit)
+    dx = rng.uniform(-shift_limit, shift_limit) * w
+    dy = rng.uniform(-shift_limit, shift_limit) * h
+    m = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, scale)
+    m[0, 2] += dx
+    m[1, 2] += dy
+    return cv2.warpAffine(
+        img, m, (w, h), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+        borderValue=fill,
+    )
+
+
+def random_brightness_contrast(
+    img: np.ndarray,
+    rng: np.random.Generator,
+    brightness_limit: float = 0.2,
+    contrast_limit: float = 0.2,
+) -> np.ndarray:
+    """alpha = 1+U(-c, c) contrast about the mid-gray, beta = U(-b, b)*255."""
+    alpha = 1.0 + rng.uniform(-contrast_limit, contrast_limit)
+    beta = rng.uniform(-brightness_limit, brightness_limit) * 255.0
+    out = img.astype(np.float32) * alpha + beta + 127.5 * (1 - alpha)
+    return np.clip(out, 0, 255).astype(img.dtype)
+
+
+def invert_img(img: np.ndarray) -> np.ndarray:
+    return 255 - img
+
+
+def normalize_unit(img: np.ndarray) -> np.ndarray:
+    """uint8 -> float32 in [-1, 1] (Normalize(mean=std=0.5))."""
+    return (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
+def get_train_transform(
+    params: dict, img_h: int, img_w: int
+) -> Callable[[np.ndarray, np.random.Generator], np.ndarray]:
+    """Compose the training augmentation pipeline from config keys.
+
+    Key names and defaults match `/root/reference/data/transforms.py:160-182`.
+    """
+    resize = ResizeAndPad(img_h=img_h, img_w=img_w)
+    shift = round(float(params.get("shift_limit", 0.03)), 4)
+    scale = round(float(params.get("scale_limit", 0.08)), 4)
+    rot = int(params.get("rotate_limit", 3))
+    p_ssr = round(float(params.get("p_ShiftScaleRotate", 0.3)), 4)
+    bright = round(float(params.get("brightness_limit", 0.2)), 4)
+    contrast = round(float(params.get("contrast_limit", 0.2)), 4)
+    p_bc = round(float(params.get("p_BrightnessContrast", 0.3)), 4)
+    p_inv = round(float(params.get("invert_p", 0.0)), 4)
+
+    def transform(img: np.ndarray, rng: Optional[np.random.Generator] = None):
+        rng = rng if rng is not None else np.random.default_rng()
+        img = resize(img)
+        if rng.random() < p_ssr:
+            img = shift_scale_rotate(img, rng, shift, scale, rot)
+        if rng.random() < p_bc:
+            img = random_brightness_contrast(img, rng, bright, contrast)
+        if rng.random() < p_inv:
+            img = invert_img(img)
+        return normalize_unit(img)
+
+    return transform
+
+
+def get_val_transform(
+    img_h: int, img_w: int
+) -> Callable[[np.ndarray, Optional[np.random.Generator]], np.ndarray]:
+    """ResizeAndPad + normalize, no augmentation."""
+    resize = ResizeAndPad(img_h=img_h, img_w=img_w)
+
+    def transform(img: np.ndarray, rng: Optional[np.random.Generator] = None):
+        return normalize_unit(resize(img))
+
+    return transform

@@ -1,0 +1,288 @@
+"""Batched OCR inference API.
+
+API parity with the reference engine (`/root/reference/inference.py:12-195`):
+``OCRInference(model_path, charset_path, device, img_h, img_w)`` with
+``predict(images, max_length, batch_size, return_confidence)`` accepting a
+path / ndarray / PIL image or a list thereof and returning decoded strings
+(optionally with a confidence = mean max-softmax over non-PAD/EOS steps).
+
+TPU-native differences:
+
+* checkpoints load from this framework's msgpack slots *or* directly from
+  any of the reference's three ``.pth`` layouts (via
+  `rcnn_ocr_tpu.interop`) — a reference user can point this class at their
+  existing checkpoint;
+* batches are padded to a static batch size and decoded under `jax.jit`
+  (one compilation per (batch, height, width, steps) signature, cached);
+* optional width bucketing: instead of one fixed ``img_w``, images can be
+  grouped into a few static widths so the pad waste shrinks while XLA
+  still never recompiles on the hot path;
+* a CTC decode path (greedy on device, beam search via the native C++
+  kernel) when the checkpoint carries a CTC head.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rcnn_ocr_tpu.data.transforms import ensure_rgb, get_val_transform, imread_cv2
+from rcnn_ocr_tpu.models import RCNN
+from rcnn_ocr_tpu.ops.ctc import ctc_beam_search, ctc_greedy_decode_jnp, ids_to_text
+from rcnn_ocr_tpu.vocab.charset import Charset, decode_tokens
+
+ImageLike = Union[np.ndarray, str, "Any"]
+
+
+def infer_architecture(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Derive model hyperparameters from a parameter tree.
+
+    Works for any checkpoint layout (incl. bare weights with no config):
+    hidden size from the encoder BiLSTM, LSTM depth from the enc_rnn*
+    count, CNN width multiplier from the stem width.
+    """
+    arch: Dict[str, Any] = {}
+    rnn_names = sorted(k for k in params if k.startswith("enc_rnn"))
+    if rnn_names:
+        arch["lstm_layers"] = len(rnn_names)
+        w_hh = params[rnn_names[0]]["w_hh"]
+        arch["hidden_size"] = int(np.asarray(w_hh).shape[1])
+    if "cnn" in params:
+        stem = params["cnn"]["stem0"]["conv"]["kernel"]
+        arch["width_mult"] = float(np.asarray(stem).shape[-1]) / 64.0
+    if "attn" in params:
+        arch["num_classes"] = int(np.asarray(params["attn"]["b_gen"]).shape[0])
+    elif "ctc_proj" in params:
+        arch["num_classes"] = int(np.asarray(params["ctc_proj"]["bias"]).shape[0])
+    arch["with_attention_head"] = "attn" in params
+    arch["with_ctc_head"] = "ctc_proj" in params
+    return arch
+
+
+class OCRInference:
+    """Load a checkpoint and recognize text lines."""
+
+    def __init__(
+        self,
+        model_path: str,
+        charset_path: Optional[str] = None,
+        device: str = "auto",  # accepted for API parity; JAX picks the backend
+        img_h: int = 64,
+        img_w: int = 256,
+        hidden_size: Optional[int] = None,
+        dtype: Any = jnp.bfloat16,
+        width_buckets: Optional[Sequence[int]] = None,
+        with_ctc_head: Optional[bool] = None,
+        verbose: bool = True,
+    ):
+        self.model_path = model_path
+        self.img_h = img_h
+        self.img_w = img_w
+        self.width_buckets = sorted(width_buckets) if width_buckets else None
+        self._dtype = dtype
+
+        variables, meta = self._load_variables(model_path)
+
+        if charset_path is not None:
+            self.charset = Charset.from_file(charset_path)
+        elif meta.get("itos"):
+            self.charset = Charset.from_tokens(meta["itos"])
+        else:
+            raise ValueError("charset_path required (checkpoint has no embedded charset)")
+
+        arch = infer_architecture(variables.get("params", {}))
+        if hidden_size is None:
+            hidden_size = meta.get("hidden_size") or arch.get("hidden_size") or 256
+        if with_ctc_head is None:
+            with_ctc_head = arch.get("with_ctc_head", False)
+
+        self.model = RCNN(
+            num_classes=self.charset.num_classes,
+            hidden_size=int(hidden_size),
+            sos_id=self.charset.sos_id,
+            eos_id=self.charset.eos_id,
+            pad_id=self.charset.pad_id,
+            blank_id=self.charset.blank_id,
+            with_attention_head=arch.get("with_attention_head", True),
+            with_ctc_head=with_ctc_head,
+            ctc_blank_id=self.charset.ctc_blank_id,
+            lstm_layers=arch.get("lstm_layers", 2),
+            width_mult=arch.get("width_mult", 1.0),
+            dtype=dtype,
+        )
+        self.variables = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, variables)
+        )
+        self.transform = get_val_transform(img_h, img_w)
+        self._bucket_transforms = (
+            {w: get_val_transform(img_h, w) for w in self.width_buckets}
+            if self.width_buckets
+            else None
+        )
+
+        if verbose:
+            print(f"OCR model loaded on {jax.devices()[0].platform}")
+            print(f"Charset size: {self.charset.num_classes} symbols")
+            print(f"Input image size: {img_h}x{img_w}")
+
+    # -- checkpoint loading ------------------------------------------------
+    @staticmethod
+    def _load_variables(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        if path.endswith((".pth", ".pt")):
+            from rcnn_ocr_tpu.interop import import_torch_checkpoint
+
+            out = import_torch_checkpoint(path)
+            return out["variables"], out
+        from rcnn_ocr_tpu.training.checkpoint import load_variables
+
+        variables, blob = load_variables(path)
+        meta = {
+            "itos": blob.get("itos"),
+            "hidden_size": (blob.get("config") or {}).get("hidden_size"),
+        }
+        return variables, meta
+
+    # -- preprocessing -----------------------------------------------------
+    def _to_rgb(self, image: ImageLike) -> np.ndarray:
+        if isinstance(image, str):
+            if not os.path.exists(image):
+                raise FileNotFoundError(f"Image file not found: {image}")
+            return imread_cv2(image)
+        if isinstance(image, np.ndarray):
+            return ensure_rgb(image.copy())
+        # PIL image (duck-typed to avoid importing PIL when unused)
+        if hasattr(image, "convert"):
+            return np.array(image.convert("RGB"))
+        raise ValueError(f"Unsupported image type: {type(image)}")
+
+    def _preprocess(self, image: ImageLike, width: Optional[int] = None) -> np.ndarray:
+        rgb = self._to_rgb(image)
+        if width is not None and self._bucket_transforms:
+            return self._bucket_transforms[width](rgb)
+        return self.transform(rgb)
+
+    # -- jitted decode kernels (cached per static signature) ---------------
+    @functools.lru_cache(maxsize=32)
+    def _greedy_fn(self, steps: int):
+        @jax.jit
+        def run(variables, images):
+            logits = self.model.apply(
+                variables, images, train=False, batch_max_length=steps - 1
+            )
+            probs = jax.nn.softmax(logits, axis=-1)
+            pred = jnp.argmax(logits, axis=-1)
+            maxp = jnp.max(probs, axis=-1)
+            return pred, maxp
+
+        return run
+
+    @functools.lru_cache(maxsize=32)
+    def _ctc_fn(self, greedy: bool):
+        @jax.jit
+        def run(variables, images):
+            logits = self.model.apply(
+                variables, images, train=False, method=self.model.ctc_logits
+            )
+            if greedy:
+                tokens, valid = ctc_greedy_decode_jnp(logits, self.charset.ctc_blank_id)
+                return tokens, valid
+            return jax.nn.log_softmax(logits, axis=-1)
+
+        return run
+
+    # -- public API --------------------------------------------------------
+    def predict(
+        self,
+        images: Union[ImageLike, List[ImageLike]],
+        max_length: int = 25,
+        batch_size: int = 32,
+        return_confidence: bool = False,
+    ):
+        """Greedy attention decode.  Single image in -> single result out."""
+        if not self.model.with_attention_head:
+            raise ValueError(
+                "this checkpoint has no attention head; use predict_ctc()"
+            )
+        is_single = not isinstance(images, list)
+        images_list: List[ImageLike] = [images] if is_single else list(images)
+        steps = max_length + 1
+        run = self._greedy_fn(steps)
+
+        results: List[Any] = []
+        for i in range(0, len(images_list), batch_size):
+            chunk = images_list[i : i + batch_size]
+            arrays = [self._preprocess(img) for img in chunk]
+            n_real = len(arrays)
+            if n_real < batch_size:
+                arrays += [arrays[-1]] * (batch_size - n_real)  # static shape
+            batch = jnp.asarray(np.stack(arrays))
+            pred, maxp = run(self.variables, batch)
+            pred = np.asarray(pred)[:n_real]
+            maxp = np.asarray(maxp)[:n_real]
+
+            for j in range(n_real):
+                text = decode_tokens(
+                    pred[j],
+                    list(self.charset.itos),
+                    pad_id=self.charset.pad_id,
+                    eos_id=self.charset.eos_id,
+                    blank_id=self.charset.blank_id,
+                )
+                if return_confidence:
+                    mask = (pred[j] != self.charset.pad_id) & (
+                        pred[j] != self.charset.eos_id
+                    )
+                    conf = float(maxp[j][mask].mean()) if mask.sum() > 0 else 0.0
+                    results.append((text, conf))
+                else:
+                    results.append(text)
+
+        return results[0] if is_single else results
+
+    def predict_ctc(
+        self,
+        images: Union[ImageLike, List[ImageLike]],
+        batch_size: int = 32,
+        method: str = "greedy",
+        beam_width: int = 16,
+    ):
+        """CTC decode via the shared-encoder CTC head."""
+        if not self.model.with_ctc_head:
+            raise ValueError("this checkpoint has no CTC head")
+        is_single = not isinstance(images, list)
+        images_list: List[ImageLike] = [images] if is_single else list(images)
+
+        skip = {self.charset.pad_id, self.charset.sos_id, self.charset.eos_id}
+        skip.add(self.charset.ctc_blank_id)
+        results: List[str] = []
+        for i in range(0, len(images_list), batch_size):
+            chunk = images_list[i : i + batch_size]
+            arrays = [self._preprocess(img) for img in chunk]
+            n_real = len(arrays)
+            if n_real < batch_size:
+                arrays += [arrays[-1]] * (batch_size - n_real)
+            batch = jnp.asarray(np.stack(arrays))
+            if method == "greedy":
+                tokens, valid = self._ctc_fn(True)(self.variables, batch)
+                tokens, valid = np.asarray(tokens), np.asarray(valid)
+                rows = [tokens[b, : valid[b]].tolist() for b in range(n_real)]
+            elif method == "beam":
+                log_probs = np.asarray(self._ctc_fn(False)(self.variables, batch))
+                rows, _ = ctc_beam_search(
+                    log_probs[:n_real],
+                    blank_id=self.charset.ctc_blank_id,
+                    beam_width=beam_width,
+                    already_log_probs=True,
+                )
+            else:
+                raise ValueError(f"Unsupported decode method: {method}")
+            results.extend(ids_to_text(rows, list(self.charset.itos), skip_ids=skip))
+
+        return results[0] if is_single else results

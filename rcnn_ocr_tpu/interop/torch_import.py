@@ -1,0 +1,211 @@
+"""Import reference PyTorch checkpoints into this framework's parameter tree.
+
+Supports the three on-disk layouts the reference emits/accepts
+(`/root/reference/inference.py:67-75`):
+
+1. full checkpoint: ``{"model_state": ..., "itos": ..., "config": ...}``
+2. legacy: ``{"model_state_dict": ...}``
+3. bare ``state_dict``
+
+Layout translation (torch -> flax):
+
+* conv kernels OIHW -> HWIO;
+* Linear weights ``[out, in]`` -> ``[in, out]``;
+* batch-norm ``weight/bias/running_mean/running_var`` ->
+  ``scale/bias`` params + ``mean/var`` batch stats;
+* cuDNN LSTM ``weight_ih_l0{,_reverse}`` ``[4H, D]`` (gate order i,f,g,o)
+  -> ``w_ih[2, D, 4H]``; the two bias vectors are summed (mathematically
+  identical);
+* the decoder LSTMCell input weight ``[4H, C+V]`` is split into the context
+  part ``w_ctx [C, 4H]`` and the one-hot part as an embedding table
+  ``w_emb [V, 4H]`` (a one-hot matmul is a row gather — see
+  `rcnn_ocr_tpu.models.attention`).
+
+Torch (CPU) is only needed to *read* ``.pth`` files; everything downstream
+is NumPy.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _conv(sd: Dict[str, Any], key: str) -> np.ndarray:
+    return _np(sd[key]).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+
+def _linear_w(sd: Dict[str, Any], key: str) -> np.ndarray:
+    return _np(sd[key]).T  # [out, in] -> [in, out]
+
+
+def _bn(sd: Dict[str, Any], prefix: str) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    params = {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+    stats = {
+        "mean": _np(sd[f"{prefix}.running_mean"]),
+        "var": _np(sd[f"{prefix}.running_var"]),
+    }
+    return params, stats
+
+
+class _TreeBuilder:
+    """Accumulates params and batch_stats trees keyed by '/'-joined paths."""
+
+    def __init__(self):
+        self.params: Dict[str, Any] = {}
+        self.stats: Dict[str, Any] = {}
+
+    @staticmethod
+    def _set(tree: Dict[str, Any], path: str, value):
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def conv_bn(self, sd, torch_conv: str, torch_bn: str, path: str):
+        self._set(self.params, f"{path}/conv/kernel", _conv(sd, f"{torch_conv}.weight"))
+        bn_params, bn_stats = _bn(sd, torch_bn)
+        for k, v in bn_params.items():
+            self._set(self.params, f"{path}/bn/{k}", v)
+        for k, v in bn_stats.items():
+            self._set(self.stats, f"{path}/bn/{k}", v)
+
+
+def import_torch_state_dict(
+    state_dict: Dict[str, Any],
+    num_classes: int,
+    hidden_size: int = 256,
+) -> Dict[str, Any]:
+    """torch state_dict -> flax variables ``{"params": ..., "batch_stats": ...}``."""
+    sd = state_dict
+    tb = _TreeBuilder()
+
+    # --- CNN stem ---
+    tb.conv_bn(sd, "cnn.conv0.0", "cnn.conv0.1", "cnn/stem0")
+    tb.conv_bn(sd, "cnn.conv0.3", "cnn.conv0.4", "cnn/stem1")
+
+    # --- residual stages ---
+    stage_blocks = {1: 1, 2: 2, 3: 5, 4: 3}
+    for layer, blocks in stage_blocks.items():
+        for b in range(blocks):
+            tpre = f"cnn.layer{layer}.{b}"
+            fpre = f"cnn/layer{layer}_block{b}"
+            tb.conv_bn(sd, f"{tpre}.conv1", f"{tpre}.bn1", f"{fpre}/conv1")
+            tb.conv_bn(sd, f"{tpre}.conv2", f"{tpre}.bn2", f"{fpre}/conv2")
+            tb._set(tb.params, f"{fpre}/se/fc1", _linear_w(sd, f"{tpre}.se.fc.0.weight"))
+            tb._set(tb.params, f"{fpre}/se/fc2", _linear_w(sd, f"{tpre}.se.fc.2.weight"))
+            if f"{tpre}.downsample.0.weight" in sd:
+                tb.conv_bn(
+                    sd, f"{tpre}.downsample.0", f"{tpre}.downsample.1", f"{fpre}/downsample"
+                )
+
+    # --- out head ---
+    tb.conv_bn(sd, "cnn.conv_out.0", "cnn.conv_out.1", "cnn/out0")
+    tb.conv_bn(sd, "cnn.conv_out.3", "cnn.conv_out.4", "cnn/out1")
+
+    # --- encoder BiLSTMs ---
+    for i in range(2):
+        tpre = f"enc_rnn.{i}"
+        fpre = f"enc_rnn{i}"
+        w_ih = np.stack(
+            [
+                _np(sd[f"{tpre}.rnn.weight_ih_l0"]).T,
+                _np(sd[f"{tpre}.rnn.weight_ih_l0_reverse"]).T,
+            ]
+        )
+        w_hh = np.stack(
+            [
+                _np(sd[f"{tpre}.rnn.weight_hh_l0"]).T,
+                _np(sd[f"{tpre}.rnn.weight_hh_l0_reverse"]).T,
+            ]
+        )
+        bias = np.stack(
+            [
+                _np(sd[f"{tpre}.rnn.bias_ih_l0"]) + _np(sd[f"{tpre}.rnn.bias_hh_l0"]),
+                _np(sd[f"{tpre}.rnn.bias_ih_l0_reverse"])
+                + _np(sd[f"{tpre}.rnn.bias_hh_l0_reverse"]),
+            ]
+        )
+        tb._set(tb.params, f"{fpre}/w_ih", w_ih)
+        tb._set(tb.params, f"{fpre}/w_hh", w_hh)
+        tb._set(tb.params, f"{fpre}/bias", bias)
+        tb._set(tb.params, f"{fpre}/proj/kernel", _linear_w(sd, f"{tpre}.linear.weight"))
+        tb._set(tb.params, f"{fpre}/proj/bias", _np(sd[f"{tpre}.linear.bias"]))
+
+    # --- attention decoder ---
+    if "attn.attention_cell.i2h.weight" in sd:
+        tb._set(tb.params, "attn/w_i2h", _linear_w(sd, "attn.attention_cell.i2h.weight"))
+        tb._set(tb.params, "attn/w_h2h", _linear_w(sd, "attn.attention_cell.h2h.weight"))
+        tb._set(tb.params, "attn/b_h2h", _np(sd["attn.attention_cell.h2h.bias"]))
+        tb._set(tb.params, "attn/v_score", _linear_w(sd, "attn.attention_cell.score.weight"))
+        w_cell_ih = _np(sd["attn.attention_cell.rnn.weight_ih"]).T  # [C+V, 4H]
+        ctx_dim = w_cell_ih.shape[0] - num_classes
+        tb._set(tb.params, "attn/w_ctx", w_cell_ih[:ctx_dim])
+        tb._set(tb.params, "attn/w_emb", w_cell_ih[ctx_dim:])
+        tb._set(tb.params, "attn/w_hh", _np(sd["attn.attention_cell.rnn.weight_hh"]).T)
+        tb._set(
+            tb.params,
+            "attn/b_cell",
+            _np(sd["attn.attention_cell.rnn.bias_ih"])
+            + _np(sd["attn.attention_cell.rnn.bias_hh"]),
+        )
+        tb._set(tb.params, "attn/w_gen", _linear_w(sd, "attn.generator.weight"))
+        tb._set(tb.params, "attn/b_gen", _np(sd["attn.generator.bias"]))
+
+    return {"params": tb.params, "batch_stats": tb.stats}
+
+
+def import_torch_checkpoint(
+    path: str,
+    num_classes: Optional[int] = None,
+    hidden_size: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Load a reference ``.pth`` checkpoint (any of the 3 layouts).
+
+    Returns ``{"variables": ..., "itos": ..., "stoi": ..., "hidden_size": ...,
+    "config": ...}`` — charset/config fields are ``None`` when absent.
+    """
+    import torch  # offline tool dependency only
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+
+    itos = stoi = config = None
+    if isinstance(blob, dict) and "model_state" in blob:
+        sd = blob["model_state"]
+        itos = blob.get("itos")
+        stoi = blob.get("stoi")
+        config = blob.get("config")
+        if hidden_size is None and config:
+            hidden_size = config.get("hidden_size", 256)
+    elif isinstance(blob, dict) and "model_state_dict" in blob:
+        sd = blob["model_state_dict"]
+        if hidden_size is None:
+            hidden_size = blob.get("hidden_size", 256)
+    else:
+        sd = blob
+
+    if num_classes is None:
+        if itos is not None:
+            num_classes = len(itos)
+        elif "attn.generator.bias" in sd:
+            num_classes = int(_np(sd["attn.generator.bias"]).shape[0])
+        else:
+            raise ValueError("num_classes not derivable; pass it explicitly")
+    if hidden_size is None:
+        hidden_size = 256
+
+    variables = import_torch_state_dict(sd, num_classes=num_classes, hidden_size=hidden_size)
+    return {
+        "variables": variables,
+        "itos": itos,
+        "stoi": stoi,
+        "hidden_size": hidden_size,
+        "num_classes": num_classes,
+        "config": config,
+    }

@@ -1,0 +1,224 @@
+"""SE-ResNet31 backbone in Flax (NHWC, XLA convolutions).
+
+Architecture contract (verified against `/root/reference/model/seresnet31.py`):
+
+* stem: conv3x3(3->64)-BN-ReLU, conv3x3(64->128)-BN-ReLU, maxpool2  -> H/2, W/2
+* layer1: 1x SEBasicBlock 128->256, stride 2                         -> H/4, W/4
+* layer2: 2x SEBasicBlock 256
+* layer3: 5x SEBasicBlock 256->512, stride 2                         -> H/8, W/8
+* layer4: 3x SEBasicBlock 512
+* out head: conv2x2 stride(2,1) pad(0,1) -> BN-ReLU,
+            conv2x2 stride 1 pad 0 -> BN-ReLU                         -> H/32ish, W/8
+
+Net time-axis downsampling is x8 (the reference's ``W/4`` comment at
+`seresnet31.py:187` is wrong — three stride-2 stages touch W).
+
+TPU-first design choices: NHWC layout (XLA TPU native), channels padded to
+MXU-friendly multiples already by construction (64/128/256/512), compute in
+``dtype`` (bf16 by default) with fp32 parameters and fp32 batch-norm
+statistics.  The squeeze-excite block optionally runs as a fused Pallas
+kernel (`rcnn_ocr_tpu.ops.se_pallas`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from rcnn_ocr_tpu.models.dropblock import dropblock_2d
+
+Dtype = Any
+
+
+class SELayer(nn.Module):
+    """Squeeze-and-excite: global avg-pool -> FC(C/r) -> ReLU -> FC(C) -> sigmoid -> scale.
+
+    Reference: `/root/reference/model/seresnet31.py:5-20` (both FCs bias-free).
+    """
+
+    channels: int
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        squeeze = max(1, self.channels // self.reduction)
+        w1 = self.param(
+            "fc1",
+            nn.initializers.lecun_normal(),
+            (self.channels, squeeze),
+            jnp.float32,
+        )
+        w2 = self.param(
+            "fc2",
+            nn.initializers.lecun_normal(),
+            (squeeze, self.channels),
+            jnp.float32,
+        )
+        if self.use_pallas:
+            from rcnn_ocr_tpu.ops.se_pallas import se_scale
+
+            return se_scale(x, w1.astype(self.dtype), w2.astype(self.dtype))
+        # XLA path: pool in fp32 for exactness, excite in compute dtype
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # [B, C]
+        y = y.astype(self.dtype)
+        y = nn.relu(y @ w1.astype(self.dtype))
+        y = nn.sigmoid(y @ w2.astype(self.dtype))
+        return x * y[:, None, None, :].astype(x.dtype)
+
+
+class ConvBN(nn.Module):
+    """conv -> batch-norm helper.  BN statistics/scale kept in fp32."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    # explicit symmetric padding — torch's `padding=1` semantics; flax
+    # "SAME" pads asymmetrically under stride 2 and would shift the grid
+    padding: Any = ((1, 1), (1, 1))
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding=self.padding,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x.astype(jnp.float32))
+        return x.astype(self.dtype)
+
+
+class SEBasicBlock(nn.Module):
+    """conv3x3-BN-ReLU -> conv3x3-BN -> SE -> (DropBlock) -> +identity -> ReLU.
+
+    Reference: `/root/reference/model/seresnet31.py:23-67`.  The 1x1-conv-BN
+    downsample branch appears whenever stride != 1 or the width changes.
+    """
+
+    features: int
+    stride: int = 1
+    reduction: int = 16
+    dropblock_p: float = 0.0
+    dropblock_block_size: int = 5
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        identity = x
+        out = ConvBN(
+            self.features, strides=(self.stride, self.stride), dtype=self.dtype, name="conv1"
+        )(x, train)
+        out = nn.relu(out)
+        out = ConvBN(self.features, dtype=self.dtype, name="conv2")(out, train)
+        out = SELayer(
+            self.features,
+            self.reduction,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            name="se",
+        )(out)
+        if self.dropblock_p > 0.0 and train:
+            out = dropblock_2d(
+                self.make_rng("dropout"),
+                out,
+                self.dropblock_p,
+                self.dropblock_block_size,
+                train,
+            )
+        if self.stride != 1 or in_features != self.features:
+            identity = ConvBN(
+                self.features,
+                kernel=(1, 1),
+                strides=(self.stride, self.stride),
+                padding="VALID",
+                dtype=self.dtype,
+                name="downsample",
+            )(x, train)
+        return nn.relu(out + identity)
+
+
+class SEResNet31(nn.Module):
+    """The full backbone.  Input NHWC, output NHWC feature map [B, H', W/8, 512]."""
+
+    out_channels: int = 512
+    reduction: int = 16
+    dropblock_p: float = 0.0
+    dropblock_block_size: int = 5
+    width_mult: float = 1.0  # scales every stage width (HPO / tiny-test knob)
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    def _w(self, c: int) -> int:
+        return max(8, int(round(c * self.width_mult)))
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        # stem
+        x = nn.relu(ConvBN(self._w(64), dtype=self.dtype, name="stem0")(x, train))
+        x = nn.relu(ConvBN(self._w(128), dtype=self.dtype, name="stem1")(x, train))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+
+        block_kwargs = dict(
+            reduction=self.reduction,
+            dropblock_p=self.dropblock_p,
+            dropblock_block_size=self.dropblock_block_size,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+        )
+        stages = [
+            (self._w(256), 1, 2),  # layer1: features, blocks, first-stride
+            (self._w(256), 2, 1),  # layer2
+            (self._w(512), 5, 2),  # layer3
+            (self._w(512), 3, 1),  # layer4
+        ]
+        for li, (features, blocks, stride) in enumerate(stages, start=1):
+            for bi in range(blocks):
+                x = SEBasicBlock(
+                    features,
+                    stride=stride if bi == 0 else 1,
+                    name=f"layer{li}_block{bi}",
+                    **block_kwargs,
+                )(x, train)
+
+        # out head: conv2x2 s(2,1) p(0,1), conv2x2 s1 p0 (torch pad semantics)
+        out_ch = self._w(self.out_channels)
+        x = nn.relu(
+            ConvBN(
+                out_ch,
+                kernel=(2, 2),
+                strides=(2, 1),
+                padding=((0, 0), (1, 1)),
+                dtype=self.dtype,
+                name="out0",
+            )(x, train)
+        )
+        x = nn.relu(
+            ConvBN(
+                out_ch,
+                kernel=(2, 2),
+                strides=(1, 1),
+                padding="VALID",
+                dtype=self.dtype,
+                name="out1",
+            )(x, train)
+        )
+        return x

@@ -1,0 +1,143 @@
+"""Device mesh construction and sharding specs (the parallelism layer).
+
+The reference has *no* distributed code of any kind (SURVEY.md §2.3); this
+layer is designed fresh, TPU-first:
+
+* **data parallelism** (the principal strategy): the batch is sharded over
+  the ``data`` mesh axis; parameters are replicated; XLA turns the jitted
+  train step's gradient reduction into ICI all-reduces automatically.
+* **tensor parallelism** (optional, ``model`` axis): large kernels are
+  sharded via GSPMD annotations (`NamedSharding` on the param tree); XLA's
+  sharding propagation inserts the all-gathers/reduce-scatters.  With a
+  46M-parameter model TP is about memory headroom and the HPO "LSTM 2 512"
+  variants, not a throughput play.
+* PP/SP/EP/CP are N/A for this workload (encoder T <= 32, decoder <= 41
+  steps — see SURVEY.md §5.7); the variable-length story is width
+  bucketing in the data layer.
+
+Collectives ride ICI because every sharded axis lives inside one slice;
+nothing here ever touches DCN.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices=None,
+) -> Mesh:
+    """Build a mesh over the available devices.
+
+    ``shape=None`` uses every device on the first axis (pure DP).  A 2-axis
+    request over a device count that is not divisible falls back cleanly.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    arr = np.array(devices[: int(np.prod(shape))]).reshape(tuple(shape))
+    return Mesh(arr, tuple(axis_names))
+
+
+def data_axis(mesh: Mesh) -> str:
+    return mesh.axis_names[0]
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(data_axis(mesh)))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Tensor-parallel rules: param-path regex -> PartitionSpec.  Paths are
+# '/'-joined key sequences into the params pytree.  Everything unmatched is
+# replicated.  The sharded dims are the big output dims (Megatron-style 1D).
+DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r"enc_rnn\d+/w_ih$", P(None, None, "model")),  # [2, D, 4H] -> shard gates
+    (r"enc_rnn\d+/w_hh$", P(None, None, "model")),
+    (r"enc_rnn\d+/bias$", P(None, "model")),
+    (r"enc_rnn\d+/proj/kernel$", P("model", None)),  # consume sharded 2H
+    (r"attn/w_gen$", P(None, "model")),  # [H, V] -> vocab-sharded logits
+    (r"attn/b_gen$", P("model")),
+    (r"attn/w_emb$", P(None, "model")),
+    (r"ctc_proj/kernel$", P(None, "model")),
+    (r"ctc_proj/bias$", P("model")),
+    (r"cnn/layer[34]_block\d+/conv\d/conv/kernel$", P(None, None, None, "model")),
+)
+
+
+def _iter_paths(tree: Any, prefix: str = ""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _iter_paths(v, f"{prefix}/{k}" if prefix else str(k))
+    else:
+        yield prefix, tree
+
+
+def param_shardings(
+    params: Any,
+    mesh: Mesh,
+    rules: Optional[Sequence[Tuple[str, P]]] = None,
+) -> Any:
+    """Map a params pytree to NamedShardings.
+
+    With no ``model`` axis (or size-1), everything is replicated (pure DP).
+    With rules, matching paths get their PartitionSpec — but only when the
+    named dimension divides evenly; otherwise that param falls back to
+    replication (keeps odd vocab sizes working on any mesh).
+    """
+    use_tp = "model" in mesh.axis_names and mesh.shape.get("model", 1) > 1
+    if rules is None:
+        rules = DEFAULT_TP_RULES if use_tp else ()
+
+    compiled = [(re.compile(pat), spec) for pat, spec in rules] if use_tp else []
+    model_size = mesh.shape.get("model", 1)
+
+    def assign(path: str, leaf) -> NamedSharding:
+        for pat, spec in compiled:
+            if pat.search(path):
+                ok = True
+                for dim, axis in enumerate(spec):
+                    if axis is None:
+                        continue
+                    if dim >= leaf.ndim or leaf.shape[dim] % model_size != 0:
+                        ok = False
+                        break
+                if ok:
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    flat = dict(_iter_paths(params))
+    shardings = {path: assign(path, leaf) for path, leaf in flat.items()}
+
+    def rebuild(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {
+                k: rebuild(v, f"{prefix}/{k}" if prefix else str(k))
+                for k, v in tree.items()
+            }
+        return shardings[prefix]
+
+    return rebuild(params)
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Device-put the array fields of a host batch with batch sharding."""
+    bs = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            out[k] = jax.device_put(v, bs)
+        else:
+            out[k] = v
+    return out

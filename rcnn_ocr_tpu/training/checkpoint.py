@@ -1,0 +1,110 @@
+"""Three-slot checkpointing with embedded charset and config snapshot.
+
+Reference parity (`/root/reference/training/utils.py:9-58`,
+`training/train.py:664-771`):
+
+* full checkpoint = epoch, global_step, model params + batch stats,
+  optimizer state, scheduler state, best metrics, **itos/stoi embedded**,
+  config subset, log_dir;
+* bare weights = just the model variables;
+* three slots, written on eval epochs: ``last`` always, ``best_loss`` on a
+  new lowest val loss, ``best_acc`` on val acc >= best (ties refresh).
+
+Format: flax msgpack (`flax.serialization`) — a single self-contained file
+per slot (``*_ckpt.msgpack`` / ``*_weights.msgpack``), host-independent
+and safe to write from a pjit-sharded state (arrays are gathered with
+`jax.device_get`).  Reference ``.pth`` checkpoints are *importable* through
+`rcnn_ocr_tpu.interop` but never written.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+CKPT_SUFFIX = "_ckpt.msgpack"
+WEIGHTS_SUFFIX = "_weights.msgpack"
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_checkpoint(
+    path: str,
+    state,  # TrainState
+    scheduler_state: Optional[Dict[str, Any]],
+    epoch: int,
+    global_step: int,
+    best_val_loss: float,
+    best_val_acc: float,
+    itos: List[str],
+    stoi: Dict[str, int],
+    config: Dict[str, Any],
+    log_dir: str,
+) -> None:
+    blob = {
+        "epoch": int(epoch),
+        "global_step": int(global_step),
+        "params": serialization.to_state_dict(_to_host(state.params)),
+        "batch_stats": serialization.to_state_dict(_to_host(state.batch_stats)),
+        "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
+        "scheduler_state": scheduler_state or {},
+        "best_val_loss": float(best_val_loss),
+        "best_val_acc": float(best_val_acc),
+        "itos": list(itos),
+        "stoi": {str(k): int(v) for k, v in stoi.items()},
+        "config": config,
+        "log_dir": log_dir,
+    }
+    data = serialization.msgpack_serialize(blob)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic: a preemption never corrupts a slot
+
+
+def save_weights(path: str, state) -> None:
+    blob = {
+        "params": serialization.to_state_dict(_to_host(state.params)),
+        "batch_stats": serialization.to_state_dict(_to_host(state.batch_stats)),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(blob))
+    os.replace(tmp, path)
+
+
+def load_checkpoint_blob(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def restore_train_state(blob: Dict[str, Any], template_state):
+    """Restore a TrainState from a checkpoint blob using a template's treedef."""
+    params = serialization.from_state_dict(template_state.params, blob["params"])
+    batch_stats = serialization.from_state_dict(
+        template_state.batch_stats, blob["batch_stats"]
+    )
+    opt_state = serialization.from_state_dict(template_state.opt_state, blob["opt_state"])
+    return template_state.replace(
+        step=np.asarray(blob.get("global_step", 0), np.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+    )
+
+
+def load_variables(path: str, template_variables: Optional[Dict[str, Any]] = None):
+    """Load model variables from a weights or full-checkpoint msgpack file."""
+    blob = load_checkpoint_blob(path)
+    if "params" not in blob:
+        raise ValueError(f"{path} holds no model parameters")
+    variables = {"params": blob["params"], "batch_stats": blob.get("batch_stats", {})}
+    if template_variables is not None:
+        variables = serialization.from_state_dict(template_variables, variables)
+    return variables, blob

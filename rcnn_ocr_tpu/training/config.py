@@ -67,6 +67,8 @@ DEFAULTS: Dict[str, Any] = {
     "width_buckets": None,  # e.g. [64, 128, 192, 256]; None = single img_w
     "use_pallas": True,
     "sampling_prob": 0.0,
+    "lstm_layers": 2,
+    "width_mult": 1.0,
     "enc_dropout_p": 0.1,
     "dropblock_p": 0.0,
     "dropblock_block_size": 5,

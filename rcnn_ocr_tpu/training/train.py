@@ -1,0 +1,536 @@
+"""The training loop: `run_training(cfg)`.
+
+Orchestration parity with `/root/reference/training/train.py:179-782`
+(dataset assembly with explicit-val or random-split, proportional batch
+mixing, eval throttling via ``eval_every``, two-pass validation
+(teacher-forced loss + greedy decode metrics) per val set, TB + CSV + log
+channels, three checkpoint slots, plateau/cosine scheduling, resume) —
+rebuilt on the TPU-native substrate:
+
+* one jitted train step (bf16 compute, donated state) over a device mesh —
+  batch sharded on the ``data`` axis, parameters replicated, gradient
+  all-reduce over ICI inserted by XLA;
+* host-side threaded data loading with background prefetch and static
+  batch shapes (short batches padded + masked, so XLA compiles once);
+* msgpack checkpoints with the charset embedded; resume restores model,
+  optimizer, scheduler and counters.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rcnn_ocr_tpu.data.dataset import (
+    ConcatDataset,
+    MultiDataset,
+    OCRDataset,
+    ProportionalBatchSampler,
+    ShuffleBatchSampler,
+    random_split,
+)
+from rcnn_ocr_tpu.data.loader import DataLoader
+from rcnn_ocr_tpu.data.transforms import get_train_transform, get_val_transform
+from rcnn_ocr_tpu.models import RCNN
+from rcnn_ocr_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated_sharding,
+)
+from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+from rcnn_ocr_tpu.training.config import Config
+from rcnn_ocr_tpu.training.loggers import MetricsCSV, SummaryWriter, setup_logger
+from rcnn_ocr_tpu.training.metrics import (
+    character_error_rate,
+    compute_accuracy,
+    word_error_rate,
+)
+from rcnn_ocr_tpu.training.optim import build_optimizer, build_scheduler, get_lr, set_lr
+from rcnn_ocr_tpu.training.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from rcnn_ocr_tpu.vocab.charset import Charset, decode_tokens
+
+
+def set_seed(seed: int = 42) -> None:
+    """Seed host-side RNGs (JAX randomness is explicit via keys)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def _dtype_from_name(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
+        name
+    ]
+
+
+def run_training(cfg: Config, device: str = "tpu") -> Dict:
+    seed = cfg.get("seed", 42)
+    set_seed(seed)
+
+    exp_dir = cfg.get("exp_dir")
+    os.makedirs(exp_dir, exist_ok=True)
+    logger = setup_logger(exp_dir)
+    logger.info("Start training")
+    logger.info(f"Experiment dir: {exp_dir}")
+    logger.info(f"Seed: {seed}")
+    try:
+        cfg.save()
+        logger.info("Saved config to exp_dir/config.json")
+    except Exception as e:
+        logger.info(f"Config save skipped: {e}")
+
+    # --- hyperparameters (reference defaults) ---
+    train_csvs = cfg.get("train_csvs")
+    train_roots = cfg.get("train_roots")
+    val_csvs = cfg.get("val_csvs")
+    val_roots = cfg.get("val_roots")
+    charset_path = cfg.get("charset_path")
+    encoding = cfg.get("encoding", "utf-8")
+    img_h = cfg.get("img_h", 64)
+    img_w = cfg.get("img_w", 256)
+    max_len = cfg.get("max_len", 25)
+    hidden_size = cfg.get("hidden_size", 256)
+    batch_size = cfg.get("batch_size", 32)
+    epochs = cfg.get("epochs", 20)
+    lr = cfg.get("lr", 1e-3)
+    optimizer_name = cfg.get("optimizer", "Adam")
+    scheduler_name = cfg.get("scheduler", "ReduceLROnPlateau")
+    weight_decay = cfg.get("weight_decay", 0.0)
+    momentum = cfg.get("momentum", 0.9)
+    resume_path = cfg.get("resume_path")
+    eval_every = int(cfg.get("eval_every", cfg.get("save_every", 1)))
+    if eval_every < 1:
+        raise ValueError("eval_every must be >= 1")
+    train_proportions = cfg.get("train_proportions")
+    val_size = cfg.get("val_size", 3000)
+    num_workers = cfg.get("num_workers", 0)
+    head = cfg.get("head", "attention")
+    compute_dtype = _dtype_from_name(cfg.get("compute_dtype", "bfloat16"))
+
+    # --- mesh / devices ---
+    mesh_shape = cfg.get("mesh_shape")
+    mesh_axes = tuple(cfg.get("mesh_axes") or ("data",))
+    mesh = make_mesh(mesh_shape, mesh_axes)
+    n_data = mesh.shape.get("data", 1)
+    # static per-step batch: pad up to a multiple of the data-axis size
+    static_bs = ((batch_size + n_data - 1) // n_data) * n_data
+    logger.info(
+        f"Devices: {len(jax.devices())} ({jax.devices()[0].platform}); "
+        f"mesh={dict(mesh.shape)}; static_batch={static_bs}"
+    )
+
+    # --- observability ---
+    log_dir = os.path.join(exp_dir, "logs")
+    writer = SummaryWriter(log_dir)
+    metrics_csv = MetricsCSV(os.path.join(exp_dir, "metrics_epoch.csv"))
+
+    ckpt_paths = {
+        slot: os.path.join(exp_dir, f"{slot}{ckpt_io.CKPT_SUFFIX}")
+        for slot in ("last", "best_loss", "best_acc")
+    }
+    weight_paths = {
+        slot: os.path.join(exp_dir, f"{slot}{ckpt_io.WEIGHTS_SUFFIX}")
+        for slot in ("last", "best_loss", "best_acc")
+    }
+
+    # --- charset / model ---
+    charset = Charset.from_file(charset_path)
+    num_classes = charset.num_classes
+    logger.info(f"Charset loaded: {num_classes} tokens")
+    with_ctc = head in ("ctc", "both")
+    model = RCNN(
+        num_classes=num_classes,
+        hidden_size=hidden_size,
+        sos_id=charset.sos_id,
+        eos_id=charset.eos_id,
+        pad_id=charset.pad_id,
+        blank_id=charset.blank_id,
+        enc_dropout_p=cfg.get("enc_dropout_p", 0.1),
+        dropblock_p=cfg.get("dropblock_p", 0.0),
+        dropblock_block_size=cfg.get("dropblock_block_size", 5),
+        sampling_prob=cfg.get("sampling_prob", 0.0),
+        with_attention_head=head in ("attention", "both"),
+        with_ctc_head=with_ctc,
+        ctc_blank_id=charset.ctc_blank_id,
+        lstm_layers=cfg.get("lstm_layers", 2),
+        width_mult=cfg.get("width_mult", 1.0),
+        dtype=compute_dtype,
+        use_pallas=cfg.get("use_pallas", True) and jax.devices()[0].platform == "tpu",
+    )
+
+    rng = jax.random.PRNGKey(seed)
+    init_rng, train_rng = jax.random.split(rng)
+    dummy_x = jnp.zeros((2, img_h, img_w, 3), jnp.float32)
+    dummy_text = jnp.zeros((2, max_len + 1), jnp.int32)
+    variables = model.init(
+        {"params": init_rng, "dropout": init_rng},
+        dummy_x,
+        text=dummy_text,
+        batch_max_length=max_len,
+        method=model.init_all,
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    logger.info(f"Model parameters: {n_params:,}")
+
+    # --- optimizer / scheduler ---
+    tx = build_optimizer(optimizer_name, lr, weight_decay, momentum)
+    scheduler = build_scheduler(scheduler_name, lr, epochs)
+    state = create_train_state(model, variables, tx)
+    # replicate (or TP-shard) the state over the mesh
+    p_shard = param_shardings(state.params, mesh)
+    state = state.replace(
+        params=jax.tree_util.tree_map(jax.device_put, state.params, p_shard),
+        batch_stats=jax.device_put(state.batch_stats, replicated_sharding(mesh)),
+        opt_state=jax.device_put(state.opt_state, replicated_sharding(mesh)),
+    )
+
+    train_step = make_train_step(
+        model,
+        tx,
+        max_len,
+        charset.pad_id,
+        head=head,
+        ctc_blank_id=charset.ctc_blank_id,
+        ctc_loss_weight=cfg.get("ctc_loss_weight", 1.0),
+    )
+    eval_step = make_eval_step(
+        model, max_len, charset.pad_id, head=head, ctc_blank_id=charset.ctc_blank_id
+    )
+
+    # --- transforms / datasets ---
+    train_transform = get_train_transform(cfg.to_dict(), img_h=img_h, img_w=img_w)
+    val_transform = get_val_transform(img_h, img_w)
+
+    def make_ds(csv_path, root, transform):
+        return OCRDataset(
+            csv_path,
+            root,
+            charset.stoi,
+            img_height=img_h,
+            img_max_width=img_w,
+            transform=transform,
+            encoding=encoding,
+            max_len=max_len,
+            strict_max_len=True,
+            num_workers=num_workers if num_workers else 4,
+        )
+
+    train_sets: List = []
+    val_sets: List = []
+    for i, (train_csv, train_root) in enumerate(zip(train_csvs, train_roots)):
+        has_separate_val = bool(
+            val_csvs
+            and val_roots
+            and i < len(val_csvs)
+            and i < len(val_roots)
+            and val_csvs[i] is not None
+            and val_roots[i] is not None
+        )
+        if has_separate_val:
+            train_sets.append(make_ds(train_csv, train_root, train_transform))
+            val_sets.append(make_ds(val_csvs[i], val_roots[i], val_transform))
+            logger.info(f"  Dataset {i}: separate validation set from {val_roots[i]}")
+        else:
+            full = make_ds(train_csv, train_root, None)
+            n_val = min(val_size if val_size else 3000, len(full))
+            n_train = len(full) - n_val
+            if n_train <= 0:
+                raise ValueError(
+                    f"Dataset {train_csv} has only {len(full)} samples, fewer than {n_val}"
+                )
+            tr, va = random_split(full, n_train, n_val, seed=seed)
+            # unlike the reference's shared-transform wart, each split gets
+            # its own transform (SURVEY.md §5.2)
+            tr.transform = train_transform
+            va.transform = val_transform
+            train_sets.append(tr)
+            val_sets.append(va)
+            logger.info(f"  Dataset {i}: random split (val_size={n_val})")
+
+    if train_proportions is not None:
+        total = sum(train_proportions)
+        proportions = [p / total for p in train_proportions]
+        assert len(proportions) == len(train_sets), "train_proportions != num train_sets"
+        train_dataset = MultiDataset(train_sets)
+        train_sampler = ProportionalBatchSampler(
+            train_sets, batch_size, proportions, seed=seed
+        )
+    else:
+        train_dataset = ConcatDataset(train_sets)
+        train_sampler = ShuffleBatchSampler(train_dataset, batch_size, seed=seed)
+
+    loader_workers = num_workers if num_workers and num_workers > 0 else 2
+    train_loader = DataLoader(
+        train_dataset,
+        train_sampler,
+        charset,
+        max_len,
+        num_workers=loader_workers,
+        static_batch_size=static_bs,
+        with_ctc=with_ctc,
+    )
+    val_loaders = [
+        DataLoader(
+            vs,
+            ShuffleBatchSampler(vs, batch_size, shuffle=False),
+            charset,
+            max_len,
+            num_workers=loader_workers,
+            static_batch_size=static_bs,
+            with_ctc=with_ctc,
+        )
+        for vs in val_sets
+    ]
+
+    n_train_samples = sum(len(ds) for ds in train_sets)
+    n_val_samples = sum(len(ds) for ds in val_sets)
+    logger.info(
+        f"Datasets: train={n_train_samples} samples across {len(train_sets)} set(s); "
+        f"val={n_val_samples} samples across {len(val_sets)} set(s)"
+    )
+    logger.info(
+        f"Loaders: train_batches/epoch={len(train_loader)}; "
+        f"val_batches={sum(len(v) for v in val_loaders)}; batch_size={batch_size}"
+    )
+
+    config_snapshot = {
+        "batch_size": batch_size,
+        "epochs": epochs,
+        "lr": lr,
+        "optimizer": optimizer_name,
+        "scheduler": scheduler_name,
+        "weight_decay": weight_decay,
+        "momentum": momentum,
+        "img_h": img_h,
+        "img_w": img_w,
+        "encoding": encoding,
+        "max_len": max_len,
+        "hidden_size": hidden_size,
+        "lstm_layers": cfg.get("lstm_layers", 2),
+        "width_mult": cfg.get("width_mult", 1.0),
+        "head": head,
+        "charset_path": charset_path,
+        "train_csvs": train_csvs,
+        "train_roots": train_roots,
+        "val_csvs": val_csvs,
+        "val_roots": val_roots,
+    }
+
+    # --- resume ---
+    start_epoch = 1
+    global_step = 0
+    best_val_loss, best_val_acc = float("inf"), -1.0
+    if resume_path and os.path.isfile(resume_path) and resume_path.endswith(".msgpack"):
+        blob = ckpt_io.load_checkpoint_blob(resume_path)
+        state = ckpt_io.restore_train_state(blob, state)
+        if scheduler is not None and blob.get("scheduler_state"):
+            scheduler.load_state_dict(blob["scheduler_state"])
+            state = state.replace(opt_state=set_lr(state.opt_state, scheduler.lr))
+        start_epoch = int(blob.get("epoch", 0)) + 1
+        global_step = int(blob.get("global_step", 0))
+        best_val_loss = float(blob.get("best_val_loss", best_val_loss))
+        best_val_acc = float(blob.get("best_val_acc", best_val_acc))
+        logger.info(
+            f"Resumed from: {resume_path} (epoch={start_epoch - 1}, step={global_step})"
+        )
+
+    data_shard = batch_sharding(mesh)
+
+    def to_device(batch):
+        arrays = {
+            k: v
+            for k, v in batch.items()
+            if isinstance(v, np.ndarray) and k != "lengths"
+        }
+        return jax.device_put(arrays, data_shard)
+
+    def save_slot(slot: str, epoch: int, val_loss, val_acc):
+        ckpt_io.save_checkpoint(
+            ckpt_paths[slot],
+            state,
+            scheduler.state_dict() if scheduler is not None else None,
+            epoch,
+            global_step,
+            val_loss,
+            val_acc,
+            list(charset.itos),
+            charset.stoi,
+            config_snapshot,
+            log_dir,
+        )
+        ckpt_io.save_weights(weight_paths[slot], state)
+
+    # --- epoch loop ---
+    result = {"val_acc": best_val_acc, "val_loss": best_val_loss, "exp_dir": exp_dir}
+    for epoch in range(start_epoch, epochs + 1):
+        t0 = time.time()
+        total_train_loss = 0.0
+        n_batches = 0
+        imgs_seen = 0
+        with mesh:
+            for batch in train_loader:
+                step_rng = jax.random.fold_in(train_rng, global_step)
+                state, metrics = train_step(state, to_device(batch), step_rng)
+                loss_val = float(metrics["loss"])
+                total_train_loss += loss_val
+                writer.add_scalar("Loss/train_step", loss_val, global_step)
+                writer.add_scalar("LR", get_lr(state.opt_state), global_step)
+                global_step += 1
+                n_batches += 1
+                imgs_seen += int(batch["valid"].sum())
+
+        avg_train_loss = total_train_loss / max(1, n_batches)
+        train_time = time.time() - t0
+        writer.add_scalar("Loss/train_epoch", avg_train_loss, epoch)
+        writer.add_scalar("Throughput/images_per_sec", imgs_seen / max(train_time, 1e-9), epoch)
+
+        should_eval = ((epoch - start_epoch) % eval_every == 0) or (epoch == epochs)
+        avg_val_loss = val_acc = val_cer = val_wer = None
+
+        if should_eval:
+            total_val_loss = 0.0
+            total_batches = 0
+            total_correct = 0
+            total_predictions = 0
+            total_cer_sum = 0.0
+            total_wer_sum = 0.0
+            with mesh:
+                for i, val_loader in enumerate(val_loaders):
+                    set_loss = 0.0
+                    refs: List[str] = []
+                    hyps: List[str] = []
+                    set_batches = 0
+                    for batch in val_loader:
+                        out = eval_step(state, to_device(batch))
+                        set_loss += float(out["val_loss"])
+                        set_batches += 1
+                        if "pred_ids" in out:
+                            pred_ids = np.asarray(out["pred_ids"])
+                        else:  # pure CTC: greedy-collapse the frame argmaxes
+                            from rcnn_ocr_tpu.ops.ctc import ctc_greedy_collapse_np
+
+                            frame_ids = np.asarray(out["ctc_frame_ids"])
+                            rows = ctc_greedy_collapse_np(
+                                frame_ids, charset.ctc_blank_id
+                            )
+                            width = max_len + 1
+                            pred_ids = np.full((len(rows), width), charset.pad_id)
+                            for r, row in enumerate(rows):
+                                row = [
+                                    t
+                                    for t in row
+                                    if t
+                                    not in (charset.sos_id, charset.eos_id, charset.pad_id)
+                                ][:width]
+                                pred_ids[r, : len(row)] = row
+                        n_real = int(batch["valid"].sum())
+                        tgt_ids = batch["target_y"]
+                        for p_row, t_row in zip(pred_ids[:n_real], tgt_ids[:n_real]):
+                            hyps.append(
+                                decode_tokens(
+                                    p_row,
+                                    list(charset.itos),
+                                    charset.pad_id,
+                                    charset.eos_id,
+                                    charset.blank_id,
+                                )
+                            )
+                            refs.append(
+                                decode_tokens(
+                                    t_row,
+                                    list(charset.itos),
+                                    charset.pad_id,
+                                    charset.eos_id,
+                                    charset.blank_id,
+                                )
+                            )
+
+                    set_avg_loss = set_loss / max(1, set_batches)
+                    set_acc = compute_accuracy(refs, hyps)
+                    set_cer_sum = sum(
+                        character_error_rate(r, h) for r, h in zip(refs, hyps)
+                    )
+                    set_wer_sum = sum(word_error_rate(r, h) for r, h in zip(refs, hyps))
+                    writer.add_scalar(f"Loss/val_set_{i}", set_avg_loss, epoch)
+                    writer.add_scalar(f"Accuracy/val_set_{i}", set_acc, epoch)
+                    writer.add_scalar(
+                        f"CER/val_set_{i}", set_cer_sum / max(1, len(refs)), epoch
+                    )
+                    writer.add_scalar(
+                        f"WER/val_set_{i}", set_wer_sum / max(1, len(refs)), epoch
+                    )
+                    total_val_loss += set_loss
+                    total_batches += set_batches
+                    total_correct += sum(1 for r, h in zip(refs, hyps) if r == h)
+                    total_predictions += len(refs)
+                    total_cer_sum += set_cer_sum
+                    total_wer_sum += set_wer_sum
+
+            avg_val_loss = total_val_loss / max(1, total_batches)
+            val_acc = total_correct / max(1, total_predictions)
+            val_cer = total_cer_sum / max(1, total_predictions)
+            val_wer = total_wer_sum / max(1, total_predictions)
+            writer.add_scalar("Loss/val_epoch", avg_val_loss, epoch)
+            writer.add_scalar("Accuracy/val", val_acc, epoch)
+            writer.add_scalar("CER/val", val_cer, epoch)
+            writer.add_scalar("WER/val", val_wer, epoch)
+        else:
+            logger.info(f"Epoch {epoch:03d}: skipping validation (eval_every={eval_every})")
+
+        current_lr = get_lr(state.opt_state)
+        metrics_csv.write_row(
+            epoch, avg_train_loss, current_lr, avg_val_loss, val_acc, val_cer, val_wer
+        )
+
+        msg_parts = [f"Epoch {epoch:03d}/{epochs}", f"train_loss={avg_train_loss:.4f}"]
+        if should_eval:
+            msg_parts += [
+                f"val_loss={avg_val_loss:.4f}",
+                f"acc={val_acc:.4f}",
+                f"CER={val_cer:.4f}",
+                f"WER={val_wer:.4f}",
+            ]
+        else:
+            msg_parts.append(f"val=skipped (eval_every={eval_every})")
+        msg_parts.append(f"lr={current_lr:.2e}")
+        msg_parts.append(f"imgs/s={imgs_seen / max(train_time, 1e-9):.0f}")
+        logger.info(" | ".join(msg_parts))
+
+        if should_eval:
+            save_slot("last", epoch, avg_val_loss, val_acc)
+            if avg_val_loss < best_val_loss:
+                best_val_loss = avg_val_loss
+                save_slot("best_loss", epoch, best_val_loss, val_acc)
+                logger.info(f"New best val_loss: {best_val_loss:.4f} (epoch {epoch})")
+            if val_acc >= best_val_acc:
+                best_val_acc = val_acc
+                save_slot("best_acc", epoch, best_val_loss, best_val_acc)
+                logger.info(f"New best acc: {best_val_acc:.4f} (epoch {epoch})")
+
+        if scheduler is not None:
+            from rcnn_ocr_tpu.training.optim import ReduceLROnPlateau
+
+            if isinstance(scheduler, ReduceLROnPlateau):
+                if should_eval and avg_val_loss is not None:
+                    new_lr = scheduler.step(avg_val_loss)
+                    state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
+            else:
+                new_lr = scheduler.step()
+                state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
+
+    writer.close()
+    logger.info("Training finished.")
+    result.update(
+        {"val_acc": best_val_acc, "val_loss": best_val_loss, "exp_dir": exp_dir}
+    )
+    return result

@@ -1,0 +1,200 @@
+"""Jitted, mesh-sharded train / eval steps.
+
+One compiled function per (bucket-shape, mode): parameters and optimizer
+state live replicated on the mesh, the batch is sharded over the ``data``
+axis, gradients all-reduce over ICI automatically (GSPMD).  bf16 compute /
+fp32 params with donated state — the XLA-native replacement for the
+reference's AMP autocast + GradScaler (`/root/reference/training/train.py:
+315,499-508`); bf16 needs no loss scaling.
+
+The loss is token-mean cross-entropy with PAD ignored
+(``CrossEntropyLoss(ignore_index=PAD)``, `train.py:289`), with an extra
+``valid`` row mask so statically padded batches contribute nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rcnn_ocr_tpu.ops.ctc import ctc_loss as ctc_loss_fn
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, variables, tx) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+
+
+def masked_token_ce(
+    logits: jnp.ndarray,  # [B, T, V]
+    targets: jnp.ndarray,  # [B, T]
+    pad_id: int,
+    valid_rows: Optional[jnp.ndarray] = None,  # [B] bool
+) -> jnp.ndarray:
+    """Mean CE over non-PAD tokens (of valid rows)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    mask = (targets != pad_id).astype(jnp.float32)
+    if valid_rows is not None:
+        mask = mask * valid_rows.astype(jnp.float32)[:, None]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    max_len: int,
+    pad_id: int,
+    head: str = "attention",
+    ctc_blank_id: int = 0,
+    ctc_loss_weight: float = 1.0,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
+
+    ``head``: "attention" | "ctc" | "both" — which loss(es) to optimize.
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        rngs = {"dropout": rng}
+        losses = {}
+        if head == "attention":
+            logits, mutated = model.apply(
+                variables,
+                batch["image"],
+                text=batch["text_in"],
+                train=True,
+                batch_max_length=max_len,
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            losses["attn_loss"] = masked_token_ce(
+                logits, batch["target_y"], pad_id, batch.get("valid")
+            )
+            total = losses["attn_loss"]
+        elif head == "ctc":
+            logits, mutated = model.apply(
+                variables,
+                batch["image"],
+                train=True,
+                rngs=rngs,
+                mutable=["batch_stats"],
+                method=model.ctc_logits,
+            )
+            lp = jnp.zeros(logits.shape[:2], jnp.float32)
+            if "valid" in batch:
+                lp = jnp.where(batch["valid"][:, None], lp, 1.0)
+            losses["ctc_loss"] = ctc_loss_fn(
+                logits, lp, batch["ctc_labels"], batch["ctc_paddings"], ctc_blank_id
+            )
+            total = losses["ctc_loss"]
+        elif head == "both":
+            (attn_logits, ctc_logits), mutated = model.apply(
+                variables,
+                batch["image"],
+                text=batch["text_in"],
+                train=True,
+                batch_max_length=max_len,
+                rngs=rngs,
+                mutable=["batch_stats"],
+                method=model.forward_both,
+            )
+            losses["attn_loss"] = masked_token_ce(
+                attn_logits, batch["target_y"], pad_id, batch.get("valid")
+            )
+            lp = jnp.zeros(ctc_logits.shape[:2], jnp.float32)
+            if "valid" in batch:
+                lp = jnp.where(batch["valid"][:, None], lp, 1.0)
+            losses["ctc_loss"] = ctc_loss_fn(
+                ctc_logits, lp, batch["ctc_labels"], batch["ctc_paddings"], ctc_blank_id
+            )
+            total = losses["attn_loss"] + ctc_loss_weight * losses["ctc_loss"]
+        else:
+            raise ValueError(f"unknown head: {head}")
+        return total, (losses, mutated["batch_stats"])
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
+        (total, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {"loss": total, **losses}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model, max_len: int, pad_id: int, head: str = "attention", ctc_blank_id: int = 0
+) -> Callable:
+    """Jitted eval: teacher-forced loss + greedy prediction ids.
+
+    Mirrors the reference's two-forward-pass validation
+    (`/root/reference/training/train.py:554-576`): one teacher-forced pass
+    for the val loss, one greedy pass for the decoded metrics — but the
+    encoder can be shared per pass here only at the cost of parity, so both
+    passes run the full model exactly like the reference.
+    """
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = {}
+        if head in ("attention", "both"):
+            tf_logits = model.apply(
+                variables,
+                batch["image"],
+                text=batch["text_in"],
+                train=False,
+                batch_max_length=max_len,
+            )
+            out["val_loss"] = masked_token_ce(
+                tf_logits, batch["target_y"], pad_id, batch.get("valid")
+            )
+            greedy_logits = model.apply(
+                variables, batch["image"], train=False, batch_max_length=max_len
+            )
+            out["pred_ids"] = jnp.argmax(greedy_logits, axis=-1)
+        if head in ("ctc", "both"):
+            ctc_logits = model.apply(
+                variables, batch["image"], train=False, method=model.ctc_logits
+            )
+            lp = jnp.zeros(ctc_logits.shape[:2], jnp.float32)
+            if "valid" in batch:
+                lp = jnp.where(batch["valid"][:, None], lp, 1.0)
+            loss = ctc_loss_fn(
+                ctc_logits, lp, batch["ctc_labels"], batch["ctc_paddings"], ctc_blank_id
+            ) if "ctc_labels" in batch else jnp.zeros(())
+            out["ctc_val_loss"] = loss
+            out["ctc_frame_ids"] = jnp.argmax(ctc_logits, axis=-1)
+            if head == "ctc":
+                out["val_loss"] = loss
+        return out
+
+    return eval_step

@@ -9,10 +9,27 @@ exercised without TPU hardware.  This must happen before the first
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE for this environment: a remote-TPU (axon) PJRT client may be
+# registered in every python process at interpreter start (sitecustomize).
+# Tests force the CPU backend below; run test processes SERIALLY — two
+# concurrent JAX processes contend on the single TPU tunnel and wedge.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# the sitecustomize hook may have programmatically forced the axon
+# platform; the env var alone no longer wins, so override the config too
+jax.config.update("jax_platforms", "cpu")
+
+import faulthandler  # noqa: E402
+import signal  # noqa: E402
+
+# `kill -USR1 <pid>` dumps all thread stacks — debugging aid for hangs
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

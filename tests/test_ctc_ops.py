@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+
+from rcnn_ocr_tpu.ops.ctc import (
+    ctc_beam_search,
+    ctc_greedy_collapse_np,
+    ctc_greedy_decode_jnp,
+    ids_to_text,
+)
+
+
+def test_greedy_collapse_np():
+    pred = np.array([[0, 1, 1, 0, 2, 2, 2, 1]])
+    assert ctc_greedy_collapse_np(pred, blank_id=0) == [[1, 2, 1]]
+    # repeats across a blank survive
+    pred = np.array([[1, 0, 1]])
+    assert ctc_greedy_collapse_np(pred, blank_id=0) == [[1, 1]]
+    # lengths cut off the tail
+    pred = np.array([[1, 0, 2]])
+    assert ctc_greedy_collapse_np(pred, blank_id=0, lengths=np.array([2])) == [[1]]
+
+
+def test_greedy_decode_jnp_matches_np(rng):
+    import jax.numpy as jnp
+
+    logits = rng.normal(size=(4, 12, 7)).astype(np.float32)
+    tokens, valid = ctc_greedy_decode_jnp(jnp.asarray(logits), blank_id=0)
+    tokens, valid = np.asarray(tokens), np.asarray(valid)
+    want = ctc_greedy_collapse_np(logits.argmax(-1), blank_id=0)
+    for b in range(4):
+        assert tokens[b, : valid[b]].tolist() == want[b]
+
+
+def test_greedy_decode_jnp_full_row():
+    import jax.numpy as jnp
+
+    # every frame is a distinct non-blank: all T tokens kept
+    logits = np.full((1, 4, 5), -10.0, np.float32)
+    for t, c in enumerate([1, 2, 3, 4]):
+        logits[0, t, c] = 0.0
+    tokens, valid = ctc_greedy_decode_jnp(jnp.asarray(logits), blank_id=0)
+    assert int(valid[0]) == 4
+    assert np.asarray(tokens)[0].tolist() == [1, 2, 3, 4]
+
+
+def test_beam_search_python_fallback_agrees_with_native(rng):
+    from rcnn_ocr_tpu import native
+    from rcnn_ocr_tpu.ops.ctc import _ctc_beam_py
+
+    # T=5, V=4 has <= 364 distinct prefixes: beam 512 is exhaustive, so
+    # both implementations must agree exactly (pruning tie-breaks differ)
+    logits = rng.normal(size=(2, 5, 4)).astype(np.float32)
+    labels, lps = ctc_beam_search(logits, blank_id=0, beam_width=512)
+    assert len(labels) == 2
+    if native.available():
+        m = logits.max(-1, keepdims=True)
+        log_probs = logits - m - np.log(np.exp(logits - m).sum(-1, keepdims=True))
+        for b in range(2):
+            lab, lp = _ctc_beam_py(log_probs[b], 0, 512)
+            assert lab == labels[b]
+            assert abs(lp - lps[b]) < 1e-3
+
+
+def test_beam_better_or_equal_greedy(rng):
+    # beam search's best labeling should never have lower probability than
+    # the greedy collapse labeling on random inputs
+    logits = rng.normal(size=(3, 8, 6)).astype(np.float32)
+    labels, _ = ctc_beam_search(logits, blank_id=0, beam_width=16)
+    greedy = ctc_greedy_collapse_np(logits.argmax(-1), blank_id=0)
+    assert len(labels) == len(greedy)
+
+
+def test_ids_to_text():
+    assert ids_to_text([[3, 4], []], ["<PAD>", "<SOS>", "<EOS>", "a", "b"]) == ["ab", ""]
+    assert ids_to_text([[0, 3]], ["<PAD>", "<SOS>", "<EOS>", "a"], skip_ids=[0]) == ["a"]
+
+
+def test_ctc_loss_decreases_on_perfect_logits(tiny_charset):
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.ops.ctc import ctc_loss
+    from rcnn_ocr_tpu.vocab.charset import pack_ctc_targets
+
+    cs = tiny_charset
+    labels, paddings = pack_ctc_targets(["ab"], cs, max_len=4)
+    T, V = 8, len(cs)
+    blank = cs.ctc_blank_id
+    # logits strongly favoring the correct alignment a a b b blank...
+    good = np.full((1, T, V), -5.0, np.float32)
+    a, b = cs.stoi["a"], cs.stoi["b"]
+    for t, c in enumerate([a, a, b, b, blank, blank, blank, blank]):
+        good[0, t, c] = 5.0
+    bad = np.zeros((1, T, V), np.float32)
+    lp = jnp.zeros((1, T))
+    loss_good = float(ctc_loss(jnp.asarray(good), lp, jnp.asarray(labels), jnp.asarray(paddings), blank))
+    loss_bad = float(ctc_loss(jnp.asarray(bad), lp, jnp.asarray(labels), jnp.asarray(paddings), blank))
+    assert loss_good < loss_bad

@@ -1,0 +1,162 @@
+"""Numerical parity of the JAX model vs the reference PyTorch model.
+
+The reference repo (read-only at /root/reference) is used as a test oracle:
+we instantiate its architecture with random weights in torch-CPU, import
+the state_dict through `rcnn_ocr_tpu.interop.torch_import`, and assert the
+JAX forward matches end-to-end.  This de-risks VA parity (>= 0.912 with the
+reference checkpoint) without the original dataset.
+
+Skipped when the reference tree or torch is unavailable.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+torch = pytest.importorskip("torch")
+
+if not os.path.isdir(REFERENCE):  # pragma: no cover
+    pytest.skip("reference repo not mounted", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def ref_model_cls():
+    """Import the reference RCNN class (stubbing torchvision.ops.DropBlock2d)."""
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_ops = types.ModuleType("torchvision.ops")
+
+        class DropBlock2d(torch.nn.Identity):
+            def __init__(self, p=0.0, block_size=5):
+                super().__init__()
+
+        tv_ops.DropBlock2d = DropBlock2d
+        tv.ops = tv_ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv_ops
+    sys.path.insert(0, REFERENCE)
+    try:
+        from model.model import RCNN as TorchRCNN  # noqa: PLC0415
+    finally:
+        sys.path.remove(REFERENCE)
+    return TorchRCNN
+
+
+NUM_CLASSES = 14
+HIDDEN = 32
+MAX_LEN = 5
+
+
+@pytest.fixture(scope="module")
+def models(ref_model_cls):
+    import jax
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.interop import import_torch_state_dict
+    from rcnn_ocr_tpu.models import RCNN as JaxRCNN
+
+    torch.manual_seed(0)
+    tmodel = ref_model_cls(
+        num_classes=NUM_CLASSES, hidden_size=HIDDEN, sos_id=1, eos_id=2, pad_id=0,
+        blank_id=None,
+    )
+    tmodel.eval()
+
+    variables = import_torch_state_dict(
+        tmodel.state_dict(), num_classes=NUM_CLASSES, hidden_size=HIDDEN
+    )
+    jmodel = JaxRCNN(
+        num_classes=NUM_CLASSES, hidden_size=HIDDEN, sos_id=1, eos_id=2, pad_id=0,
+        blank_id=None, dtype=jnp.float32,
+    )
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 32, 64, 3)).astype(np.float32)
+    return tmodel, jmodel, variables, x
+
+
+def test_encoder_parity(models):
+    tmodel, jmodel, variables, x = models
+    with torch.no_grad():
+        t_enc = tmodel.encode(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_enc = np.asarray(jmodel.apply(variables, x, train=False, method=jmodel.encode))
+    np.testing.assert_allclose(j_enc, t_enc, rtol=1e-4, atol=2e-4)
+
+
+def test_teacher_forced_parity(models):
+    tmodel, jmodel, variables, x = models
+    rng = np.random.default_rng(2)
+    text = rng.integers(3, NUM_CLASSES, size=(2, MAX_LEN + 1)).astype(np.int64)
+    text[:, 0] = 1  # SOS
+    with torch.no_grad():
+        t_logits = tmodel(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            text=torch.from_numpy(text),
+            is_train=True,
+            batch_max_length=MAX_LEN,
+        ).numpy()
+    j_logits = np.asarray(
+        jmodel.apply(
+            variables, x, text=text.astype(np.int32), train=False,
+            batch_max_length=MAX_LEN,
+        )
+    )
+    assert j_logits.shape == t_logits.shape
+    np.testing.assert_allclose(j_logits, t_logits, rtol=1e-3, atol=5e-4)
+
+
+def test_greedy_parity(models):
+    tmodel, jmodel, variables, x = models
+    with torch.no_grad():
+        t_logits = tmodel(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            is_train=False,
+            batch_max_length=MAX_LEN,
+        ).numpy()
+    j_logits = np.asarray(
+        jmodel.apply(variables, x, train=False, batch_max_length=MAX_LEN)
+    )
+    np.testing.assert_allclose(j_logits, t_logits, rtol=1e-3, atol=5e-4)
+    # decoded argmax sequences must agree exactly
+    np.testing.assert_array_equal(j_logits.argmax(-1), t_logits.argmax(-1))
+
+
+def test_import_checkpoint_layouts(models, tmp_path):
+    tmodel = models[0]
+    from rcnn_ocr_tpu.interop import import_torch_checkpoint
+
+    sd = tmodel.state_dict()
+    # bare state_dict
+    p1 = tmp_path / "bare.pth"
+    torch.save(sd, p1)
+    out1 = import_torch_checkpoint(str(p1))
+    assert out1["num_classes"] == NUM_CLASSES
+    # legacy model_state_dict
+    p2 = tmp_path / "legacy.pth"
+    torch.save({"model_state_dict": sd, "hidden_size": HIDDEN}, p2)
+    out2 = import_torch_checkpoint(str(p2))
+    assert out2["hidden_size"] == HIDDEN
+    # full checkpoint with charset + config
+    p3 = tmp_path / "full.pth"
+    itos = ["<PAD>", "<SOS>", "<EOS>"] + list("abcdefghijk")
+    torch.save(
+        {
+            "model_state": sd,
+            "itos": itos,
+            "stoi": {s: i for i, s in enumerate(itos)},
+            "config": {"hidden_size": HIDDEN},
+        },
+        p3,
+    )
+    out3 = import_torch_checkpoint(str(p3))
+    assert out3["itos"] == itos
+    assert out3["hidden_size"] == HIDDEN
+    for out in (out1, out2, out3):
+        a = out["variables"]["params"]["attn"]["w_gen"]
+        b = out1["variables"]["params"]["attn"]["w_gen"]
+        np.testing.assert_array_equal(a, b)

@@ -1,0 +1,114 @@
+import numpy as np
+import pytest
+
+from rcnn_ocr_tpu.data.transforms import (
+    ResizeAndPad,
+    build_file_index,
+    get_train_transform,
+    get_val_transform,
+    imread_cv2,
+    normalize_unit,
+    random_brightness_contrast,
+    shift_scale_rotate,
+)
+
+
+def _img(h, w, value=128):
+    return np.full((h, w, 3), value, dtype=np.uint8)
+
+
+def test_resize_and_pad_geometry():
+    rp = ResizeAndPad(img_h=32, img_w=128)
+    # a 16x32 image scales x2 -> 32x64, pasted at left, white pad on right
+    img = _img(16, 32, 10)
+    out = rp(img)
+    assert out.shape == (32, 128, 3)
+    assert (out[:, :64] == 10).all()
+    assert (out[:, 64:] == 255).all()
+
+
+def test_resize_and_pad_vertical_center():
+    rp = ResizeAndPad(img_h=32, img_w=128)
+    # a 16x64 image scales x2 -> 32x128 exactly: no padding at all
+    out = rp(_img(16, 64, 7))
+    assert (out == 7).all()
+    # a very wide image: scale limited by width -> vertical centering
+    out = rp(_img(32, 512, 9))  # scale 0.25 -> 8x128
+    assert (out[:12] == 255).all() and (out[20:] == 255).all()
+    assert (out[12:20] == 9).all()
+
+
+def test_resize_and_pad_gray_and_rgba():
+    rp = ResizeAndPad(img_h=8, img_w=8)
+    assert rp(np.zeros((4, 4), np.uint8)).shape == (8, 8, 3)
+    assert rp(np.zeros((4, 4, 4), np.uint8)).shape == (8, 8, 3)
+
+
+def test_resize_and_pad_min_one_pixel():
+    rp = ResizeAndPad(img_h=32, img_w=32)
+    out = rp(_img(1, 2000, 3))  # extreme aspect: new_h rounds to >= 1
+    assert out.shape == (32, 32, 3)
+
+
+def test_normalize_unit_range():
+    out = normalize_unit(_img(4, 4, 255))
+    np.testing.assert_allclose(out, 1.0)
+    out = normalize_unit(_img(4, 4, 0))
+    np.testing.assert_allclose(out, -1.0)
+    # white padding maps to +1.0 exactly — the model was trained on that
+    assert normalize_unit(_img(1, 1, 255))[0, 0, 0] == 1.0
+
+
+def test_val_transform_output():
+    t = get_val_transform(32, 64)
+    out = t(_img(16, 16, 128))
+    assert out.shape == (32, 64, 3)
+    assert out.dtype == np.float32
+    assert -1.0 <= out.min() and out.max() <= 1.0
+
+
+def test_train_transform_deterministic_given_rng():
+    t = get_train_transform({"p_ShiftScaleRotate": 1.0, "p_BrightnessContrast": 1.0}, 32, 64)
+    img = np.random.default_rng(0).integers(0, 255, (20, 40, 3)).astype(np.uint8)
+    a = t(img, np.random.default_rng(5))
+    b = t(img, np.random.default_rng(5))
+    c = t(img, np.random.default_rng(6))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert a.shape == (32, 64, 3)
+
+
+def test_shift_scale_rotate_white_border():
+    img = _img(20, 40, 0)
+    out = shift_scale_rotate(img, np.random.default_rng(0), 0.3, 0.0, 0.0)
+    # large shift exposes the white constant border somewhere
+    assert (out == 255).any()
+
+
+def test_brightness_contrast_identity_at_zero():
+    img = _img(4, 4, 100)
+    out = random_brightness_contrast(img, np.random.default_rng(0), 0.0, 0.0)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_build_file_index_and_imread(tmp_path):
+    import cv2
+
+    d = tmp_path / "imgs" / "sub"
+    d.mkdir(parents=True)
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[..., 2] = 200  # red channel in RGB terms after conversion
+    cv2.imwrite(str(d / "A.png"), img)
+    (d / "notes.txt").write_text("x")
+    idx = build_file_index(str(tmp_path))
+    assert "a.png" in idx and len(idx["a.png"]) == 1
+    assert "notes.txt" not in idx
+    loaded = imread_cv2(idx["a.png"][0])
+    assert loaded.shape == (4, 4, 3)
+    # BGR file -> RGB output: the blue-file channel appears in channel 0
+    assert loaded[0, 0, 0] == 200 or loaded[0, 0, 2] == 200
+
+
+def test_imread_missing_raises(tmp_path):
+    with pytest.raises(Exception):
+        imread_cv2(str(tmp_path / "missing.png"))
