@@ -53,8 +53,10 @@ def infer_architecture(params: Dict[str, Any]) -> Dict[str, Any]:
         w_hh = params[rnn_names[0]]["w_hh"]
         arch["hidden_size"] = int(np.asarray(w_hh).shape[1])
     if "cnn" in params:
-        stem = params["cnn"]["stem0"]["conv"]["kernel"]
-        arch["width_mult"] = float(np.asarray(stem).shape[-1]) / 64.0
+        # derive the width multiplier from the widest stage (nominal 512):
+        # narrow stages hit the min-width floor and are not invertible
+        l3 = params["cnn"]["layer3_block0"]["conv1"]["conv"]["kernel"]
+        arch["width_mult"] = float(np.asarray(l3).shape[-1]) / 512.0
     if "attn" in params:
         arch["num_classes"] = int(np.asarray(params["attn"]["b_gen"]).shape[0])
     elif "ctc_proj" in params:
@@ -198,6 +200,25 @@ class OCRInference:
         return run
 
     # -- public API --------------------------------------------------------
+    def _bucketize(self, images_list: List[ImageLike]) -> List[Tuple[int, Optional[int]]]:
+        """Assign each image its width bucket (None = single fixed width).
+
+        Width bucketing (SURVEY.md §5.7): decode each image at the smallest
+        static width its aspect ratio needs, so XLA compiles once per
+        bucket and right-pad waste shrinks versus one global ``img_w``.
+        """
+        if not self.width_buckets:
+            return [(i, None) for i in range(len(images_list))]
+        from rcnn_ocr_tpu.data.loader import bucket_for_width
+
+        out = []
+        for i, img in enumerate(images_list):
+            rgb = self._to_rgb(img)
+            h, w = rgb.shape[:2]
+            scaled_w = max(1, int(round(w * (self.img_h / max(h, 1)))))
+            out.append((i, bucket_for_width(scaled_w, self.width_buckets)))
+        return out
+
     def predict(
         self,
         images: Union[ImageLike, List[ImageLike]],
@@ -215,34 +236,42 @@ class OCRInference:
         steps = max_length + 1
         run = self._greedy_fn(steps)
 
-        results: List[Any] = []
-        for i in range(0, len(images_list), batch_size):
-            chunk = images_list[i : i + batch_size]
-            arrays = [self._preprocess(img) for img in chunk]
-            n_real = len(arrays)
-            if n_real < batch_size:
-                arrays += [arrays[-1]] * (batch_size - n_real)  # static shape
-            batch = jnp.asarray(np.stack(arrays))
-            pred, maxp = run(self.variables, batch)
-            pred = np.asarray(pred)[:n_real]
-            maxp = np.asarray(maxp)[:n_real]
+        results: List[Any] = [None] * len(images_list)
+        # group by width bucket; each bucket keeps its own static shape
+        groups: Dict[Optional[int], List[int]] = {}
+        for idx, bucket in self._bucketize(images_list):
+            groups.setdefault(bucket, []).append(idx)
 
-            for j in range(n_real):
-                text = decode_tokens(
-                    pred[j],
-                    list(self.charset.itos),
-                    pad_id=self.charset.pad_id,
-                    eos_id=self.charset.eos_id,
-                    blank_id=self.charset.blank_id,
-                )
-                if return_confidence:
-                    mask = (pred[j] != self.charset.pad_id) & (
-                        pred[j] != self.charset.eos_id
+        for bucket, indices in groups.items():
+            for i in range(0, len(indices), batch_size):
+                chunk_idx = indices[i : i + batch_size]
+                arrays = [
+                    self._preprocess(images_list[j], width=bucket) for j in chunk_idx
+                ]
+                n_real = len(arrays)
+                if n_real < batch_size:
+                    arrays += [arrays[-1]] * (batch_size - n_real)  # static shape
+                batch = jnp.asarray(np.stack(arrays))
+                pred, maxp = run(self.variables, batch)
+                pred = np.asarray(pred)[:n_real]
+                maxp = np.asarray(maxp)[:n_real]
+
+                for j, out_idx in enumerate(chunk_idx):
+                    text = decode_tokens(
+                        pred[j],
+                        list(self.charset.itos),
+                        pad_id=self.charset.pad_id,
+                        eos_id=self.charset.eos_id,
+                        blank_id=self.charset.blank_id,
                     )
-                    conf = float(maxp[j][mask].mean()) if mask.sum() > 0 else 0.0
-                    results.append((text, conf))
-                else:
-                    results.append(text)
+                    if return_confidence:
+                        mask = (pred[j] != self.charset.pad_id) & (
+                            pred[j] != self.charset.eos_id
+                        )
+                        conf = float(maxp[j][mask].mean()) if mask.sum() > 0 else 0.0
+                        results[out_idx] = (text, conf)
+                    else:
+                        results[out_idx] = text
 
         return results[0] if is_single else results
 

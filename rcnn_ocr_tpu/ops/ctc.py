@@ -78,16 +78,15 @@ def ctc_greedy_decode_jnp(
     pred = jnp.argmax(logits, axis=-1)  # [B, T]
     prev = jnp.concatenate([jnp.full_like(pred[:, :1], -1), pred[:, :-1]], axis=1)
     keep = (pred != blank_id) & (pred != prev)  # new non-blank symbols
-    # target position of each kept element within its row
-    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
     batch, t_steps = pred.shape
-    tokens = jnp.full((batch, t_steps), blank_id, dtype=pred.dtype)
-    rows = jnp.broadcast_to(jnp.arange(batch)[:, None], pred.shape)
-    # scatter kept ids to their packed positions; dropped ids get an
-    # out-of-bounds column and are discarded by mode="drop"
-    pos_safe = jnp.where(keep, pos, t_steps)
-    tokens = tokens.at[rows, pos_safe].set(pred, mode="drop")
+    # left-pack kept elements via a stable argsort of (dropped-flag, t):
+    # kept columns sort before dropped ones, order preserved — cheaper on
+    # TPU than a scatter for these tiny [B, T] shapes
+    t_idx = jnp.broadcast_to(jnp.arange(t_steps, dtype=jnp.int32), pred.shape)
+    order = jnp.argsort(jnp.where(keep, t_idx, t_idx + t_steps), axis=1)
+    packed = jnp.take_along_axis(pred, order, axis=1)
     valid = jnp.sum(keep.astype(jnp.int32), axis=1)
+    tokens = jnp.where(t_idx < valid[:, None], packed, blank_id)
     return tokens, valid
 
 

@@ -1,0 +1,94 @@
+"""On-device image preprocessing (fused resize-pad-normalize).
+
+The BASELINE north star names a fused on-device preprocessing path for the
+`data/transforms.py` resize/normalize pipeline: instead of shipping
+normalized float32 NHWC (16 bytes/pixel-group) from the host, ship raw
+uint8 and do resize -> white-pad -> [-1, 1] normalize on the TPU, where it
+fuses into the first convolution's input pipeline.  Host->device traffic
+drops 4x and the host sheds the cv2 resize work.
+
+Semantics match :class:`rcnn_ocr_tpu.data.transforms.ResizeAndPad` with
+``align_h="left"``/``align_v="center"`` up to resampling kernel details
+(cv2 INTER_LINEAR/INTER_AREA vs `jax.image.resize` linear): the aspect
+ratio, the white (=+1.0 after normalize) padding, and the alignment are
+identical, which is what decode parity cares about.
+
+Batched version: every image in the batch must already share a physical
+canvas (e.g. images decoded at original size are first letterboxed by the
+host *without* interpolation cost into a max-size uint8 canvas, carrying
+their true (h, w); the device then warps each to the model canvas with one
+`scale_and_translate` per image via vmap).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("img_h", "img_w"))
+def resize_pad_normalize(
+    raw: jnp.ndarray,  # [B, Hc, Wc, 3] uint8 host-decoded pixels on a canvas
+    sizes: jnp.ndarray,  # [B, 2] int32 true (h, w) of each image on the canvas
+    img_h: int,
+    img_w: int,
+) -> jnp.ndarray:
+    """uint8 canvas batch -> normalized float NHWC model input.
+
+    Each row holds a raw image in its top-left corner; the kernel scales it
+    onto the model canvas preserving aspect (left-aligned, vertically
+    centered), fills the rest with white, and normalizes to [-1, 1].
+    """
+    canvas_h, canvas_w = raw.shape[1], raw.shape[2]
+
+    def one(img: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
+        h = jnp.maximum(size[0], 1).astype(jnp.float32)
+        w = jnp.maximum(size[1], 1).astype(jnp.float32)
+        scale = jnp.minimum(img_h / h, img_w / w)
+        new_h = jnp.maximum(jnp.round(h * scale), 1.0)
+        new_w = jnp.maximum(jnp.round(w * scale), 1.0)
+        # map the source rect (0,0)-(h,w) onto (y0,0)-(y0+new_h,new_w)
+        y0 = jnp.floor((img_h - new_h) / 2.0)
+        out = jax.image.scale_and_translate(
+            img.astype(jnp.float32),
+            shape=(img_h, img_w, 3),
+            spatial_dims=(0, 1),
+            scale=jnp.array([new_h / h, new_w / w], jnp.float32),
+            translation=jnp.array([y0, 0.0], jnp.float32),
+            method="linear",
+            antialias=True,
+        )
+        # mask outside the placed rect with white (255)
+        rows = jnp.arange(img_h, dtype=jnp.float32)[:, None]
+        cols = jnp.arange(img_w, dtype=jnp.float32)[None, :]
+        inside = (
+            (rows >= y0) & (rows < y0 + new_h) & (cols < new_w)
+        )[..., None]
+        out = jnp.where(inside, out, 255.0)
+        return (out / 255.0 - 0.5) / 0.5
+
+    return jax.vmap(one)(raw, sizes)
+
+
+def host_letterbox(images, canvas_h: int, canvas_w: int) -> Tuple:
+    """Paste variable-size uint8 images into a fixed uint8 canvas batch.
+
+    Pure memcpy on the host (no interpolation, no float math) — the
+    expensive work happens on device in `resize_pad_normalize`.  Images
+    larger than the canvas are cropped to it (pick a canvas >= your data).
+    Returns (canvas batch [B, canvas_h, canvas_w, 3], sizes [B, 2]).
+    """
+    import numpy as np
+
+    batch = len(images)
+    out = np.zeros((batch, canvas_h, canvas_w, 3), dtype=np.uint8)
+    sizes = np.zeros((batch, 2), dtype=np.int32)
+    for i, img in enumerate(images):
+        h = min(img.shape[0], canvas_h)
+        w = min(img.shape[1], canvas_w)
+        out[i, :h, :w] = img[:h, :w]
+        sizes[i] = (h, w)
+    return out, sizes

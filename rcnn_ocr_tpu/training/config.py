@@ -65,7 +65,7 @@ DEFAULTS: Dict[str, Any] = {
     "mesh_shape": None,  # e.g. [8] or [4, 2]; None = all devices, data-parallel
     "mesh_axes": ["data"],
     "width_buckets": None,  # e.g. [64, 128, 192, 256]; None = single img_w
-    "use_pallas": True,
+    "use_pallas": False,  # XLA fusion currently beats the pallas kernels at these shapes
     "sampling_prob": 0.0,
     "lstm_layers": 2,
     "width_mult": 1.0,

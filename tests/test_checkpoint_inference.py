@@ -1,0 +1,183 @@
+"""Checkpoint round-trip + inference API tests (CPU, tiny model)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rcnn_ocr_tpu.models import RCNN
+from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+from rcnn_ocr_tpu.training.optim import build_optimizer
+from rcnn_ocr_tpu.training.train_step import create_train_state
+from rcnn_ocr_tpu.vocab.charset import Charset
+
+TOKENS = ["<PAD>", "<SOS>", "<EOS>", " "] + list("abcdefghij")
+
+
+@pytest.fixture(scope="module")
+def tiny_state():
+    model = RCNN(
+        num_classes=len(TOKENS), hidden_size=16, width_mult=0.0625, lstm_layers=1,
+        with_ctc_head=True, dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 32, 64, 3))
+    variables = model.init(
+        {"params": rng}, x, text=jnp.zeros((1, 5), jnp.int32), batch_max_length=4,
+        method=model.init_all,
+    )
+    tx = build_optimizer("Adam", 1e-3)
+    return model, create_train_state(model, variables, tx), tx
+
+
+def test_checkpoint_roundtrip(tiny_state, tmp_path):
+    model, state, tx = tiny_state
+    cs = Charset.from_tokens(TOKENS)
+    path = str(tmp_path / "last_ckpt.msgpack")
+    ckpt_io.save_checkpoint(
+        path, state, {"lr": 0.5}, epoch=3, global_step=42, best_val_loss=1.5,
+        best_val_acc=0.25, itos=list(cs.itos), stoi=cs.stoi,
+        config={"hidden_size": 16}, log_dir="logs",
+    )
+    blob = ckpt_io.load_checkpoint_blob(path)
+    assert blob["epoch"] == 3
+    assert blob["global_step"] == 42
+    assert blob["itos"] == list(cs.itos)
+    assert blob["stoi"]["<EOS>"] == 2
+    assert blob["config"]["hidden_size"] == 16
+    assert blob["scheduler_state"]["lr"] == 0.5
+
+    restored = ckpt_io.restore_train_state(blob, state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state round-trips too
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.opt_state),
+        jax.tree_util.tree_leaves(state.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_weights_roundtrip(tiny_state, tmp_path):
+    model, state, tx = tiny_state
+    path = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(path, state)
+    variables, blob = ckpt_io.load_variables(path)
+    assert "params" in variables and "batch_stats" in variables
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["attn"]["w_gen"]),
+        np.asarray(state.params["attn"]["w_gen"]),
+    )
+
+
+def test_infer_architecture(tiny_state):
+    from rcnn_ocr_tpu.inference import infer_architecture
+
+    model, state, _ = tiny_state
+    arch = infer_architecture(state.params)
+    assert arch["hidden_size"] == 16
+    assert arch["lstm_layers"] == 1
+    assert arch["width_mult"] == pytest.approx(0.0625)
+    assert arch["num_classes"] == len(TOKENS)
+    assert arch["with_ctc_head"] is True
+
+
+@pytest.mark.slow
+def test_inference_api_end_to_end(tiny_state, tmp_path):
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    model, state, _ = tiny_state
+    cs = Charset.from_tokens(TOKENS)
+    charset_path = tmp_path / "cs.txt"
+    charset_path.write_text("\n".join(TOKENS) + "\n", encoding="utf-8")
+    ckpt_path = str(tmp_path / "best_acc_weights.msgpack")
+    ckpt_io.save_weights(ckpt_path, state)
+
+    ocr = OCRInference(
+        ckpt_path, str(charset_path), img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    img = np.full((20, 50, 3), 255, np.uint8)
+
+    # single image -> single string
+    out = ocr.predict(img, max_length=4, batch_size=2)
+    assert isinstance(out, str)
+    # list + confidence + batch padding path (3 images, batch 2)
+    outs = ocr.predict([img, img, img], max_length=4, batch_size=2, return_confidence=True)
+    assert len(outs) == 3
+    for text, conf in outs:
+        assert isinstance(text, str)
+        assert 0.0 <= conf <= 1.0
+    # identical inputs decode identically (static-batch padding is masked out)
+    assert outs[0][0] == outs[1][0] == outs[2][0]
+
+    # CTC decode paths
+    greedy = ocr.predict_ctc([img, img], method="greedy")
+    assert len(greedy) == 2 and all(isinstance(t, str) for t in greedy)
+    beam = ocr.predict_ctc(img, method="beam", beam_width=4)
+    assert isinstance(beam, str)
+
+    # PIL input path
+    from PIL import Image
+
+    pil = Image.fromarray(img)
+    assert isinstance(ocr.predict(pil, max_length=4), str)
+
+    # missing file raises cleanly
+    with pytest.raises(FileNotFoundError):
+        ocr.predict(str(tmp_path / "missing.png"))
+
+
+@pytest.mark.slow
+def test_inference_width_buckets(tiny_state, tmp_path):
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    model, state, _ = tiny_state
+    from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+
+    charset_path = tmp_path / "cs.txt"
+    charset_path.write_text("\n".join(TOKENS) + "\n", encoding="utf-8")
+    ckpt_path = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(ckpt_path, state)
+
+    ocr = OCRInference(
+        ckpt_path, str(charset_path), img_h=32, img_w=128,
+        width_buckets=[64, 128], dtype=__import__("jax.numpy", fromlist=["x"]).float32,
+        verbose=False,
+    )
+    narrow = np.full((32, 40, 3), 255, np.uint8)  # -> bucket 64
+    wide = np.full((32, 120, 3), 255, np.uint8)  # -> bucket 128
+    outs = ocr.predict([narrow, wide, narrow], max_length=4, batch_size=2)
+    assert len(outs) == 3
+    assert all(isinstance(t, str) for t in outs)
+    # same image in the same bucket decodes identically regardless of order
+    assert outs[0] == outs[2]
+
+
+def test_hpo_builtin_driver(tmp_path):
+    from rcnn_ocr_tpu.hpo.driver import run_hpo
+
+    calls = []
+
+    def fake_objective(base, params, trial_dir):
+        calls.append(params)
+        return -((params["lr"] - 1e-3) ** 2)
+
+    out = run_hpo(
+        {"epochs": 1},
+        n_trials=5,
+        study_name="t",
+        storage_dir=str(tmp_path),
+        objective=fake_objective,
+        space={"lr": ("log", 1e-4, 1e-2), "hidden_size": ("cat", (16, 32))},
+        seed=0,
+    )
+    assert len(out["trials"]) == 5
+    assert out["best_params"] is not None
+    assert os.path.exists(tmp_path / "t_results.json")
+    assert all(p["hidden_size"] in (16, 32) for p in calls)

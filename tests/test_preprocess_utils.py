@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+
+from rcnn_ocr_tpu.data.transforms import ResizeAndPad, normalize_unit
+from rcnn_ocr_tpu.ops.preprocess import host_letterbox, resize_pad_normalize
+
+
+def test_host_letterbox():
+    imgs = [np.full((10, 20, 3), 5, np.uint8), np.full((30, 10, 3), 7, np.uint8)]
+    canvas, sizes = host_letterbox(imgs, 32, 64)
+    assert canvas.shape == (2, 32, 64, 3)
+    assert sizes.tolist() == [[10, 20], [30, 10]]
+    assert (canvas[0, :10, :20] == 5).all()
+    assert (canvas[0, 10:, :] == 0).all()
+
+
+def test_resize_pad_normalize_matches_host_geometry():
+    """Device preprocess must agree with the host ResizeAndPad on geometry:
+    white padding where the host pads, content where the host has content."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(16, 32, 3)).astype(np.uint8)
+    canvas, sizes = host_letterbox([img], 64, 128)
+    out = np.asarray(resize_pad_normalize(jnp.asarray(canvas), jnp.asarray(sizes), 32, 128))
+    assert out.shape == (1, 32, 128, 3)
+
+    host = normalize_unit(ResizeAndPad(32, 128)(img))
+    # both scale 16x32 -> 32x64: left half content, right half white (+1.0)
+    np.testing.assert_allclose(out[0, :, 64:], 1.0, atol=1e-6)
+    np.testing.assert_allclose(host[:, 64:], 1.0, atol=1e-6)
+    # content regions correlate strongly (different resamplers, same image)
+    a = out[0, :, :64].ravel()
+    b = host[:, :64].ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.98
+    # value range
+    assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
+
+
+def test_resize_pad_normalize_vertical_centering():
+    import jax.numpy as jnp
+
+    img = np.zeros((8, 128, 3), np.uint8)  # wide: scale by width -> 8 rows tall at w=128
+    canvas, sizes = host_letterbox([img], 32, 128)
+    out = np.asarray(resize_pad_normalize(jnp.asarray(canvas), jnp.asarray(sizes), 32, 128))
+    # content (black = -1) vertically centered rows 12..20
+    assert (out[0, :12] > 0.99).all()
+    assert (out[0, 20:] > 0.99).all()
+    assert (out[0, 12:20] < -0.9).all()
+
+
+def test_step_timer():
+    import time
+
+    from rcnn_ocr_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(window=4)
+    for _ in range(6):
+        t.start()
+        time.sleep(0.002)
+        t.stop(n_images=8)
+    s = t.summary()
+    assert s["steps"] == 4  # window
+    assert s["mean_ms"] >= 2.0
+    assert s["images_per_sec"] > 0
+
+
+def test_load_model_util(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.models import RCNN
+    from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+    from rcnn_ocr_tpu.training.optim import build_optimizer
+    from rcnn_ocr_tpu.training.train_step import create_train_state
+    from rcnn_ocr_tpu.utils import load_model
+    from rcnn_ocr_tpu.vocab.charset import Charset
+
+    tokens = ["<PAD>", "<SOS>", "<EOS>"] + list("abc")
+    cs = Charset.from_tokens(tokens)
+    model = RCNN(num_classes=len(tokens), hidden_size=8, width_mult=0.0625,
+                 lstm_layers=1, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    v = model.init({"params": rng}, jnp.zeros((1, 32, 32, 3)),
+                   text=jnp.zeros((1, 3), jnp.int32), batch_max_length=2,
+                   method=model.init_all)
+    state = create_train_state(model, v, build_optimizer("Adam", 1e-3))
+    path = str(tmp_path / "full_ckpt.msgpack")
+    ckpt_io.save_checkpoint(path, state, None, 1, 1, 0.0, 0.0, list(cs.itos),
+                            cs.stoi, {"hidden_size": 8}, "logs")
+
+    # charset comes from the embedded itos; arch derived from params
+    loaded_model, variables, charset = load_model(path)
+    assert loaded_model.hidden_size == 8
+    assert loaded_model.lstm_layers == 1
+    assert charset.num_classes == len(tokens)
