@@ -74,8 +74,8 @@ class OCRInference:
         model_path: str,
         charset_path: Optional[str] = None,
         device: str = "auto",  # accepted for API parity; JAX picks the backend
-        img_h: int = 64,
-        img_w: int = 256,
+        img_h: Optional[int] = None,  # None: checkpoint's training size, else 64
+        img_w: Optional[int] = None,  # None: checkpoint's training size, else 256
         hidden_size: Optional[int] = None,
         dtype: Any = jnp.bfloat16,
         width_buckets: Optional[Sequence[int]] = None,
@@ -83,12 +83,17 @@ class OCRInference:
         verbose: bool = True,
     ):
         self.model_path = model_path
-        self.img_h = img_h
-        self.img_w = img_w
         self.width_buckets = sorted(width_buckets) if width_buckets else None
         self._dtype = dtype
 
         variables, meta = self._load_variables(model_path)
+        # default to the size the checkpoint was trained at (a full ckpt
+        # records it) — the reference silently used 64x256 and misread
+        # models trained at other sizes
+        ckpt_cfg = meta.get("config") or {}
+        self.img_h = int(img_h if img_h is not None else ckpt_cfg.get("img_h", 64))
+        self.img_w = int(img_w if img_w is not None else ckpt_cfg.get("img_w", 256))
+        img_h, img_w = self.img_h, self.img_w
 
         if charset_path is not None:
             self.charset = Charset.from_file(charset_path)
@@ -148,6 +153,7 @@ class OCRInference:
         meta = {
             "itos": blob.get("itos"),
             "hidden_size": (blob.get("config") or {}).get("hidden_size"),
+            "config": blob.get("config"),
         }
         return variables, meta
 

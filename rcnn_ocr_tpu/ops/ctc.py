@@ -34,12 +34,21 @@ def ctc_loss(
     labels: jnp.ndarray,  # [B, L]
     label_paddings: jnp.ndarray,  # [B, L] 1.0 where padded
     blank_id: int = 0,
+    valid: Optional[jnp.ndarray] = None,  # [B] bool; False rows excluded
 ) -> jnp.ndarray:
-    """Mean per-sequence CTC negative log-likelihood."""
+    """Mean per-sequence CTC negative log-likelihood.
+
+    ``valid`` masks statically padded batch rows *out of the mean* — a row
+    with zero valid frames but a non-empty label is an impossible alignment
+    and optax would charge it ~1e5, poisoning the loss.
+    """
     per_seq = optax.ctc_loss(
         logits, logit_paddings, labels, label_paddings, blank_id=blank_id
     )
-    return jnp.mean(per_seq)
+    if valid is None:
+        return jnp.mean(per_seq)
+    v = valid.astype(per_seq.dtype)
+    return jnp.sum(per_seq * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
 def ctc_greedy_collapse_np(

@@ -20,6 +20,8 @@ and safe to write from a pjit-sharded state (arrays are gathered with
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -77,6 +79,80 @@ def save_weights(path: str, state) -> None:
     with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(blob))
     os.replace(tmp, path)
+
+
+class AsyncCheckpointer:
+    """Background checkpoint writer.
+
+    The device->host gather happens synchronously (the training step donates
+    its buffers, so the state must be captured before the next step), but
+    msgpack serialization and the file write — the slow host-side part for a
+    ~190MB model — run on a worker thread so the TPU never idles on disk.
+    A bounded queue of 1 gives natural backpressure; `wait()` drains before
+    exit.  This is the preemption-tolerance story (SURVEY.md §5.3/§5.4):
+    frequent cheap checkpoints + atomic slot replacement.
+    """
+
+    def __init__(self):
+        self._q: "queue.Queue" = queue.Queue(maxsize=1)
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        self._errors: list = []
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                path, blob = item
+                data = serialization.msgpack_serialize(blob)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, path)
+            except Exception as e:  # surfaced on wait()
+                self._errors.append((item[0] if item else "?", e))
+            finally:
+                self._q.task_done()
+
+    def save_checkpoint(self, path: str, state, scheduler_state, epoch, global_step,
+                        best_val_loss, best_val_acc, itos, stoi, config, log_dir):
+        blob = {
+            "epoch": int(epoch),
+            "global_step": int(global_step),
+            "params": serialization.to_state_dict(_to_host(state.params)),
+            "batch_stats": serialization.to_state_dict(_to_host(state.batch_stats)),
+            "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
+            "scheduler_state": scheduler_state or {},
+            "best_val_loss": float(best_val_loss),
+            "best_val_acc": float(best_val_acc),
+            "itos": list(itos),
+            "stoi": {str(k): int(v) for k, v in stoi.items()},
+            "config": config,
+            "log_dir": log_dir,
+        }
+        self._q.put((path, blob))
+
+    def save_weights(self, path: str, state):
+        blob = {
+            "params": serialization.to_state_dict(_to_host(state.params)),
+            "batch_stats": serialization.to_state_dict(_to_host(state.batch_stats)),
+        }
+        self._q.put((path, blob))
+
+    def wait(self):
+        """Block until all queued writes hit disk; raise the first error."""
+        self._q.join()
+        if self._errors:
+            path, err = self._errors[0]
+            self._errors.clear()
+            raise RuntimeError(f"async checkpoint write failed for {path}: {err}")
+
+    def close(self):
+        self.wait()
+        self._q.put(None)
+        self._worker.join(timeout=5.0)
 
 
 def load_checkpoint_blob(path: str) -> Dict[str, Any]:

@@ -354,9 +354,12 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         }
         return jax.device_put(arrays, data_shard)
 
+    # async: device->host gather is synchronous (the train step donates its
+    # buffers) but serialization + disk writes run off the training path
+    saver = ckpt_io.AsyncCheckpointer() if cfg.get("async_checkpoint", True) else None
+
     def save_slot(slot: str, epoch: int, val_loss, val_acc):
-        ckpt_io.save_checkpoint(
-            ckpt_paths[slot],
+        args = (
             state,
             scheduler.state_dict() if scheduler is not None else None,
             epoch,
@@ -368,7 +371,12 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
             config_snapshot,
             log_dir,
         )
-        ckpt_io.save_weights(weight_paths[slot], state)
+        if saver is not None:
+            saver.save_checkpoint(ckpt_paths[slot], *args)
+            saver.save_weights(weight_paths[slot], state)
+        else:
+            ckpt_io.save_checkpoint(ckpt_paths[slot], *args)
+            ckpt_io.save_weights(weight_paths[slot], state)
 
     # --- epoch loop ---
     result = {"val_acc": best_val_acc, "val_loss": best_val_loss, "exp_dir": exp_dir}
@@ -528,6 +536,8 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
                 new_lr = scheduler.step()
                 state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
 
+    if saver is not None:
+        saver.close()  # drain pending checkpoint writes
     writer.close()
     logger.info("Training finished.")
     result.update(

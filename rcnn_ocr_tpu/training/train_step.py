@@ -100,10 +100,9 @@ def make_train_step(
                 method=model.ctc_logits,
             )
             lp = jnp.zeros(logits.shape[:2], jnp.float32)
-            if "valid" in batch:
-                lp = jnp.where(batch["valid"][:, None], lp, 1.0)
             losses["ctc_loss"] = ctc_loss_fn(
-                logits, lp, batch["ctc_labels"], batch["ctc_paddings"], ctc_blank_id
+                logits, lp, batch["ctc_labels"], batch["ctc_paddings"], ctc_blank_id,
+                valid=batch.get("valid"),
             )
             total = losses["ctc_loss"]
         elif head == "both":
@@ -121,10 +120,9 @@ def make_train_step(
                 attn_logits, batch["target_y"], pad_id, batch.get("valid")
             )
             lp = jnp.zeros(ctc_logits.shape[:2], jnp.float32)
-            if "valid" in batch:
-                lp = jnp.where(batch["valid"][:, None], lp, 1.0)
             losses["ctc_loss"] = ctc_loss_fn(
-                ctc_logits, lp, batch["ctc_labels"], batch["ctc_paddings"], ctc_blank_id
+                ctc_logits, lp, batch["ctc_labels"], batch["ctc_paddings"], ctc_blank_id,
+                valid=batch.get("valid"),
             )
             total = losses["attn_loss"] + ctc_loss_weight * losses["ctc_loss"]
         else:
@@ -186,10 +184,9 @@ def make_eval_step(
                 variables, batch["image"], train=False, method=model.ctc_logits
             )
             lp = jnp.zeros(ctc_logits.shape[:2], jnp.float32)
-            if "valid" in batch:
-                lp = jnp.where(batch["valid"][:, None], lp, 1.0)
             loss = ctc_loss_fn(
-                ctc_logits, lp, batch["ctc_labels"], batch["ctc_paddings"], ctc_blank_id
+                ctc_logits, lp, batch["ctc_labels"], batch["ctc_paddings"], ctc_blank_id,
+                valid=batch.get("valid"),
             ) if "ctc_labels" in batch else jnp.zeros(())
             out["ctc_val_loss"] = loss
             out["ctc_frame_ids"] = jnp.argmax(ctc_logits, axis=-1)

@@ -75,6 +75,39 @@ def test_ids_to_text():
     assert ids_to_text([[0, 3]], ["<PAD>", "<SOS>", "<EOS>", "a"], skip_ids=[0]) == ["a"]
 
 
+def test_ctc_loss_valid_mask_excludes_padded_rows(tiny_charset):
+    """A statically padded row (impossible alignment) must not poison the
+    loss: masking it with `valid` must equal computing without the row."""
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.ops.ctc import ctc_loss
+    from rcnn_ocr_tpu.vocab.charset import pack_ctc_targets
+
+    cs = tiny_charset
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(3, 8, len(cs))).astype(np.float32))
+    labels, paddings = pack_ctc_targets(["ab", "cd", "ef"], cs, max_len=4)
+    lp = jnp.zeros((3, 8))
+    blank = cs.ctc_blank_id
+
+    masked = float(
+        ctc_loss(logits, lp, jnp.asarray(labels), jnp.asarray(paddings), blank,
+                 valid=jnp.asarray([True, True, False]))
+    )
+    unmasked_2 = float(
+        ctc_loss(logits[:2], lp[:2], jnp.asarray(labels[:2]), jnp.asarray(paddings[:2]), blank)
+    )
+    assert masked == pytest.approx(unmasked_2, rel=1e-5)
+    # and the masked loss stays small even when the excluded row has zero
+    # valid frames (the optax impossible-alignment 1e5 penalty case)
+    lp_bad = lp.at[2].set(1.0)
+    masked_bad = float(
+        ctc_loss(logits, lp_bad, jnp.asarray(labels), jnp.asarray(paddings), blank,
+                 valid=jnp.asarray([True, True, False]))
+    )
+    assert masked_bad == pytest.approx(unmasked_2, rel=1e-5)
+
+
 def test_ctc_loss_decreases_on_perfect_logits(tiny_charset):
     import jax.numpy as jnp
 
