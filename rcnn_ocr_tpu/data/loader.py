@@ -128,15 +128,28 @@ class DataLoader:
         pool = ThreadPoolExecutor(self.num_workers) if self.num_workers > 0 else None
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that notices a vanished consumer (early break)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for indices in self.batch_sampler:
+                    if stop.is_set():
+                        return
                     batch = self._make_batch(indices, pool)
-                    if batch is not None:
-                        q.put(batch)
+                    if batch is not None and not put(batch):
+                        return
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -147,7 +160,8 @@ class DataLoader:
                     break
                 yield batch
         finally:
-            thread.join(timeout=1.0)
+            stop.set()
+            thread.join(timeout=2.0)
             if pool is not None:
                 pool.shutdown(wait=False)
 

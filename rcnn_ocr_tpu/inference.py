@@ -80,6 +80,7 @@ class OCRInference:
         dtype: Any = jnp.bfloat16,
         width_buckets: Optional[Sequence[int]] = None,
         with_ctc_head: Optional[bool] = None,
+        quantize: bool = False,  # int8 inference for the wide conv stages
         verbose: bool = True,
     ):
         self.model_path = model_path
@@ -120,6 +121,7 @@ class OCRInference:
             ctc_blank_id=self.charset.ctc_blank_id,
             lstm_layers=arch.get("lstm_layers", 2),
             width_mult=arch.get("width_mult", 1.0),
+            quantize=quantize,
             dtype=dtype,
         )
         self.variables = jax.device_put(

@@ -53,6 +53,7 @@ class RCNN(nn.Module):
     width_mult: float = 1.0  # CNN width multiplier (HPO / tiny-test knob)
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    quantize: bool = False  # int8 inference for the wide conv stages
 
     def setup(self):
         self.cnn = SEResNet31(
@@ -62,6 +63,7 @@ class RCNN(nn.Module):
             dropblock_block_size=self.dropblock_block_size,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            quantize=self.quantize,
             name="cnn",
         )
         self.enc_rnns = tuple(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from rcnn_ocr_tpu.models.dropblock import dropblock_2d
@@ -70,6 +71,42 @@ class SELayer(nn.Module):
         return x * y[:, None, None, :].astype(x.dtype)
 
 
+class _RawConv(nn.Module):
+    """Bias-free conv with direct kernel access (enables the int8 path).
+
+    Param layout matches ``nn.Conv`` (``<name>/kernel`` HWIO) so
+    checkpoints and the torch importer are unaffected.
+    """
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Any
+    dtype: Dtype
+    quantize: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        padding = self.padding
+        if self.quantize and not train:
+            from rcnn_ocr_tpu.ops.quant import int8_conv_nhwc
+
+            return int8_conv_nhwc(x, k, self.strides, padding).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k.astype(self.dtype),
+            window_strides=tuple(self.strides),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ConvBN(nn.Module):
     """conv -> batch-norm helper.  BN statistics/scale kept in fp32."""
 
@@ -80,19 +117,19 @@ class ConvBN(nn.Module):
     # "SAME" pads asymmetrically under stride 2 and would shift the grid
     padding: Any = ((1, 1), (1, 1))
     dtype: Dtype = jnp.float32
+    quantize: bool = False  # int8 inference path for MXU-bound layers
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = nn.Conv(
+        x = _RawConv(
             self.features,
             self.kernel,
-            strides=self.strides,
-            padding=self.padding,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
+            self.strides,
+            self.padding,
+            self.dtype,
+            quantize=self.quantize,
             name="conv",
-        )(x)
+        )(x, train)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -118,16 +155,20 @@ class SEBasicBlock(nn.Module):
     dropblock_block_size: int = 5
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         in_features = x.shape[-1]
         identity = x
         out = ConvBN(
-            self.features, strides=(self.stride, self.stride), dtype=self.dtype, name="conv1"
+            self.features, strides=(self.stride, self.stride), dtype=self.dtype,
+            quantize=self.quantize, name="conv1"
         )(x, train)
         out = nn.relu(out)
-        out = ConvBN(self.features, dtype=self.dtype, name="conv2")(out, train)
+        out = ConvBN(
+            self.features, dtype=self.dtype, quantize=self.quantize, name="conv2"
+        )(out, train)
         out = SELayer(
             self.features,
             self.reduction,
@@ -165,6 +206,7 @@ class SEResNet31(nn.Module):
     width_mult: float = 1.0  # scales every stage width (HPO / tiny-test knob)
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    quantize: bool = False  # int8 inference for the MXU-bound wide stages
 
     def _w(self, c: int) -> int:
         return max(8, int(round(c * self.width_mult)))
@@ -179,6 +221,7 @@ class SEResNet31(nn.Module):
 
         block_kwargs = dict(
             reduction=self.reduction,
+            quantize=self.quantize,
             dropblock_p=self.dropblock_p,
             dropblock_block_size=self.dropblock_block_size,
             dtype=self.dtype,
@@ -208,6 +251,7 @@ class SEResNet31(nn.Module):
                 strides=(2, 1),
                 padding=((0, 0), (1, 1)),
                 dtype=self.dtype,
+                quantize=self.quantize,
                 name="out0",
             )(x, train)
         )
@@ -218,6 +262,7 @@ class SEResNet31(nn.Module):
                 strides=(1, 1),
                 padding="VALID",
                 dtype=self.dtype,
+                quantize=self.quantize,
                 name="out1",
             )(x, train)
         )
