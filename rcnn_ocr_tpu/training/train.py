@@ -61,6 +61,19 @@ from rcnn_ocr_tpu.training.train_step import (
 from rcnn_ocr_tpu.vocab.charset import Charset, decode_tokens
 
 
+class _NullWriter:
+    """No-op SummaryWriter for non-lead hosts."""
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+
 def set_seed(seed: int = 42) -> None:
     """Seed host-side RNGs (JAX randomness is explicit via keys)."""
     random.seed(seed)
@@ -129,10 +142,15 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         f"mesh={dict(mesh.shape)}; static_batch={static_bs}"
     )
 
-    # --- observability ---
+    # --- observability (host-side IO on process 0 only — multi-host safe) ---
+    is_lead_host = jax.process_index() == 0
     log_dir = os.path.join(exp_dir, "logs")
-    writer = SummaryWriter(log_dir)
-    metrics_csv = MetricsCSV(os.path.join(exp_dir, "metrics_epoch.csv"))
+    writer = SummaryWriter(log_dir) if is_lead_host else _NullWriter()
+    metrics_csv = (
+        MetricsCSV(os.path.join(exp_dir, "metrics_epoch.csv"))
+        if is_lead_host
+        else None
+    )
 
     ckpt_paths = {
         slot: os.path.join(exp_dir, f"{slot}{ckpt_io.CKPT_SUFFIX}")
@@ -356,9 +374,15 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
 
     # async: device->host gather is synchronous (the train step donates its
     # buffers) but serialization + disk writes run off the training path
-    saver = ckpt_io.AsyncCheckpointer() if cfg.get("async_checkpoint", True) else None
+    saver = (
+        ckpt_io.AsyncCheckpointer()
+        if cfg.get("async_checkpoint", True) and is_lead_host
+        else None
+    )
 
     def save_slot(slot: str, epoch: int, val_loss, val_acc):
+        if not is_lead_host:
+            return
         args = (
             state,
             scheduler.state_dict() if scheduler is not None else None,
@@ -496,9 +520,10 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
             logger.info(f"Epoch {epoch:03d}: skipping validation (eval_every={eval_every})")
 
         current_lr = get_lr(state.opt_state)
-        metrics_csv.write_row(
-            epoch, avg_train_loss, current_lr, avg_val_loss, val_acc, val_cer, val_wer
-        )
+        if metrics_csv is not None:
+            metrics_csv.write_row(
+                epoch, avg_train_loss, current_lr, avg_val_loss, val_acc, val_cer, val_wer
+            )
 
         msg_parts = [f"Epoch {epoch:03d}/{epochs}", f"train_loss={avg_train_loss:.4f}"]
         if should_eval:
