@@ -79,6 +79,7 @@ def evaluate_model(
     decode: str = "attention",
     max_length: int = 25,
     beam_width: int = 16,
+    width_buckets=None,
 ):
     print("Evaluating model on dataset")
     print(f"  model:   {model_path}")
@@ -88,7 +89,10 @@ def evaluate_model(
     print(f"  size:    {img_h}x{img_w}   decode: {decode}")
     print("-" * 60)
 
-    ocr = OCRInference(model_path, charset_path, device="auto", img_h=img_h, img_w=img_w)
+    ocr = OCRInference(
+        model_path, charset_path, device="auto", img_h=img_h, img_w=img_w,
+        width_buckets=width_buckets,
+    )
     image_paths, true_texts = load_dataset(csv_path, root_path)
     if max_samples:
         image_paths = image_paths[:max_samples]
@@ -178,6 +182,10 @@ def main() -> int:
     )
     parser.add_argument("--max-length", type=int, default=25)
     parser.add_argument("--beam-width", type=int, default=16)
+    parser.add_argument(
+        "--width-buckets", type=str, default=None,
+        help="comma-separated static widths, e.g. 64,128,256 (less pad waste)",
+    )
     args = parser.parse_args()
 
     if not os.path.exists(args.model):
@@ -199,6 +207,11 @@ def main() -> int:
             decode=args.decode,
             max_length=args.max_length,
             beam_width=args.beam_width,
+            width_buckets=(
+                [int(w) for w in args.width_buckets.split(",")]
+                if args.width_buckets
+                else None
+            ),
         )
     except Exception as e:
         print(f"Error: {e}")

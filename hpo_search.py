@@ -1,0 +1,55 @@
+"""HPO driver CLI — the study driver the reference's README documents but
+never committed (`/root/reference/README.md:11-12`: optuna_ocr.db,
+"LSTM 2 512").
+
+    python hpo_search.py --config configs/config.json --trials 20 \
+        [--study ocr_hpo] [--storage-dir hpo] [--epochs-per-trial 5]
+
+Each trial trains with sampled hyperparameters (lr, weight decay,
+augmentation magnitudes, LSTM depth/width, optimizer/scheduler — the axes
+visible in the reference's tuned config) over the full device mesh,
+sequentially.  Uses Optuna + sqlite when installed, otherwise the built-in
+searcher; results land in <storage-dir>/<study>_results.json.
+"""
+
+import argparse
+import json
+
+from rcnn_ocr_tpu.hpo.driver import DEFAULT_SPACE, run_hpo
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="Hyperparameter search over run_training")
+    ap.add_argument("--config", required=True, help="base training config JSON")
+    ap.add_argument("--trials", type=int, default=20)
+    ap.add_argument("--study", default="ocr_hpo")
+    ap.add_argument("--storage-dir", default="hpo")
+    ap.add_argument(
+        "--epochs-per-trial", type=int, default=None,
+        help="override epochs for each trial (default: config value)",
+    )
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    with open(args.config, "r", encoding="utf-8") as f:
+        base = json.load(f)
+    base.pop("exp_dir", None)  # each trial gets its own
+    base.pop("resume_path", None)
+    if args.epochs_per_trial is not None:
+        base["epochs"] = args.epochs_per_trial
+
+    out = run_hpo(
+        base,
+        n_trials=args.trials,
+        study_name=args.study,
+        storage_dir=args.storage_dir,
+        space=DEFAULT_SPACE,
+        seed=args.seed,
+    )
+    print(f"best value: {out['best_value']}")
+    print(f"best params: {json.dumps(out['best_params'], indent=2)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
