@@ -134,6 +134,37 @@ def test_inference_api_end_to_end(tiny_state, tmp_path):
 
 
 @pytest.mark.slow
+def test_predict_serving_matches_predict(tiny_state, tmp_path):
+    """The uint8 device-preprocess serving path decodes like predict()."""
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.inference import OCRInference
+    from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+
+    model, state, _ = tiny_state
+    charset_path = tmp_path / "cs.txt"
+    charset_path.write_text("\n".join(TOKENS) + "\n", encoding="utf-8")
+    ckpt_path = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(ckpt_path, state)
+
+    ocr = OCRInference(
+        ckpt_path, str(charset_path), img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    rng = np.random.default_rng(0)
+    imgs = [
+        rng.integers(0, 255, size=(24, 48, 3)).astype(np.uint8),
+        rng.integers(0, 255, size=(32, 64, 3)).astype(np.uint8),
+    ]
+    a = ocr.predict(imgs, max_length=4, batch_size=2)
+    b = ocr.predict_serving(imgs, max_length=4, batch_size=2, canvas=(32, 64))
+    assert len(b) == 2 and all(isinstance(t, str) for t in b)
+    # different resamplers (cv2 vs jax.image) can flip argmaxes on a random
+    # model; shapes/API contract are what's asserted here, plus determinism
+    assert b == ocr.predict_serving(imgs, max_length=4, batch_size=2, canvas=(32, 64))
+
+
+@pytest.mark.slow
 def test_inference_width_buckets(tiny_state, tmp_path):
     from rcnn_ocr_tpu.inference import OCRInference
 
