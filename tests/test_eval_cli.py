@@ -1,0 +1,73 @@
+"""Unit tests for the evaluation CLI's dataset loader and the visualizer
+helper (the thin, non-jitted parts of the L5 entry scripts)."""
+
+import csv
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from evaluate_dataset import load_dataset  # noqa: E402
+from visualize_dataset import ids_to_tokens_str  # noqa: E402
+
+
+def _make(tmp_path, rows, header=("filename", "text")):
+    import cv2
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    csv_path = tmp_path / "labels.csv"
+    with open(csv_path, "w", newline="", encoding="utf-8") as f:
+        wr = csv.writer(f)
+        wr.writerow(header)
+        for fname, text, write_img in rows:
+            wr.writerow([fname, text])
+            if write_img:
+                img_name = fname if os.path.splitext(fname)[1] else fname + ".png"
+                cv2.imwrite(str(root / img_name), np.zeros((8, 8, 3), np.uint8))
+    return str(csv_path), str(root)
+
+
+def test_load_dataset_basic(tmp_path):
+    csv_path, root = _make(tmp_path, [("a.png", "hello", True), ("b.png", "world", True)])
+    paths, texts = load_dataset(csv_path, root)
+    assert len(paths) == 2
+    assert texts == ["hello", "world"]
+
+
+def test_load_dataset_extension_guessing(tmp_path):
+    # CSV references 'a' without extension; the file on disk is a.png
+    csv_path, root = _make(tmp_path, [("a", "text", True)])
+    paths, texts = load_dataset(csv_path, root)
+    assert len(paths) == 1
+    assert paths[0].endswith("a.png")
+
+
+def test_load_dataset_missing_images_skipped(tmp_path):
+    csv_path, root = _make(
+        tmp_path, [("a.png", "x", True), ("gone.png", "y", False)]
+    )
+    paths, texts = load_dataset(csv_path, root)
+    assert len(paths) == 1 and texts == ["x"]
+
+
+def test_load_dataset_requires_columns(tmp_path):
+    csv_path, root = _make(tmp_path, [("a.png", "x", True)], header=("file", "label"))
+    with pytest.raises(ValueError, match="filename"):
+        load_dataset(csv_path, root)
+
+
+def test_load_dataset_missing_files_raise(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_dataset(str(tmp_path / "no.csv"), str(tmp_path))
+
+
+def test_ids_to_tokens_str():
+    itos = ["<PAD>", "<SOS>", "a"]
+    assert ids_to_tokens_str([1, 2, 0], itos) == "<SOS> a <PAD>"
+    assert ids_to_tokens_str([7], itos) == "<UNK:7>"
