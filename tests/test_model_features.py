@@ -44,6 +44,32 @@ def test_sampling_prob_zero_equals_teacher_forced():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_scheduled_sampling_grad_flows():
+    """Gradients must flow through the sampling-mode scan (argmax feedback
+    is non-differentiable but the logits path is)."""
+    import numpy as np
+
+    model = _tiny(sampling_prob=0.5, enc_dropout_p=0.0)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((2, 32, 32, 3)) * 0.2
+    text = jnp.ones((2, 5), jnp.int32)
+    v = model.init({"params": rng, "dropout": rng}, x, text=text, batch_max_length=4,
+                   method=model.init_all)
+    params = v["params"]
+    rest = {k: val for k, val in v.items() if k != "params"}
+
+    def loss(p):
+        logits, _ = model.apply(
+            {"params": p, **rest}, x, text=text, train=True, batch_max_length=4,
+            rngs={"dropout": jax.random.PRNGKey(3)}, mutable=["batch_stats"],
+        )
+        return jnp.mean(logits**2)
+
+    g = jax.grad(loss)(params)
+    assert np.abs(np.asarray(g["attn"]["w_gen"])).sum() > 0
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree_util.tree_leaves(g))
+
+
 def test_dropblock_off_is_identity():
     x = jnp.ones((2, 8, 8, 4))
     out = dropblock_2d(jax.random.PRNGKey(0), x, p=0.0, block_size=3, train=True)
