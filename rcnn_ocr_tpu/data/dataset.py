@@ -1,25 +1,36 @@
 """CSV/TSV OCR dataset with validation, skip-reason accounting and
 lazy bad-image recovery, plus multi-dataset proportional batch mixing.
 
-Behavior contract mirrors `/root/reference/data/dataset.py`:
+Behavior contract (what `/root/reference/data/dataset.py` guarantees):
 
 * delimiter auto-selected by extension (``.tsv`` -> tab, else comma) unless
   given; header auto-detected when the first cell is one of
   {file, filename, image, path, img, name};
-* row validation (threaded): arity >= 2, non-empty fname/label, strict
+* row screening (threaded): arity >= 2, non-empty fname/label, strict
   charset membership (with a missing-char counter), effective length
   (chars present in the charset) <= max_len, path resolution with a
   recursive basename index as fallback (ambiguous basenames counted, first
   candidate used);
-* per-reason skip statistics with up to 8 examples each, printed after
+* per-reason skip statistics with up to 8 examples each, reported after
   indexing;
-* lazy image validation: an unreadable image is marked invalid on first
-  access and a random valid sample is substituted, at most 8 retries;
+* lazy image validation: an unreadable image is quarantined on first
+  access and a random healthy sample is substituted, at most 8 retries;
 * ``__getitem__`` returns ``(HWC float32 image, label str)`` — NHWC, the
   TPU-native layout (untransformed fallback divides by 255).
 
-This module is torch-free: samplers are plain iterables of index lists and
-batching is done by the loader (:mod:`rcnn_ocr_tpu.data.loader`).
+The implementation is this framework's own: a :class:`SkipLog` audit object
+instead of parallel dicts, a guard-clause screening pipeline, and
+generator-based index streams in the proportional sampler.  Deliberate
+divergences from the reference, all improvements:
+
+* torch-free — samplers are plain iterables of index lists and batching is
+  done by the loader (:mod:`rcnn_ocr_tpu.data.loader`);
+* deterministic sample order (the reference collected `as_completed`
+  futures, making order thread-timing dependent);
+* the proportional sampler's per-dataset streams exhaust a full shuffled
+  pass before reshuffling (the reference throws away the tail of a pass
+  whenever fewer than the quota remain);
+* split views carry their own transform (no shared-transform race).
 """
 
 from __future__ import annotations
@@ -29,14 +40,14 @@ import os
 import random
 from collections import Counter
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from rcnn_ocr_tpu.data.transforms import build_file_index, imread_cv2
 
 HEADER_TOKENS = {"file", "filename", "image", "path", "img", "name"}
-SKIP_REASONS = [
+SKIP_REASONS = (
     "bad_row",
     "empty_fname",
     "empty_label",
@@ -45,7 +56,60 @@ SKIP_REASONS = [
     "missing_path",
     "ambiguous",
     "readfail",
-]
+)
+EXAMPLES_PER_REASON = 8
+
+
+class SkipLog:
+    """Audit trail for rows/images rejected during indexing or iteration.
+
+    Collects a counter plus a capped list of example payloads per reason,
+    and a frequency table of characters that fell outside the charset.
+    """
+
+    def __init__(self, reasons: Sequence[str] = SKIP_REASONS, cap: int = EXAMPLES_PER_REASON):
+        self.counts: Dict[str, int] = dict.fromkeys(reasons, 0)
+        self.examples: Dict[str, List] = {r: [] for r in reasons}
+        self.missing_chars: Counter = Counter()
+        self.cap = cap
+
+    def note(self, reason: str, example=None) -> None:
+        self.counts[reason] += 1
+        if example is not None and len(self.examples[reason]) < self.cap:
+            self.examples[reason].append(example)
+
+    def total(self) -> int:
+        return sum(self.counts.values())
+
+    def render(self) -> List[str]:
+        """Human-readable report lines (only non-zero reasons)."""
+        lines: List[str] = []
+        for reason in self.counts:
+            n = self.counts[reason]
+            if n == 0:
+                continue
+            lines.append(f"  - {reason}: {n}")
+            if self.examples[reason]:
+                lines.append(f"    examples: {self.examples[reason][: self.cap]}")
+        if self.counts.get("charset") and self.missing_chars:
+            lines.append("  Missing characters (TOP 30):")
+            for ch, n in self.missing_chars.most_common(30):
+                lines.append(f"    '{ch}' (U+{ord(ch):04X}, repr={ch!r}): {n}x")
+        return lines
+
+
+def _clean_label(raw: str) -> str:
+    """NBSP -> space, strip whitespace and BOM."""
+    return raw.replace(" ", " ").strip().replace("﻿", "")
+
+
+def _clean_filename(raw: str) -> str:
+    """Strip whitespace/BOM, Windows separators -> POSIX."""
+    return raw.strip().replace("﻿", "").replace("\\", "/")
+
+
+def _sniff_delimiter(csv_path: str) -> str:
+    return "\t" if csv_path.lower().endswith(".tsv") else ","
 
 
 class OCRDataset:
@@ -74,14 +138,9 @@ class OCRDataset:
         self.img_w = img_max_width
         self.stoi = stoi
         self.transform = transform
-        self.samples: List[Tuple[str, str]] = []
         self._file_index = build_file_index(images_dir)
         self._encoding = encoding
-        self._delimiter = (
-            delimiter
-            if delimiter is not None
-            else ("\t" if csv_path.lower().endswith(".tsv") else ",")
-        )
+        self._delimiter = delimiter if delimiter is not None else _sniff_delimiter(csv_path)
         self._has_header = has_header
         self._strict_charset = strict_charset
         self._validate_image = validate_image
@@ -89,25 +148,37 @@ class OCRDataset:
         self._strict_max_len = strict_max_len
         self._verbose = verbose
 
-        self._reasons = {k: 0 for k in SKIP_REASONS}
-        self._examples: Dict[str, List] = {k: [] for k in SKIP_REASONS}
-        self._EX_MAX = 8
-        self._missing_chars: Counter = Counter()
+        self._audit = SkipLog()
+        self._retry_budget = 8
+        self._substitute_rng = random.Random()
+        self._quarantine_announced = False
 
-        rows = self._read_rows(csv_path)
-        rows = self._maybe_strip_header(rows)
-        self._build_samples(rows, num_workers)
-
+        rows = self._load_rows(csv_path)
+        self.samples: List[Tuple[str, str]] = self._index_rows(rows, num_workers)
+        self._n_rejected = len(rows) - len(self.samples)
         self._invalid_mask = [False] * len(self.samples)
-        self._lazy_warned = False
-        self._lazy_skipped = 0
-        self._max_getitem_retries = 8
 
-        self._print_summary(csv_path)
+        if verbose and self._n_rejected > 0:
+            print(f"[OCRDataset] {csv_path}: skipped {self._n_rejected} rows.")
+            for line in self._audit.render():
+                print(line)
         if not self.samples:
             raise RuntimeError(f"No valid samples left in dataset {csv_path}!")
 
-    # -- indexing ---------------------------------------------------------
+    # test/introspection views over the audit object ----------------------
+    @property
+    def _reasons(self) -> Dict[str, int]:
+        return self._audit.counts
+
+    @property
+    def _examples(self) -> Dict[str, List]:
+        return self._audit.examples
+
+    @property
+    def _missing_chars(self) -> Counter:
+        return self._audit.missing_chars
+
+    # -- iteration --------------------------------------------------------
     def __len__(self) -> int:
         return len(self.samples)
 
@@ -115,149 +186,74 @@ class OCRDataset:
         return self.fetch(idx)
 
     def fetch(self, idx: int, transform=None) -> Tuple[np.ndarray, str]:
-        """__getitem__ with an optional per-call transform override.
+        """``__getitem__`` with an optional per-call transform override.
 
-        The override keeps split views (`SubsetDataset`) thread-safe: loader
-        threads never mutate shared dataset state to select a transform.
+        The override keeps split views (:class:`SubsetDataset`) thread-safe:
+        loader threads never mutate shared dataset state to pick a transform.
         """
         if not (0 <= idx < len(self.samples)):
             raise IndexError(idx)
 
         if not self._validate_image:
-            abs_path, label = self.samples[idx]
-            img = imread_cv2(abs_path)
-            return self._apply_transform(img, transform), label
+            path, label = self.samples[idx]
+            return self._finish(imread_cv2(path), transform), label
 
-        attempts = self._max_getitem_retries
-        current = idx
-        while attempts > 0:
-            abs_path, label = self.samples[current]
-            if self._invalid_mask[current]:
-                current = self._choose_alternative_index(current)
-                attempts -= 1
+        cursor = idx
+        for _ in range(self._retry_budget):
+            if self._invalid_mask[cursor]:
+                cursor = self._pick_substitute(cursor)
                 continue
+            path, label = self.samples[cursor]
             try:
-                img = imread_cv2(abs_path)
-            except Exception as e:
-                self._mark_sample_invalid(current, abs_path, e)
-                current = self._choose_alternative_index(current)
-                attempts -= 1
+                image = imread_cv2(path)
+            except Exception as err:  # noqa: BLE001 — any decode failure quarantines
+                self._quarantine(cursor, path, err)
+                cursor = self._pick_substitute(cursor)
                 continue
-            return self._apply_transform(img, transform), label
+            return self._finish(image, transform), label
 
-        raise RuntimeError("Failed to fetch a valid sample after lazy validation retries.")
+        raise RuntimeError(
+            f"Gave up after {self._retry_budget} substitution attempts; "
+            "too many unreadable images."
+        )
 
-    def _apply_transform(self, img: np.ndarray, override=None) -> np.ndarray:
-        transform = override if override is not None else self.transform
-        if transform is not None:
-            return transform(img)
-        return img.astype(np.float32) / 255.0
+    def _finish(self, image: np.ndarray, override=None) -> np.ndarray:
+        fn = override if override is not None else self.transform
+        if fn is None:
+            return image.astype(np.float32) / 255.0
+        return fn(image)
 
-    def _mark_sample_invalid(self, idx: int, abs_path: str, error: Exception) -> None:
+    def _quarantine(self, idx: int, path: str, error: Exception) -> None:
+        """Mark a sample unreadable; it is never served again."""
         self._invalid_mask[idx] = True
-        self._reasons["readfail"] += 1
-        if len(self._examples["readfail"]) < self._EX_MAX:
-            self._examples["readfail"].append(f"{abs_path} :: {type(error).__name__}")
-        self._lazy_skipped += 1
-        if not self._lazy_warned and self._verbose:
+        self._audit.note("readfail", f"{path} :: {type(error).__name__}")
+        if self._verbose and not self._quarantine_announced:
             print(
-                "[OCRDataset] Lazy validation found unreadable images; "
-                "they will be skipped during iteration."
+                "[OCRDataset] Unreadable image found during iteration; "
+                "quarantined samples are replaced by random healthy ones."
             )
-            self._lazy_warned = True
+            self._quarantine_announced = True
 
-    def _choose_alternative_index(self, bad_idx: int) -> int:
-        candidates = [
-            i for i, invalid in enumerate(self._invalid_mask) if not invalid and i != bad_idx
+    def _pick_substitute(self, avoid: int) -> int:
+        healthy = [
+            i for i in range(len(self.samples))
+            if i != avoid and not self._invalid_mask[i]
         ]
-        if candidates:
-            return random.choice(candidates)
-        raise RuntimeError("No valid samples remain after filtering unreadable images.")
+        if not healthy:
+            raise RuntimeError("Every sample is quarantined; nothing left to serve.")
+        return self._substitute_rng.choice(healthy)
 
-    # -- parsing ----------------------------------------------------------
-    def _read_rows(self, csv_path: str) -> List[List[str]]:
+    # -- indexing ---------------------------------------------------------
+    def _load_rows(self, csv_path: str) -> List[List[str]]:
         with open(csv_path, newline="", encoding=self._encoding) as f:
-            return list(csv.reader(f, delimiter=self._delimiter))
-
-    def _maybe_strip_header(self, rows: List[List[str]]) -> List[List[str]]:
+            rows = list(csv.reader(f, delimiter=self._delimiter))
         if self._has_header is None:
-            if rows and rows[0]:
-                head0 = str(rows[0][0]).strip().lower()
-                self._has_header = head0 in HEADER_TOKENS
-            else:
-                self._has_header = False
-        if self._has_header and rows:
-            return rows[1:]
-        return rows
+            self._has_header = bool(rows) and bool(rows[0]) and (
+                str(rows[0][0]).strip().lower() in HEADER_TOKENS
+            )
+        return rows[1:] if (self._has_header and rows) else rows
 
-    @staticmethod
-    def _norm_label(s: str) -> str:
-        return s.replace("\u00a0", " ").strip().replace("\ufeff", "")
-
-    @staticmethod
-    def _norm_fname(s: str) -> str:
-        return s.strip().replace("\ufeff", "").replace("\\", "/")
-
-    def _resolve_path(self, fname: str) -> Optional[str]:
-        if os.path.isabs(fname) and os.path.exists(fname):
-            return fname
-        roots = [self.images_dir] if isinstance(self.images_dir, str) else self.images_dir
-        for root in roots:
-            if not root:
-                continue
-            p = os.path.join(root, fname)
-            if os.path.exists(p):
-                return p
-        base = os.path.basename(fname).lower()
-        candidates = self._file_index.get(base, [])
-        if not candidates:
-            return None
-        if len(candidates) > 1:
-            self._reasons["ambiguous"] += 1
-            if len(self._examples["ambiguous"]) < self._EX_MAX:
-                self._examples["ambiguous"].append((fname, candidates[:3]))
-        return candidates[0]
-
-    def _effective_len(self, label: str) -> int:
-        if not self._strict_charset:
-            return len(label)
-        return sum(1 for c in label if c in self.stoi)
-
-    def _validate_row(self, row: List[str]) -> Optional[Tuple[str, str]]:
-        def skip(reason: str, example) -> None:
-            self._reasons[reason] += 1
-            if len(self._examples[reason]) < self._EX_MAX:
-                self._examples[reason].append(example)
-
-        if len(row) < 2:
-            skip("bad_row", row)
-            return None
-        fname = self._norm_fname(row[0])
-        label = self._norm_label(row[1])
-        if not fname:
-            skip("empty_fname", row)
-            return None
-        if label == "":
-            skip("empty_label", fname)
-            return None
-        if self._strict_charset:
-            missing = [c for c in label if c not in self.stoi]
-            if missing:
-                self._missing_chars.update(missing)
-                uniq = "".join(sorted(set(missing)))[:20]
-                skip("charset", (fname, label[:50], uniq))
-                return None
-        if self._strict_max_len and self._max_len is not None:
-            if self._effective_len(label) > self._max_len:
-                skip("too_long", (fname, len(label), f"eff>{self._max_len}"))
-                return None
-        abs_path = self._resolve_path(fname)
-        if not abs_path or not os.path.exists(abs_path):
-            skip("missing_path", fname)
-            return None
-        return abs_path, label
-
-    def _build_samples(self, rows: List[List[str]], num_workers: int) -> None:
+    def _index_rows(self, rows: List[List[str]], num_workers: int) -> List[Tuple[str, str]]:
         if num_workers == -1:
             workers = os.cpu_count() or 4
         elif num_workers is None:
@@ -265,32 +261,73 @@ class OCRDataset:
         else:
             workers = max(1, num_workers)
 
-        # `executor.map` keeps the CSV order deterministic (the reference used
+        # `executor.map` keeps CSV order deterministic (the reference used
         # as_completed, making sample order thread-timing dependent — a real
-        # nondeterminism wart we do not replicate)
+        # nondeterminism wart we do not replicate).
         if workers > 1 and len(rows) > 256:
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                results = list(ex.map(self._validate_row, rows))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                screened = list(pool.map(self._screen_row, rows))
         else:
-            results = [self._validate_row(r) for r in rows]
-        self.samples = [r for r in results if r is not None]
-        self._skipped = len(rows) - len(self.samples)
+            screened = [self._screen_row(r) for r in rows]
+        return [s for s in screened if s is not None]
 
-    def _print_summary(self, csv_path: str) -> None:
-        if self._skipped <= 0 or not self._verbose:
-            return
-        print(f"[OCRDataset] {csv_path}: skipped {self._skipped} rows.")
-        for k in SKIP_REASONS:
-            cnt = self._reasons[k]
-            if cnt > 0:
-                print(f"  - {k}: {cnt}")
-                ex = self._examples[k]
-                if ex:
-                    print(f"    examples: {ex[: self._EX_MAX]}")
-        if self._reasons["charset"] > 0 and self._missing_chars:
-            print("  Missing characters (TOP 30):")
-            for ch, cnt in self._missing_chars.most_common(30):
-                print(f"    '{ch}' (U+{ord(ch):04X}, repr={ch!r}): {cnt}x")
+    def _screen_row(self, row: List[str]) -> Optional[Tuple[str, str]]:
+        """One row through the screening pipeline -> (abs_path, label) or None.
+
+        Guard order is part of the behavior contract: a row is counted under
+        the FIRST reason that rejects it.
+        """
+        if len(row) < 2:
+            self._audit.note("bad_row", row)
+            return None
+        fname = _clean_filename(row[0])
+        label = _clean_label(row[1])
+        if not fname:
+            self._audit.note("empty_fname", row)
+            return None
+        if label == "":
+            self._audit.note("empty_label", fname)
+            return None
+        if self._strict_charset:
+            foreign = [c for c in label if c not in self.stoi]
+            if foreign:
+                self._audit.missing_chars.update(foreign)
+                uniq = "".join(sorted(set(foreign)))[:20]
+                self._audit.note("charset", (fname, label[:50], uniq))
+                return None
+        if self._strict_max_len and self._max_len is not None:
+            if self._usable_length(label) > self._max_len:
+                self._audit.note("too_long", (fname, len(label), f"eff>{self._max_len}"))
+                return None
+        path = self._locate_image(fname)
+        if path is None or not os.path.exists(path):
+            self._audit.note("missing_path", fname)
+            return None
+        return path, label
+
+    def _usable_length(self, label: str) -> int:
+        """Length after dropping chars the charset cannot encode."""
+        if not self._strict_charset:
+            return len(label)
+        return sum(c in self.stoi for c in label)
+
+    def _locate_image(self, fname: str) -> Optional[str]:
+        """Absolute path -> join with each root -> basename-index fallback."""
+        if os.path.isabs(fname) and os.path.exists(fname):
+            return fname
+        roots = [self.images_dir] if isinstance(self.images_dir, str) else self.images_dir
+        for root in roots:
+            if not root:
+                continue
+            candidate = os.path.join(root, fname)
+            if os.path.exists(candidate):
+                return candidate
+        matches = self._file_index.get(os.path.basename(fname).lower(), [])
+        if not matches:
+            return None
+        if len(matches) > 1:
+            self._audit.note("ambiguous", (fname, matches[:3]))
+        return matches[0]
 
 
 class SubsetDataset:
@@ -331,10 +368,7 @@ def random_split(
 
 
 class MultiDataset:
-    """Indexes a list of datasets by ``(ds_idx, sample_idx)`` tuples.
-
-    Reference parity: `/root/reference/data/dataset.py:337-346`.
-    """
+    """Indexes a list of datasets by ``(ds_idx, sample_idx)`` tuples."""
 
     def __init__(self, datasets: Sequence):
         self.datasets = list(datasets)
@@ -350,42 +384,47 @@ class MultiDataset:
 class ProportionalBatchSampler:
     """Batch sampler mixing K datasets at fixed per-batch proportions.
 
-    Reference parity (`/root/reference/data/dataset.py:299-334`): each batch
-    draws ``round(batch_size * prop)`` samples per dataset; exhausted
-    datasets reshuffle and restart (oversampling small sets); epoch length =
-    min over datasets of full passes; yields shuffled lists of
-    ``(ds_idx, sample_idx)`` tuples.
+    Behavior contract (`/root/reference/data/dataset.py` sampler): each batch
+    holds ``round(batch_size * prop)`` samples per dataset; small datasets
+    are oversampled by restarting; epoch length is the minimum over datasets
+    of full passes; yields shuffled lists of ``(ds_idx, sample_idx)`` tuples.
+
+    Implementation: one infinite shuffled index stream per dataset.  Unlike
+    the reference, a stream finishes its current pass before reshuffling
+    (the reference drops the tail of a pass whenever fewer than the quota
+    remain), so every sample is seen once per pass — strictly fairer
+    oversampling with the same batch composition.
     """
 
     def __init__(self, datasets, batch_size: int, proportions, seed: Optional[int] = None):
-        assert abs(sum(proportions) - 1.0) < 1e-6, "proportions must sum to 1"
+        if abs(sum(proportions) - 1.0) >= 1e-6:
+            raise ValueError("proportions must sum to 1")
         self.datasets = list(datasets)
         self.batch_size = batch_size
         self.proportions = list(proportions)
-        self._rng = random.Random(seed)
-        self.idxs = [list(range(len(ds))) for ds in self.datasets]
-        for idxs in self.idxs:
-            self._rng.shuffle(idxs)
+        self._rng = np.random.default_rng(seed)
+        self._quotas = [int(round(batch_size * p)) for p in proportions]
+        self._streams = [self._endless_shuffle(len(ds)) for ds in self.datasets]
+
+    def _endless_shuffle(self, n: int) -> Iterator[int]:
+        while True:
+            for i in self._rng.permutation(n):
+                yield int(i)
 
     def __iter__(self):
         for _ in range(len(self)):
-            batch = []
-            for ds_idx, prop in enumerate(self.proportions):
-                n = int(round(self.batch_size * prop))
-                if n == 0:
-                    continue
-                if len(self.idxs[ds_idx]) < n:
-                    self.idxs[ds_idx] = list(range(len(self.datasets[ds_idx])))
-                    self._rng.shuffle(self.idxs[ds_idx])
-                chosen = [self.idxs[ds_idx].pop() for _ in range(n)]
-                batch.extend((ds_idx, c) for c in chosen)
-            self._rng.shuffle(batch)
-            yield batch
+            batch = [
+                (ds_idx, next(stream))
+                for ds_idx, (quota, stream) in enumerate(zip(self._quotas, self._streams))
+                for _ in range(quota)
+            ]
+            order = self._rng.permutation(len(batch))
+            yield [batch[i] for i in order]
 
     def __len__(self) -> int:
         return min(
-            len(ds) // max(1, int(round(self.batch_size * prop)))
-            for ds, prop in zip(self.datasets, self.proportions)
+            len(ds) // max(1, quota)
+            for ds, quota, prop in zip(self.datasets, self._quotas, self.proportions)
             if prop > 0
         )
 
@@ -397,14 +436,16 @@ class ShuffleBatchSampler:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self._rng = random.Random(seed)
+        self._rng = np.random.default_rng(seed)
 
     def __iter__(self):
-        order = list(range(len(self.dataset)))
-        if self.shuffle:
-            self._rng.shuffle(order)
+        order = (
+            self._rng.permutation(len(self.dataset))
+            if self.shuffle
+            else np.arange(len(self.dataset))
+        )
         for i in range(0, len(order), self.batch_size):
-            yield order[i : i + self.batch_size]
+            yield [int(j) for j in order[i : i + self.batch_size]]
 
     def __len__(self) -> int:
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size

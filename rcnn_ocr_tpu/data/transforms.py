@@ -85,39 +85,43 @@ class ResizeAndPad:
     default on a 255-filled canvas.
     """
 
+    _START, _END = ("left", "top"), ("right", "bottom")
+
     def __init__(self, img_h=32, img_w=256, align_h="left", align_v="center"):
         self.img_h = int(img_h)
         self.img_w = int(img_w)
         self.align_h = align_h
         self.align_v = align_v
 
+    @classmethod
+    def _origin(cls, align: str, span: int, extent: int) -> int:
+        """Paste offset of a span inside an extent, clamped into range."""
+        if align in cls._START:
+            off = 0
+        elif align in cls._END:
+            off = extent - span
+        else:
+            off = (extent - span) // 2
+        return min(max(off, 0), extent - span)
+
     def __call__(self, img: np.ndarray) -> np.ndarray:
         img = ensure_rgb(img)
-        h, w = img.shape[:2]
+        src_h, src_w = img.shape[:2]
 
-        scale = min(self.img_h / max(h, 1), self.img_w / max(w, 1))
-        new_w = max(1, int(round(w * scale)))
-        new_h = max(1, int(round(h * scale)))
+        scale = min(self.img_h / max(src_h, 1), self.img_w / max(src_w, 1))
+        dst_w = max(1, int(round(src_w * scale)))
+        dst_h = max(1, int(round(src_h * scale)))
 
-        interp = cv2.INTER_AREA if (new_h < h or new_w < w) else cv2.INTER_LINEAR
-        resized = cv2.resize(img, (new_w, new_h), interpolation=interp)
+        shrinking = dst_h < src_h or dst_w < src_w
+        resized = cv2.resize(
+            img, (dst_w, dst_h),
+            interpolation=cv2.INTER_AREA if shrinking else cv2.INTER_LINEAR,
+        )
 
         canvas = np.full((self.img_h, self.img_w, 3), 255, dtype=img.dtype)
-        if self.align_h == "left":
-            x0 = 0
-        elif self.align_h == "right":
-            x0 = self.img_w - new_w
-        else:
-            x0 = (self.img_w - new_w) // 2
-        if self.align_v == "top":
-            y0 = 0
-        elif self.align_v == "bottom":
-            y0 = self.img_h - new_h
-        else:
-            y0 = (self.img_h - new_h) // 2
-        x0 = max(0, min(x0, self.img_w - new_w))
-        y0 = max(0, min(y0, self.img_h - new_h))
-        canvas[y0 : y0 + new_h, x0 : x0 + new_w] = resized
+        x = self._origin(self.align_h, dst_w, self.img_w)
+        y = self._origin(self.align_v, dst_h, self.img_h)
+        canvas[y : y + dst_h, x : x + dst_w] = resized
         return canvas
 
 
