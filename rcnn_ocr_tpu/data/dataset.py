@@ -264,11 +264,20 @@ class OCRDataset:
         # `executor.map` keeps CSV order deterministic (the reference used
         # as_completed, making sample order thread-timing dependent — a real
         # nondeterminism wart we do not replicate).
+        def bar(it):
+            # disable=None -> tqdm auto-disables on non-tty
+            from tqdm import tqdm  # noqa: PLC0415 — keep import off the hot path
+
+            return tqdm(
+                it, total=len(rows), desc="indexing dataset", unit="row",
+                leave=False, disable=None if self._verbose else True,
+            )
+
         if workers > 1 and len(rows) > 256:
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                screened = list(pool.map(self._screen_row, rows))
+                screened = list(bar(pool.map(self._screen_row, rows)))
         else:
-            screened = [self._screen_row(r) for r in rows]
+            screened = [self._screen_row(r) for r in bar(rows)]
         return [s for s in screened if s is not None]
 
     def _screen_row(self, row: List[str]) -> Optional[Tuple[str, str]]:
@@ -304,6 +313,10 @@ class OCRDataset:
             self._audit.note("missing_path", fname)
             return None
         return path, label
+
+    def sample_path(self, idx: int) -> str:
+        """Absolute image path of a sample (for size probing / bucketing)."""
+        return self.samples[idx][0]
 
     def _usable_length(self, label: str) -> int:
         """Length after dropping chars the charset cannot encode."""
@@ -353,6 +366,15 @@ class SubsetDataset:
             return self.dataset.fetch(self.indices[idx], transform=self.transform)
         return self.dataset[self.indices[idx]]
 
+    def fetch(self, idx: int, transform=None):
+        """Per-call transform override (wins over the subset's own)."""
+        if transform is None:
+            return self[idx]
+        return self.dataset.fetch(self.indices[idx], transform=transform)
+
+    def sample_path(self, idx: int) -> str:
+        return self.dataset.sample_path(self.indices[idx])
+
 
 def random_split(
     dataset, n_train: int, n_val: int, seed: int = 42
@@ -376,6 +398,12 @@ class MultiDataset:
     def __getitem__(self, index):
         ds_idx, sample_idx = index
         return self.datasets[ds_idx][sample_idx]
+
+    def fetch(self, index, transform=None):
+        ds_idx, sample_idx = index
+        if transform is None:
+            return self.datasets[ds_idx][sample_idx]
+        return self.datasets[ds_idx].fetch(sample_idx, transform=transform)
 
     def __len__(self) -> int:
         return sum(len(ds) for ds in self.datasets)
@@ -461,8 +489,22 @@ class ConcatDataset:
     def __len__(self) -> int:
         return int(self._offsets[-1])
 
-    def __getitem__(self, idx: int):
+    def _locate(self, idx: int) -> Tuple[int, int]:
         if idx < 0:
             idx += len(self)
         ds = int(np.searchsorted(self._offsets, idx, side="right") - 1)
-        return self.datasets[ds][idx - int(self._offsets[ds])]
+        return ds, idx - int(self._offsets[ds])
+
+    def __getitem__(self, idx: int):
+        ds, local = self._locate(idx)
+        return self.datasets[ds][local]
+
+    def fetch(self, idx: int, transform=None):
+        ds, local = self._locate(idx)
+        if transform is None:
+            return self.datasets[ds][local]
+        return self.datasets[ds].fetch(local, transform=transform)
+
+    def sample_path(self, idx: int) -> str:
+        ds, local = self._locate(idx)
+        return self.datasets[ds].sample_path(local)

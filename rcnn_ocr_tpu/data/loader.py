@@ -86,6 +86,8 @@ class DataLoader:
         with_ctc: bool = False,
         prefetch: int = 2,
         drop_invalid: bool = True,
+        bucket_of: Optional[Sequence[int]] = None,
+        transform_for_width: Optional[callable] = None,
     ):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
@@ -96,12 +98,29 @@ class DataLoader:
         self.with_ctc = with_ctc
         self.prefetch = max(1, prefetch)
         self.drop_invalid = drop_invalid
+        # width bucketing: bucket_of[i] = padded width for dataset index i;
+        # transform_for_width(w) builds the per-bucket resize transform
+        # (memoized — one transform object per distinct bucket width)
+        self.bucket_of = bucket_of
+        self._transform_cache: dict = {}
+        self._transform_for_width = transform_for_width
+        if (bucket_of is None) != (transform_for_width is None):
+            raise ValueError(
+                "bucket_of and transform_for_width must be given together"
+            )
 
     def __len__(self) -> int:
         return len(self.batch_sampler)  # type: ignore[arg-type]
 
-    def _fetch(self, idx):
+    def _bucket_transform(self, width: int):
+        if width not in self._transform_cache:
+            self._transform_cache[width] = self._transform_for_width(width)
+        return self._transform_cache[width]
+
+    def _fetch(self, idx, transform=None):
         try:
+            if transform is not None:
+                return self.dataset.fetch(idx, transform=transform)
             return self.dataset[idx]
         except Exception:
             if self.drop_invalid:
@@ -109,10 +128,15 @@ class DataLoader:
             raise
 
     def _make_batch(self, indices, pool: Optional[ThreadPoolExecutor]):
+        transform = None
+        if self.bucket_of is not None:
+            # the sampler guarantees single-bucket batches
+            width = self.bucket_of[indices[0]]
+            transform = self._bucket_transform(width)
         if pool is not None:
-            items = list(pool.map(self._fetch, indices))
+            items = list(pool.map(lambda i: self._fetch(i, transform), indices))
         else:
-            items = [self._fetch(i) for i in indices]
+            items = [self._fetch(i, transform) for i in indices]
         items = [it for it in items if it is not None]
         if not items:
             return None
@@ -190,3 +214,69 @@ def assign_width_buckets(
         scaled_w = max(1, int(round(w * (img_h / max(h, 1)))))
         out.append(bucket_for_width(scaled_w, buckets))
     return out
+
+
+def probe_dataset_buckets(
+    dataset,
+    img_h: int,
+    buckets: Sequence[int],
+    num_workers: int = 8,
+) -> List[int]:
+    """Header-probe every sample's size and assign its width bucket.
+
+    Uses :func:`rcnn_ocr_tpu.data.transforms.image_size` (no pixel decode)
+    over the dataset's ``sample_path`` view, threaded — a one-time indexing
+    pass, ~microseconds per file.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from rcnn_ocr_tpu.data.transforms import image_size
+
+    paths = [dataset.sample_path(i) for i in range(len(dataset))]
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        sizes = list(pool.map(image_size, paths))
+    return assign_width_buckets(sizes, img_h, buckets)
+
+
+class BucketedBatchSampler:
+    """Shuffled batching where every batch comes from ONE width bucket.
+
+    ``bucket_of[i]`` is the bucket width of dataset index ``i``.  Each epoch
+    shuffles within buckets, chunks each bucket into batches
+    (drop-last=False), then shuffles the batch order across buckets — so
+    XLA sees at most ``len(set(bucket_of))`` input shapes per mode while
+    batch order stays stochastic.
+    """
+
+    def __init__(
+        self,
+        bucket_of: Sequence[int],
+        batch_size: int,
+        shuffle: bool = True,
+        seed: Optional[int] = None,
+    ):
+        self.bucket_of = list(bucket_of)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+        self._groups: Dict[int, np.ndarray] = {}
+        for width in sorted(set(self.bucket_of)):
+            members = [i for i, w in enumerate(self.bucket_of) if w == width]
+            self._groups[width] = np.asarray(members, dtype=np.int64)
+
+    def __iter__(self) -> Iterator[List[int]]:
+        batches: List[List[int]] = []
+        for members in self._groups.values():
+            order = self._rng.permutation(len(members)) if self.shuffle else np.arange(len(members))
+            shuffled = members[order]
+            for i in range(0, len(shuffled), self.batch_size):
+                batches.append([int(j) for j in shuffled[i : i + self.batch_size]])
+        if self.shuffle:
+            batches = [batches[i] for i in self._rng.permutation(len(batches))]
+        return iter(batches)
+
+    def __len__(self) -> int:
+        return sum(
+            (len(m) + self.batch_size - 1) // self.batch_size
+            for m in self._groups.values()
+        )

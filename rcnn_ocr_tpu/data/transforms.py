@@ -67,6 +67,44 @@ def imread_cv2(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+def image_size(path: str) -> "tuple[int, int]":
+    """(height, width) from the file header without decoding the pixels.
+
+    Width bucketing (SURVEY.md §5.7) needs every sample's aspect ratio up
+    front; parsing PNG/JPEG/BMP/GIF headers is ~1000x cheaper than a full
+    decode.  Unknown formats fall back to a real read.
+    """
+    with open(path, "rb") as f:
+        head = f.read(32)
+        if head.startswith(b"\x89PNG\r\n\x1a\n") and head[12:16] == b"IHDR":
+            w = int.from_bytes(head[16:20], "big")
+            h = int.from_bytes(head[20:24], "big")
+            return h, w
+        if head.startswith(b"BM") and len(head) >= 26:
+            w = int.from_bytes(head[18:22], "little", signed=True)
+            h = int.from_bytes(head[22:26], "little", signed=True)
+            return abs(h), abs(w)
+        if head[:6] in (b"GIF87a", b"GIF89a"):
+            w = int.from_bytes(head[6:8], "little")
+            h = int.from_bytes(head[8:10], "little")
+            return h, w
+        if head.startswith(b"\xff\xd8"):  # JPEG: walk segments to an SOF marker
+            f.seek(2)
+            while True:
+                seg = f.read(4)
+                if len(seg) < 4 or seg[0] != 0xFF:
+                    break
+                marker, size = seg[1], int.from_bytes(seg[2:4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    sof = f.read(5)
+                    h = int.from_bytes(sof[1:3], "big")
+                    w = int.from_bytes(sof[3:5], "big")
+                    return h, w
+                f.seek(size - 2, os.SEEK_CUR)
+    img = imread_cv2(path)
+    return img.shape[0], img.shape[1]
+
+
 def ensure_rgb(img: np.ndarray) -> np.ndarray:
     """Gray/RGBA -> RGB uint8."""
     if img.ndim == 2:

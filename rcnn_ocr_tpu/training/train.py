@@ -18,6 +18,7 @@ rebuilt on the TPU-native substrate:
 
 from __future__ import annotations
 
+import contextlib
 import os
 import random
 import time
@@ -26,6 +27,7 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from tqdm import tqdm
 
 from rcnn_ocr_tpu.data.dataset import (
     ConcatDataset,
@@ -35,7 +37,11 @@ from rcnn_ocr_tpu.data.dataset import (
     ShuffleBatchSampler,
     random_split,
 )
-from rcnn_ocr_tpu.data.loader import DataLoader
+from rcnn_ocr_tpu.data.loader import (
+    BucketedBatchSampler,
+    DataLoader,
+    probe_dataset_buckets,
+)
 from rcnn_ocr_tpu.data.transforms import get_train_transform, get_val_transform
 from rcnn_ocr_tpu.models import RCNN
 from rcnn_ocr_tpu.parallel.mesh import (
@@ -58,6 +64,7 @@ from rcnn_ocr_tpu.training.train_step import (
     make_eval_step,
     make_train_step,
 )
+from rcnn_ocr_tpu.utils.profiling import StepTimer, trace
 from rcnn_ocr_tpu.vocab.charset import Charset, decode_tokens
 
 
@@ -129,6 +136,10 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
     num_workers = cfg.get("num_workers", 0)
     head = cfg.get("head", "attention")
     compute_dtype = _dtype_from_name(cfg.get("compute_dtype", "bfloat16"))
+    log_every = max(1, int(cfg.get("log_every", 50)))
+    profile_steps = int(cfg.get("profile_steps", 0))
+    profile_dir = cfg.get("profile_dir") or os.path.join(exp_dir, "profile")
+    profile_warmup = 5  # skip compile + cold-cache steps before tracing
 
     # --- mesh / devices ---
     mesh_shape = cfg.get("mesh_shape")
@@ -204,9 +215,13 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
     tx = build_optimizer(optimizer_name, lr, weight_decay, momentum)
     scheduler = build_scheduler(scheduler_name, lr, epochs)
     state = create_train_state(model, variables, tx)
-    # replicate (or TP-shard) the state over the mesh
+    # replicate (or TP-shard) the state over the mesh — INCLUDING the step
+    # counter: leaving any leaf on the default device makes the first jit
+    # call's input sharding differ from its output's, silently doubling
+    # every compilation (measured: cache_size 2 per shape instead of 1)
     p_shard = param_shardings(state.params, mesh)
     state = state.replace(
+        step=jax.device_put(state.step, replicated_sharding(mesh)),
         params=jax.tree_util.tree_map(jax.device_put, state.params, p_shard),
         batch_stats=jax.device_put(state.batch_stats, replicated_sharding(mesh)),
         opt_state=jax.device_put(state.opt_state, replicated_sharding(mesh)),
@@ -226,7 +241,25 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
     )
 
     # --- transforms / datasets ---
-    train_transform = get_train_transform(cfg.to_dict(), img_h=img_h, img_w=img_w)
+    # Width bucketing (SURVEY.md §5.7): a handful of static widths instead
+    # of one global img_w.  Transforms are then chosen per batch by the
+    # loader, so datasets carry no baked-in resize width.
+    width_buckets = cfg.get("width_buckets")
+    if width_buckets:
+        width_buckets = sorted({int(b) for b in width_buckets})
+        if train_proportions is not None:
+            logger.info(
+                "width_buckets ignored: proportional multi-dataset mixing "
+                "requires fixed-width batches (buckets would break the "
+                "per-batch dataset quotas)"
+            )
+            width_buckets = None
+    cfg_dict = cfg.to_dict()
+
+    def train_transform_for(w: int):
+        return get_train_transform(cfg_dict, img_h=img_h, img_w=w)
+
+    train_transform = train_transform_for(img_w)
     val_transform = get_val_transform(img_h, img_w)
 
     def make_ds(csv_path, root, transform):
@@ -254,9 +287,13 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
             and val_csvs[i] is not None
             and val_roots[i] is not None
         )
+        # in bucketed mode the loader picks a per-bucket transform at fetch
+        # time, so datasets carry none
+        ds_train_tf = None if width_buckets else train_transform
+        ds_val_tf = None if width_buckets else val_transform
         if has_separate_val:
-            train_sets.append(make_ds(train_csv, train_root, train_transform))
-            val_sets.append(make_ds(val_csvs[i], val_roots[i], val_transform))
+            train_sets.append(make_ds(train_csv, train_root, ds_train_tf))
+            val_sets.append(make_ds(val_csvs[i], val_roots[i], ds_val_tf))
             logger.info(f"  Dataset {i}: separate validation set from {val_roots[i]}")
         else:
             full = make_ds(train_csv, train_root, None)
@@ -269,12 +306,13 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
             tr, va = random_split(full, n_train, n_val, seed=seed)
             # unlike the reference's shared-transform wart, each split gets
             # its own transform (SURVEY.md §5.2)
-            tr.transform = train_transform
-            va.transform = val_transform
+            tr.transform = ds_train_tf
+            va.transform = ds_val_tf
             train_sets.append(tr)
             val_sets.append(va)
             logger.info(f"  Dataset {i}: random split (val_size={n_val})")
 
+    loader_workers = num_workers if num_workers and num_workers > 0 else 2
     if train_proportions is not None:
         total = sum(train_proportions)
         proportions = [p / total for p in train_proportions]
@@ -287,7 +325,26 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         train_dataset = ConcatDataset(train_sets)
         train_sampler = ShuffleBatchSampler(train_dataset, batch_size, seed=seed)
 
-    loader_workers = num_workers if num_workers and num_workers > 0 else 2
+    train_bucket_of = None
+    val_bucket_ofs = [None] * len(val_sets)
+    if width_buckets:
+        # one-time header probe of every sample -> per-index bucket width;
+        # XLA then compiles one step per bucket (shape-keyed jit cache)
+        train_bucket_of = probe_dataset_buckets(
+            train_dataset, img_h, width_buckets, num_workers=loader_workers * 4
+        )
+        train_sampler = BucketedBatchSampler(
+            train_bucket_of, batch_size, shuffle=True, seed=seed
+        )
+        val_bucket_ofs = [
+            probe_dataset_buckets(vs, img_h, width_buckets, num_workers=loader_workers * 4)
+            for vs in val_sets
+        ]
+        hist = {
+            w: train_bucket_of.count(w) for w in sorted(set(train_bucket_of))
+        }
+        logger.info(f"Width buckets {width_buckets}: train histogram {hist}")
+
     train_loader = DataLoader(
         train_dataset,
         train_sampler,
@@ -296,18 +353,28 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         num_workers=loader_workers,
         static_batch_size=static_bs,
         with_ctc=with_ctc,
+        bucket_of=train_bucket_of,
+        transform_for_width=train_transform_for if width_buckets else None,
     )
     val_loaders = [
         DataLoader(
             vs,
-            ShuffleBatchSampler(vs, batch_size, shuffle=False),
+            (
+                BucketedBatchSampler(vb, batch_size, shuffle=False)
+                if vb is not None
+                else ShuffleBatchSampler(vs, batch_size, shuffle=False)
+            ),
             charset,
             max_len,
             num_workers=loader_workers,
             static_batch_size=static_bs,
             with_ctc=with_ctc,
+            bucket_of=vb,
+            transform_for_width=(
+                (lambda w: get_val_transform(img_h, w)) if vb is not None else None
+            ),
         )
-        for vs in val_sets
+        for vs, vb in zip(val_sets, val_bucket_ofs)
     ]
 
     n_train_samples = sum(len(ds) for ds in train_sets)
@@ -351,6 +418,14 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
     if resume_path and os.path.isfile(resume_path) and resume_path.endswith(".msgpack"):
         blob = ckpt_io.load_checkpoint_blob(resume_path)
         state = ckpt_io.restore_train_state(blob, state)
+        # restored leaves are host arrays — re-shard onto the mesh so the
+        # first step's input shardings match its output's (no recompile)
+        state = state.replace(
+            step=jax.device_put(state.step, replicated_sharding(mesh)),
+            params=jax.tree_util.tree_map(jax.device_put, state.params, p_shard),
+            batch_stats=jax.device_put(state.batch_stats, replicated_sharding(mesh)),
+            opt_state=jax.device_put(state.opt_state, replicated_sharding(mesh)),
+        )
         if scheduler is not None and blob.get("scheduler_state"):
             scheduler.load_state_dict(blob["scheduler_state"])
             state = state.replace(opt_state=set_lr(state.opt_state, scheduler.lr))
@@ -403,28 +478,71 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
             ckpt_io.save_weights(weight_paths[slot], state)
 
     # --- epoch loop ---
+    # The hot loop never fetches device values per step: the loss is
+    # accumulated ON DEVICE and pulled to host once per epoch (plus a cheap
+    # fetch every `log_every` steps for TB/progress), so dispatch stays
+    # async and the prefetch queue actually overlaps host IO with compute.
     result = {"val_acc": best_val_acc, "val_loss": best_val_loss, "exp_dir": exp_dir}
+    show_progress = is_lead_host and bool(cfg.get("progress", True))
+    step_timer = StepTimer()
     for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
-        total_train_loss = 0.0
+        loss_accum = None  # device scalar — summed without host syncs
         n_batches = 0
         imgs_seen = 0
-        with mesh:
+        profiling_epoch = profile_steps > 0 and epoch == start_epoch
+        # leave warmup room for compiles, but fit inside short epochs
+        epoch_warmup = min(profile_warmup, max(0, len(train_loader) - profile_steps))
+        profile_scope = contextlib.ExitStack()
+        bar = tqdm(
+            total=len(train_loader), desc=f"epoch {epoch:03d}", unit="batch",
+            leave=False, disable=None if show_progress else True,
+        )
+        with mesh, profile_scope, bar:
             for batch in train_loader:
+                if profiling_epoch and n_batches == epoch_warmup:
+                    profile_scope.enter_context(trace(profile_dir))
+                step_timer.start()
                 step_rng = jax.random.fold_in(train_rng, global_step)
                 state, metrics = train_step(state, to_device(batch), step_rng)
-                loss_val = float(metrics["loss"])
-                total_train_loss += loss_val
-                writer.add_scalar("Loss/train_step", loss_val, global_step)
-                writer.add_scalar("LR", get_lr(state.opt_state), global_step)
+                loss_accum = (
+                    metrics["loss"]
+                    if loss_accum is None
+                    else loss_accum + metrics["loss"]
+                )
                 global_step += 1
                 n_batches += 1
                 imgs_seen += int(batch["valid"].sum())
+                step_timer.stop(int(batch["valid"].sum()))
+                if profiling_epoch and n_batches == epoch_warmup + profile_steps:
+                    profile_scope.close()
+                    logger.info(f"XLA trace ({profile_steps} steps) -> {profile_dir}")
+                if n_batches % log_every == 0:
+                    loss_val = float(metrics["loss"])  # one sync per log window
+                    writer.add_scalar("Loss/train_step", loss_val, global_step)
+                    writer.add_scalar("LR", get_lr(state.opt_state), global_step)
+                    bar.set_postfix(loss=f"{loss_val:.4f}", refresh=False)
+                bar.update(1)
 
-        avg_train_loss = total_train_loss / max(1, n_batches)
+        # this fetch forces completion of every dispatched step, so the
+        # epoch wall time below includes all device work
+        avg_train_loss = (
+            float(loss_accum) / n_batches if loss_accum is not None else 0.0
+        )
         train_time = time.time() - t0
         writer.add_scalar("Loss/train_epoch", avg_train_loss, epoch)
         writer.add_scalar("Throughput/images_per_sec", imgs_seen / max(train_time, 1e-9), epoch)
+        timing = step_timer.summary()
+        if timing.get("steps"):
+            writer.add_scalar("Throughput/step_ms_p95", timing["p95_ms"], epoch)
+        if width_buckets and epoch == start_epoch:
+            try:  # jit cache size == number of compiled shapes
+                logger.info(
+                    f"train_step compilations: {train_step._cache_size()} "
+                    f"(width buckets: {len(width_buckets)})"
+                )
+            except Exception:  # noqa: BLE001 — introspection only
+                pass
 
         should_eval = ((epoch - start_epoch) % eval_every == 0) or (epoch == epochs)
         avg_val_loss = val_acc = val_cer = val_wer = None
@@ -442,7 +560,11 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
                     refs: List[str] = []
                     hyps: List[str] = []
                     set_batches = 0
-                    for batch in val_loader:
+                    for batch in tqdm(
+                        val_loader, total=len(val_loader), desc=f"val[{i}]",
+                        unit="batch", leave=False,
+                        disable=None if show_progress else True,
+                    ):
                         out = eval_step(state, to_device(batch))
                         set_loss += float(out["val_loss"])
                         set_batches += 1

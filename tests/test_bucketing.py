@@ -1,0 +1,155 @@
+"""Width bucketing: header size probe, bucketed sampler, loader, training.
+
+SURVEY.md §5.7 — the variable-length strategy: a handful of static padded
+widths instead of one global ``img_w``, one XLA compilation per bucket.
+"""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from rcnn_ocr_tpu.data.dataset import OCRDataset
+from rcnn_ocr_tpu.data.loader import (
+    BucketedBatchSampler,
+    DataLoader,
+    assign_width_buckets,
+    probe_dataset_buckets,
+)
+from rcnn_ocr_tpu.data.transforms import get_val_transform, image_size
+from tests.helpers import render_text_image
+
+
+def _write(path, img):
+    cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+
+def test_image_size_header_parse(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(37, 211, 3), dtype=np.uint8)
+    for ext in (".png", ".jpg", ".bmp"):
+        p = str(tmp_path / f"probe{ext}")
+        _write(p, img)
+        assert image_size(p) == (37, 211), ext
+
+
+def test_image_size_matches_decode(tmp_path):
+    # cross-check the header parse against a full decode on odd sizes
+    for h, w in [(1, 1), (480, 640), (31, 333)]:
+        p = str(tmp_path / f"x_{h}_{w}.png")
+        _write(p, np.zeros((h, w, 3), dtype=np.uint8))
+        assert image_size(p) == (h, w)
+
+
+def test_assign_width_buckets_scaling():
+    buckets = [64, 128, 256]
+    # 32x100 at img_h=32 -> width 100 -> bucket 128
+    # 64x100 at img_h=32 -> width 50  -> bucket 64
+    # 32x999 -> overflow -> largest bucket
+    out = assign_width_buckets([(32, 100), (64, 100), (32, 999)], 32, buckets)
+    assert out == [128, 64, 256]
+
+
+def test_bucketed_sampler_single_bucket_batches():
+    bucket_of = [64] * 10 + [128] * 5 + [256] * 3
+    sampler = BucketedBatchSampler(bucket_of, batch_size=4, seed=0)
+    seen = []
+    for batch in sampler:
+        widths = {bucket_of[i] for i in batch}
+        assert len(widths) == 1  # never mixes buckets
+        seen.extend(batch)
+    assert sorted(seen) == list(range(18))  # full coverage, no repeats
+    assert len(sampler) == 3 + 2 + 1
+
+
+@pytest.fixture()
+def variable_width_ds(tmp_path, tiny_charset):
+    import csv
+
+    root = str(tmp_path / "vw")
+    os.makedirs(root)
+    rng = np.random.default_rng(0)
+    rows = []
+    widths = [40, 90, 90, 200, 200, 200, 40, 90]
+    for i, w in enumerate(widths):
+        img = render_text_image("abc", h=24, w=w, rng=rng)
+        fname = f"s{i}.png"
+        _write(os.path.join(root, fname), img)
+        rows.append([fname, "abc"])
+    csv_path = os.path.join(root, "labels.csv")
+    with open(csv_path, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    ds = OCRDataset(csv_path, root, tiny_charset.stoi, verbose=False)
+    return ds, tiny_charset
+
+
+def test_bucketed_loader_shapes(variable_width_ds):
+    ds, charset = variable_width_ds
+    buckets = [64, 128, 256]
+    bucket_of = probe_dataset_buckets(ds, img_h=32, buckets=buckets)
+    # h=24 images scale by 32/24: w=40 -> 53 -> 64; 90 -> 120 -> 128; 200 -> 267 -> 256
+    assert sorted(set(bucket_of)) == [64, 128, 256]
+
+    sampler = BucketedBatchSampler(bucket_of, batch_size=2, seed=0)
+    loader = DataLoader(
+        ds, sampler, charset, max_len=6, num_workers=2, static_batch_size=2,
+        bucket_of=bucket_of, transform_for_width=lambda w: get_val_transform(32, w),
+    )
+    shapes = set()
+    n_images = 0
+    for batch in loader:
+        assert batch["image"].shape[1] == 32
+        shapes.add(batch["image"].shape[1:3])
+        n_images += int(batch["valid"].sum())
+    assert n_images == len(ds)
+    assert len(shapes) <= len(buckets)  # one static shape per bucket
+    assert (32, 64) in shapes and (32, 128) in shapes and (32, 256) in shapes
+
+
+@pytest.mark.slow
+def test_training_with_width_buckets(tmp_path, tiny_charset):
+    """run_training honors width_buckets: finishes, and the jit cache holds
+    at most one compilation per bucket."""
+    import csv
+
+    from rcnn_ocr_tpu.training.config import Config
+    from rcnn_ocr_tpu.training.train import run_training
+
+    root = str(tmp_path / "bk")
+    os.makedirs(root)
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(24):
+        w = [40, 120][i % 2]
+        label = "ab" if i % 2 else "cd"
+        img = render_text_image(label, h=24, w=w, rng=rng)
+        fname = f"t{i}.png"
+        _write(os.path.join(root, fname), img)
+        rows.append([fname, label])
+    csv_path = os.path.join(root, "labels.csv")
+    with open(csv_path, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    charset_path = str(tmp_path / "charset.txt")
+    with open(charset_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(["<PAD>", "<SOS>", "<EOS>"] + list("abcdefghij")) + "\n")
+
+    exp_dir = str(tmp_path / "exp_buckets")
+    cfg = Config({
+        "train_csvs": [csv_path], "train_roots": [root],
+        "charset_path": charset_path, "exp_dir": exp_dir,
+        "img_h": 32, "img_w": 192, "width_buckets": [64, 192],
+        "max_len": 6, "hidden_size": 32, "width_mult": 0.125,
+        "batch_size": 4, "epochs": 1, "val_size": 8, "seed": 0,
+        "compute_dtype": "float32", "use_pallas": False,
+        "num_workers": 2, "progress": False,
+    })
+    result = run_training(cfg)
+    assert np.isfinite(result["val_loss"])
+    log = open(os.path.join(exp_dir, "train.log"), encoding="utf-8").read()
+    assert "Width buckets" in log
+    import re
+
+    m = re.search(r"train_step compilations: (\d+)", log)
+    assert m is not None
+    assert int(m.group(1)) <= 2  # at most one compile per bucket

@@ -121,3 +121,18 @@ def test_training_both_heads_and_proportions(tiny_env, tmp_path):
     cfg.train_roots = [tiny_env["root"], root2]
     result = run_training(cfg)
     assert np.isfinite(result["val_loss"])
+
+
+@pytest.mark.slow
+def test_training_profile_trace_and_log_cadence(tiny_env):
+    """profile_steps captures an XLA trace dir; log_every gates step scalars."""
+    exp_dir = str(tiny_env["tmp"] / "exp_prof")
+    cfg = _base_cfg(
+        tiny_env, exp_dir, epochs=1, profile_steps=1, log_every=2, progress=False
+    )
+    result = run_training(cfg)
+    assert np.isfinite(result["val_loss"])
+    profile_dir = os.path.join(exp_dir, "profile")
+    assert os.path.isdir(profile_dir)
+    # jax.profiler writes plugins/profile/<run>/ under the trace dir
+    assert any(files for _, _, files in os.walk(profile_dir))
