@@ -22,6 +22,7 @@ nothing here ever touches DCN.
 from __future__ import annotations
 
 import re
+import warnings
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -36,14 +37,25 @@ def make_mesh(
 ) -> Mesh:
     """Build a mesh over the available devices.
 
-    ``shape=None`` uses every device on the first axis (pure DP).  A 2-axis
-    request over a device count that is not divisible falls back cleanly.
+    ``shape=None`` uses every device on the first axis (pure DP).  A shape
+    whose product does not equal the device count falls back to pure DP over
+    ALL devices (with a warning) — never raises, never silently drops chips.
     """
     devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    dp_shape = (n,) + (1,) * (len(axis_names) - 1)
     if shape is None:
-        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
-    arr = np.array(devices[: int(np.prod(shape))]).reshape(tuple(shape))
-    return Mesh(arr, tuple(axis_names))
+        shape = dp_shape
+    else:
+        shape = tuple(int(s) for s in shape)
+        if int(np.prod(shape)) != n:
+            warnings.warn(
+                f"mesh shape {shape} does not tile {n} device(s); "
+                f"falling back to pure data-parallel {dp_shape}",
+                stacklevel=2,
+            )
+            shape = dp_shape
+    return Mesh(np.array(devices).reshape(shape), tuple(axis_names))
 
 
 def data_axis(mesh: Mesh) -> str:
@@ -129,6 +141,19 @@ def param_shardings(
         return shardings[prefix]
 
     return rebuild(params)
+
+
+def tp_report(shardings: Any) -> Dict[str, str]:
+    """``{param_path: spec}`` for every param actually sharded on an axis.
+
+    Divisibility fallbacks in :func:`param_shardings` silently replicate;
+    this makes the outcome visible (used by the multichip dryrun and tests).
+    """
+    return {
+        path: str(s.spec)
+        for path, s in _iter_paths(shardings)
+        if any(axis is not None for axis in s.spec)
+    }
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:

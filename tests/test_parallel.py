@@ -116,3 +116,39 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_make_mesh_indivisible_falls_back_to_dp():
+    """A shape that doesn't tile the device count -> pure DP, no drops."""
+    import warnings as _warnings
+
+    from rcnn_ocr_tpu.parallel.mesh import tp_report
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        mesh = make_mesh((3, 2), ("data", "model"))  # 6 != 8 devices
+    assert mesh.shape == {"data": 8, "model": 1}  # all 8 kept
+    assert any("falling back" in str(w.message) for w in caught)
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        mesh2 = make_mesh((16,), ("data",))  # more than available
+    assert mesh2.shape == {"data": 8}
+    assert any("falling back" in str(w.message) for w in caught)
+
+    # fallback meshes shard nothing on the dead model axis
+    params = {"attn": {"w_gen": jnp.zeros((32, 16))}}
+    assert tp_report(param_shardings(params, mesh)) == {}
+
+
+def test_tp_report_names_sharded_params():
+    from rcnn_ocr_tpu.parallel.mesh import tp_report
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    params = {
+        "attn": {"w_gen": jnp.zeros((32, 16))},
+        "other": {"w": jnp.zeros((5, 7))},
+    }
+    report = tp_report(param_shardings(params, mesh, DEFAULT_TP_RULES))
+    assert list(report) == ["attn/w_gen"]
+    assert "model" in report["attn/w_gen"]

@@ -115,6 +115,10 @@ def main() -> int:
     ap.add_argument("--n-val", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--resume-from", default=None,
+        help="bare state_dict .pth to continue training from (reuses --out data)",
+    )
     args = ap.parse_args()
 
     import torch
@@ -136,14 +140,19 @@ def main() -> int:
         f.write("\n".join(tokens) + "\n")
     charset = Charset.from_tokens(tokens)
 
-    train_csv = make_split(
-        os.path.join(out, "train"), args.n_train, rng, args.img_h, args.img_w,
-        args.max_length - 2,
-    )
-    val_csv = make_split(
-        os.path.join(out, "val"), args.n_val, rng, args.img_h, args.img_w,
-        args.max_length - 2,
-    )
+    train_csv = os.path.join(out, "train", "labels.csv")
+    val_csv = os.path.join(out, "val", "labels.csv")
+    if args.resume_from and os.path.exists(train_csv):
+        print("reusing existing synthetic splits")
+    else:
+        train_csv = make_split(
+            os.path.join(out, "train"), args.n_train, rng, args.img_h, args.img_w,
+            args.max_length - 2,
+        )
+        val_csv = make_split(
+            os.path.join(out, "val"), args.n_val, rng, args.img_h, args.img_w,
+            args.max_length - 2,
+        )
 
     rows = list(csv.reader(open(train_csv, encoding="utf-8")))
     train_root = os.path.dirname(train_csv)
@@ -160,6 +169,9 @@ def main() -> int:
     )
 
     model = build_reference_model(charset.num_classes, args.hidden)
+    if args.resume_from:
+        model.load_state_dict(torch.load(args.resume_from, map_location="cpu"))
+        print(f"resumed weights from {args.resume_from}")
     model.train()
     opt = torch.optim.Adam(model.parameters(), lr=args.lr)
 
