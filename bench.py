@@ -14,6 +14,7 @@ stderr for context.  Baseline target: 20,000 line-images/sec/chip.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -103,6 +104,28 @@ def main():
         tokens, valid = ctc_greedy_decode_jnp(logits, 0)
         return tokens, valid
 
+    if os.environ.get("BENCH_CHECK_PALLAS") == "1" and on_tpu:
+        # TPU-side numerics check of the Pallas kernels (interpret-mode tests
+        # run on CPU only; this asserts on the real chip).  Gated: two extra
+        # remote compiles are slow, run once per round and record in PERF.md.
+        from rcnn_ocr_tpu.ops.lstm_pallas import _scan_reference, bilstm_scan
+        from rcnn_ocr_tpu.ops.se_pallas import se_scale, se_scale_reference
+
+        rng_np = np.random.default_rng(1)
+        # xs: [T, 2, B, 4H]; w_hh: [2, H, 4H]
+        xs = jnp.asarray(rng_np.normal(size=(16, 2, 64, 4 * 32)).astype(np.float32))
+        whh = jnp.asarray(rng_np.normal(size=(2, 32, 4 * 32)).astype(np.float32) * 0.1)
+        got = np.asarray(jax.jit(lambda a, b: bilstm_scan(a, b, 32))(xs, whh))
+        want = np.asarray(jax.jit(lambda a, b: _scan_reference(a, b, 32))(xs, whh))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+        xse = jnp.asarray(rng_np.normal(size=(8, 4, 16, 128)).astype(np.float32))
+        w1 = jnp.asarray(rng_np.normal(size=(128, 8)).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng_np.normal(size=(8, 128)).astype(np.float32) * 0.1)
+        got = np.asarray(jax.jit(se_scale)(xse, w1, w2))
+        want = np.asarray(jax.jit(se_scale_reference)(xse, w1, w2))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+        print("[bench] pallas TPU numerics check: OK", file=sys.stderr)
+
     dt_ctc = _time_fn(ctc_greedy, variables, images)
     ctc_ips = batch / dt_ctc
     dt_q = _time_fn(ctc_greedy_int8, variables, images)
@@ -110,7 +133,9 @@ def main():
     dt_attn = _time_fn(attn_greedy, variables, images)
     attn_ips = batch / dt_attn
 
-    best_ips = max(ctc_ips, q_ips)
+    # label the headline with the path that actually won (a regression that
+    # made bf16 beat int8 must not be misattributed)
+    best_ips, best_path = max((ctc_ips, "bf16"), (q_ips, "int8 serving path"))
     print(
         f"[bench] platform={platform} batch={batch} "
         f"ctc_greedy_int8={q_ips:,.0f} img/s  ctc_greedy_bf16={ctc_ips:,.0f} img/s  "
@@ -120,7 +145,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "line-images/sec/chip (greedy CTC decode, 32x128, bs%d, int8 serving path)" % batch,
+                "metric": "line-images/sec/chip (greedy CTC decode, 32x128, bs%d, %s)"
+                % (batch, best_path),
                 "value": round(best_ips, 1),
                 "unit": "img/s",
                 "vs_baseline": round(best_ips / BASELINE_IMGS_PER_SEC, 4),

@@ -80,18 +80,23 @@ def evaluate_model(
     max_length: int = 25,
     beam_width: int = 16,
     width_buckets=None,
+    quantize: bool = False,
+    serving: bool = False,
 ):
     print("Evaluating model on dataset")
     print(f"  model:   {model_path}")
     print(f"  charset: {charset_path}")
     print(f"  csv:     {csv_path}")
     print(f"  images:  {root_path}")
-    print(f"  size:    {img_h}x{img_w}   decode: {decode}")
+    print(
+        f"  size:    {img_h}x{img_w}   decode: {decode}"
+        f"{'   int8' if quantize else ''}{'   serving' if serving else ''}"
+    )
     print("-" * 60)
 
     ocr = OCRInference(
         model_path, charset_path, device="auto", img_h=img_h, img_w=img_w,
-        width_buckets=width_buckets,
+        width_buckets=width_buckets, quantize=quantize,
     )
     image_paths, true_texts = load_dataset(csv_path, root_path)
     if max_samples:
@@ -107,7 +112,12 @@ def evaluate_model(
     predicted: List[str] = []
     for i in tqdm(range(0, len(image_paths), batch_size), desc="Predict"):
         chunk = image_paths[i : i + batch_size]
-        if decode == "attention":
+        if serving:
+            out = ocr.predict_serving(
+                chunk, max_length=max_length, batch_size=batch_size
+            )
+            predicted.extend(out if isinstance(out, list) else [out])
+        elif decode == "attention":
             predicted.extend(ocr.predict(chunk, max_length=max_length, batch_size=batch_size))
         elif decode == "ctc_greedy":
             predicted.extend(ocr.predict_ctc(chunk, batch_size=batch_size, method="greedy"))
@@ -186,6 +196,15 @@ def main() -> int:
         "--width-buckets", type=str, default=None,
         help="comma-separated static widths, e.g. 64,128,256 (less pad waste)",
     )
+    parser.add_argument(
+        "--quantize", action="store_true",
+        help="int8 inference for the wide conv stages (the bench headline path)",
+    )
+    parser.add_argument(
+        "--serving", action="store_true",
+        help="on-device preprocessing + double-buffered host letterbox "
+        "(attention decode; fastest end-to-end path)",
+    )
     args = parser.parse_args()
 
     if not os.path.exists(args.model):
@@ -212,6 +231,8 @@ def main() -> int:
                 if args.width_buckets
                 else None
             ),
+            quantize=args.quantize,
+            serving=args.serving,
         )
     except Exception as e:
         print(f"Error: {e}")

@@ -2,7 +2,8 @@
 `minimal_inference.py`: load a checkpoint + charset, predict one image.
 
 Works with this framework's msgpack checkpoints *and* the reference's
-.pth checkpoints (imported on the fly).
+.pth checkpoints (imported on the fly).  ``--quantize`` runs the int8
+serving path (the benchmark headline configuration).
 """
 
 import sys
@@ -11,11 +12,13 @@ from rcnn_ocr_tpu.inference import OCRInference
 
 
 def main():
-    model_path = sys.argv[1] if len(sys.argv) > 1 else "exp1/best_acc_weights.msgpack"
-    charset_path = sys.argv[2] if len(sys.argv) > 2 else "configs/charset.txt"
-    image_path = sys.argv[3] if len(sys.argv) > 3 else "test.png"
+    argv = [a for a in sys.argv[1:] if a != "--quantize"]
+    quantize = "--quantize" in sys.argv[1:]
+    model_path = argv[0] if len(argv) > 0 else "exp1/best_acc_weights.msgpack"
+    charset_path = argv[1] if len(argv) > 1 else "configs/charset.txt"
+    image_path = argv[2] if len(argv) > 2 else "test.png"
 
-    ocr = OCRInference(model_path, charset_path, device="auto")
+    ocr = OCRInference(model_path, charset_path, device="auto", quantize=quantize)
     text = ocr.predict(image_path)
     print(f"Result: '{text}'")
 
