@@ -41,7 +41,9 @@ def collate_batch(
     """
     imgs, labels = zip(*items)
     n_real = len(imgs)
-    images = np.stack(imgs).astype(np.float32)
+    images = np.stack(imgs)
+    if images.dtype != np.uint8:  # uint8 passes through for on-device augment
+        images = images.astype(np.float32)
     valid = np.ones((n_real,), dtype=np.bool_)
     labels = list(labels)
 

@@ -66,6 +66,7 @@ DEFAULTS: Dict[str, Any] = {
     "mesh_axes": ["data"],
     "width_buckets": None,  # e.g. [64, 128, 192, 256]; None = single img_w
     "use_pallas": False,  # XLA fusion currently beats the pallas kernels at these shapes
+    "device_augment": False,  # run train augmentation on-device (ops/augment.py)
     "log_every": 50,  # per-step TB scalars every N steps (device fetch cadence)
     "progress": True,  # tqdm bars on the lead host (auto-off when not a tty)
     "profile_steps": 0,  # >0: capture an XLA trace of N steps in the first epoch

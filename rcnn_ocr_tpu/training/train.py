@@ -235,6 +235,18 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         head=head,
         ctc_blank_id=charset.ctc_blank_id,
         ctc_loss_weight=cfg.get("ctc_loss_weight", 1.0),
+        augment=(
+            {
+                k: cfg.get(k)
+                for k in (
+                    "p_ShiftScaleRotate", "shift_limit", "scale_limit",
+                    "rotate_limit", "p_BrightnessContrast",
+                    "brightness_limit", "contrast_limit", "invert_p",
+                )
+            }
+            if cfg.get("device_augment", False)
+            else None
+        ),
     )
     eval_step = make_eval_step(
         model, max_len, charset.pad_id, head=head, ctc_blank_id=charset.ctc_blank_id
@@ -255,12 +267,21 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
             )
             width_buckets = None
     cfg_dict = cfg.to_dict()
+    device_augment = bool(cfg.get("device_augment", False))
 
     def train_transform_for(w: int):
+        if device_augment:
+            # host only resize-pads to uint8; affine/brightness/invert/
+            # normalize run fused on-device inside the train step
+            from rcnn_ocr_tpu.data.transforms import ResizeAndPad
+
+            return ResizeAndPad(img_h=img_h, img_w=w)
         return get_train_transform(cfg_dict, img_h=img_h, img_w=w)
 
     train_transform = train_transform_for(img_w)
     val_transform = get_val_transform(img_h, img_w)
+    if device_augment:
+        logger.info("Augmentation: on-device (batched affine/B-C/invert under jit)")
 
     def make_ds(csv_path, root, transform):
         return OCRDataset(

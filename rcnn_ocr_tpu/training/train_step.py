@@ -66,14 +66,26 @@ def make_train_step(
     ctc_blank_id: int = 0,
     ctc_loss_weight: float = 1.0,
     donate: bool = True,
+    augment: Optional[Dict] = None,
 ) -> Callable:
     """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
 
     ``head``: "attention" | "ctc" | "both" — which loss(es) to optimize.
+    ``augment``: when given, ``batch["image"]`` arrives as resize-padded
+    uint8 and the full augmentation pipeline (affine, brightness/contrast,
+    invert, normalize) runs ON DEVICE inside the step
+    (:mod:`rcnn_ocr_tpu.ops.augment`) — fused by XLA, and host->device
+    image traffic drops 4x (uint8 vs float32).
     """
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
+        if augment is not None:
+            from rcnn_ocr_tpu.ops.augment import device_train_augment
+
+            rng, aug_rng = jax.random.split(rng)
+            batch = dict(batch)
+            batch["image"] = device_train_augment(batch["image"], aug_rng, augment)
         rngs = {"dropout": rng}
         losses = {}
         if head == "attention":

@@ -136,3 +136,18 @@ def test_training_profile_trace_and_log_cadence(tiny_env):
     assert os.path.isdir(profile_dir)
     # jax.profiler writes plugins/profile/<run>/ under the trace dir
     assert any(files for _, _, files in os.walk(profile_dir))
+
+
+@pytest.mark.slow
+def test_training_device_augment(tiny_env):
+    """device_augment=True: uint8 host batches, augmentation inside the
+    jitted step; loss stays finite and decreases."""
+    exp_dir = str(tiny_env["tmp"] / "exp_devaug")
+    cfg = _base_cfg(tiny_env, exp_dir, epochs=2, device_augment=True, progress=False)
+    result = run_training(cfg)
+    assert np.isfinite(result["val_loss"])
+    import csv as csv_mod
+
+    rows = open(os.path.join(exp_dir, "metrics_epoch.csv"), encoding="utf-8").read().strip().splitlines()
+    parsed = list(csv_mod.DictReader(rows))
+    assert float(parsed[-1]["train_loss"]) < float(parsed[0]["train_loss"])
