@@ -160,3 +160,114 @@ def test_import_checkpoint_layouts(models, tmp_path):
         a = out["variables"]["params"]["attn"]["w_gen"]
         b = out1["variables"]["params"]["attn"]["w_gen"]
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_trained_oracle_decode_agreement(ref_model_cls, tmp_path):
+    """Decode parity with a TRAINED torch oracle (not random init).
+
+    Trains the reference model for a short, fully deterministic run on
+    synthetic lines, imports the weights, and asserts greedy decode-string
+    agreement + identical exact-match accuracy between torch and JAX in
+    fp32.  Trained weights have near-tie logits (the regime where
+    XLA-vs-torch numerics could flip argmaxes); random-weight parity alone
+    does not cover it.  A longer offline run lives in
+    tools/train_reference_oracle.py (results recorded in PARITY.md).
+    """
+    import cv2
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+
+    from rcnn_ocr_tpu.interop import import_torch_state_dict
+    from rcnn_ocr_tpu.models import RCNN as JaxRCNN
+    from rcnn_ocr_tpu.vocab.charset import (
+        Charset, decode_tokens, pack_attention_targets,
+    )
+    from tests.helpers import render_text_image
+
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    alphabet = "abcdefgh"
+    tokens = ["<PAD>", "<SOS>", "<EOS>"] + list(alphabet)
+    cs = Charset.from_tokens(tokens)
+    max_len = 4
+
+    def make(n, seed):
+        r = np.random.default_rng(seed)
+        imgs, labels = [], []
+        for _ in range(n):
+            k = int(r.integers(1, 4))
+            s = "".join(r.choice(list(alphabet), size=k))
+            img = render_text_image(s, h=32, w=64, rng=r)
+            imgs.append((img.astype(np.float32) / 255.0 - 0.5) / 0.5)
+            labels.append(s)
+        return np.stack(imgs), labels
+
+    x_train, y_train = make(64, 1)
+    x_val, y_val = make(32, 2)
+    text_in, target_y, _ = pack_attention_targets(y_train, cs.stoi, max_len)
+
+    tmodel = ref_model_cls(
+        num_classes=cs.num_classes, hidden_size=64,
+        sos_id=cs.sos_id, eos_id=cs.eos_id, pad_id=cs.pad_id, blank_id=None,
+    )
+    tmodel.train()
+    opt = torch.optim.Adam(tmodel.parameters(), lr=1e-3)
+    xt = torch.from_numpy(x_train.transpose(0, 3, 1, 2))
+    ti = torch.from_numpy(text_in.astype(np.int64))
+    ty = torch.from_numpy(target_y.astype(np.int64))
+    order = rng.permutation(64)
+    pos = 0
+    for step in range(60):
+        if pos + 8 > 64:
+            order = rng.permutation(64)
+            pos = 0
+        idx = torch.from_numpy(order[pos : pos + 8].copy())
+        pos += 8
+        logits = tmodel(xt[idx], text=ti[idx], is_train=True, batch_max_length=max_len)
+        loss = F.cross_entropy(
+            logits.reshape(-1, cs.num_classes), ty[idx].reshape(-1),
+            ignore_index=cs.pad_id,
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    assert float(loss.detach()) < 2.0  # weights moved well away from init
+
+    tmodel.eval()
+    with torch.no_grad():
+        t_logits = tmodel(
+            torch.from_numpy(x_val.transpose(0, 3, 1, 2)),
+            is_train=False, batch_max_length=max_len,
+        ).numpy()
+
+    variables = import_torch_state_dict(
+        tmodel.state_dict(), num_classes=cs.num_classes, hidden_size=64
+    )
+    jmodel = JaxRCNN(
+        num_classes=cs.num_classes, hidden_size=64,
+        sos_id=cs.sos_id, eos_id=cs.eos_id, pad_id=cs.pad_id, blank_id=None,
+        dtype=np.float32,
+    )
+    import jax
+
+    j_logits = np.asarray(
+        jax.jit(
+            lambda v, im: jmodel.apply(v, im, train=False, batch_max_length=max_len)
+        )(variables, jnp.asarray(x_val))
+    )
+
+    def dec(rows):
+        return [
+            decode_tokens(r, list(cs.itos), cs.pad_id, cs.eos_id, cs.blank_id)
+            for r in rows.argmax(-1)
+        ]
+
+    t_dec, j_dec = dec(t_logits), dec(j_logits)
+    agree = sum(a == b for a, b in zip(t_dec, j_dec))
+    # trained-weight agreement: allow at most 1/32 near-tie flip in fp32
+    assert agree >= len(t_dec) - 1, list(zip(t_dec, j_dec))
+    # the headline metric must be IDENTICAL
+    t_acc = sum(p == t for p, t in zip(t_dec, y_val))
+    j_acc = sum(p == t for p, t in zip(j_dec, y_val))
+    assert t_acc == j_acc
