@@ -54,6 +54,7 @@ class RCNN(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     quantize: bool = False  # int8 inference for the wide conv stages
+    stem_s2d: bool = False  # s2d stem conv rewrite (measured slower on v5e)
 
     def setup(self):
         self.cnn = SEResNet31(
@@ -64,6 +65,7 @@ class RCNN(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             quantize=self.quantize,
+            stem_s2d=self.stem_s2d,
             name="cnn",
         )
         self.enc_rnns = tuple(

@@ -84,6 +84,10 @@ class _RawConv(nn.Module):
     padding: Any
     dtype: Dtype
     quantize: bool = False
+    # space-to-depth rewrite of a 3x3/s1/p1 conv (exact; MXU-friendlier for
+    # tiny input-channel counts — the stem's C=3 first conv).  Inference
+    # only; the [3,3,C,F] parameter is untouched (`ops/stem.py`).
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -98,6 +102,29 @@ class _RawConv(nn.Module):
             from rcnn_ocr_tpu.ops.quant import int8_conv_nhwc
 
             return int8_conv_nhwc(x, k, self.strides, padding).astype(self.dtype)
+        if (
+            self.s2d
+            and not train
+            and self.kernel == (3, 3)
+            and tuple(self.strides) == (1, 1)
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            from rcnn_ocr_tpu.ops.stem import (
+                depth_to_space,
+                s2d_kernel,
+                space_to_depth_pad1,
+            )
+
+            xs = space_to_depth_pad1(x.astype(self.dtype))
+            ys = jax.lax.conv_general_dilated(
+                xs,
+                s2d_kernel(k).astype(self.dtype),
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return depth_to_space(ys)
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             k.astype(self.dtype),
@@ -118,6 +145,7 @@ class ConvBN(nn.Module):
     padding: Any = ((1, 1), (1, 1))
     dtype: Dtype = jnp.float32
     quantize: bool = False  # int8 inference path for MXU-bound layers
+    s2d: bool = False  # space-to-depth conv rewrite (see _RawConv)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -128,6 +156,7 @@ class ConvBN(nn.Module):
             self.padding,
             self.dtype,
             quantize=self.quantize,
+            s2d=self.s2d,
             name="conv",
         )(x, train)
         x = nn.BatchNorm(
@@ -207,6 +236,12 @@ class SEResNet31(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     quantize: bool = False  # int8 inference for the MXU-bound wide stages
+    # exact space-to-depth rewrite of the C=3 stem conv (ops/stem.py).
+    # Measured SLOWER on v5e at 32x128 (tools/stem_experiments.py: 16.9 ms vs
+    # 13.6 ms per 2048 — the s2d/d2s transposes cost more than the padded
+    # C=3 contraction wastes; the fused stem already runs at ~roofline).
+    # Kept as an option for other shapes/generations.
+    stem_s2d: bool = False
 
     def _w(self, c: int) -> int:
         return max(8, int(round(c * self.width_mult)))
@@ -215,7 +250,11 @@ class SEResNet31(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x.astype(self.dtype)
         # stem
-        x = nn.relu(ConvBN(self._w(64), dtype=self.dtype, name="stem0")(x, train))
+        x = nn.relu(
+            ConvBN(
+                self._w(64), dtype=self.dtype, s2d=self.stem_s2d, name="stem0"
+            )(x, train)
+        )
         x = nn.relu(ConvBN(self._w(128), dtype=self.dtype, name="stem1")(x, train))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
