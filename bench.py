@@ -72,6 +72,9 @@ def main():
     # int8 serving path: +27% throughput at zero measured accuracy cost
     # (identical acc/CER on a trained model — see PERF.md)
     model_q = RCNN(**common, quantize=True)
+    # int8 with CALIBRATED static activation scales: the quantize step fuses
+    # into the producer epilogue instead of paying a per-conv abs-max pass
+    model_qs = RCNN(**common, quantize=True, act_quant="static")
     rng = jax.random.PRNGKey(0)
     x_init = jnp.zeros((2, img_h, img_w, 3), jnp.float32)
     variables = model.init(
@@ -104,6 +107,22 @@ def main():
         tokens, valid = ctc_greedy_decode_jnp(logits, 0)
         return tokens, valid
 
+    @jax.jit
+    def calibrate(variables, images):
+        _, mutated = model_qs.apply(
+            variables, images, train=False, method=model_qs.encode,
+            mutable=["quant_stats"],
+        )
+        return mutated["quant_stats"]
+
+    @jax.jit
+    def ctc_greedy_int8_static(variables, images):
+        logits = model_qs.apply(
+            variables, images, train=False, method=model_qs.ctc_logits
+        )
+        tokens, valid = ctc_greedy_decode_jnp(logits, 0)
+        return tokens, valid
+
     if os.environ.get("BENCH_CHECK_PALLAS") == "1" and on_tpu:
         # TPU-side numerics check of the Pallas kernels (interpret-mode tests
         # run on CPU only; this asserts on the real chip).  Gated: two extra
@@ -130,14 +149,23 @@ def main():
     ctc_ips = batch / dt_ctc
     dt_q = _time_fn(ctc_greedy_int8, variables, images)
     q_ips = batch / dt_q
+    variables_qs = {**variables, "quant_stats": _fetch(calibrate(variables, images))}
+    variables_qs = jax.device_put(variables_qs)
+    dt_qs = _time_fn(ctc_greedy_int8_static, variables_qs, images)
+    qs_ips = batch / dt_qs
     dt_attn = _time_fn(attn_greedy, variables, images)
     attn_ips = batch / dt_attn
 
     # label the headline with the path that actually won (a regression that
     # made bf16 beat int8 must not be misattributed)
-    best_ips, best_path = max((ctc_ips, "bf16"), (q_ips, "int8 serving path"))
+    best_ips, best_path = max(
+        (ctc_ips, "bf16"),
+        (q_ips, "int8 serving path"),
+        (qs_ips, "int8-static serving path"),
+    )
     print(
         f"[bench] platform={platform} batch={batch} "
+        f"ctc_greedy_int8_static={qs_ips:,.0f} img/s  "
         f"ctc_greedy_int8={q_ips:,.0f} img/s  ctc_greedy_bf16={ctc_ips:,.0f} img/s  "
         f"attn_greedy={attn_ips:,.0f} img/s",
         file=sys.stderr,
@@ -152,6 +180,7 @@ def main():
                 "vs_baseline": round(best_ips / BASELINE_IMGS_PER_SEC, 4),
                 "ctc_greedy_bf16_img_s": round(ctc_ips, 1),
                 "ctc_greedy_int8_img_s": round(q_ips, 1),
+                "ctc_greedy_int8_static_img_s": round(qs_ips, 1),
                 "attn_greedy_img_s": round(attn_ips, 1),
                 "platform": platform,
             }

@@ -82,6 +82,7 @@ def evaluate_model(
     width_buckets=None,
     quantize: bool = False,
     serving: bool = False,
+    static_quant: bool = False,
 ):
     print("Evaluating model on dataset")
     print(f"  model:   {model_path}")
@@ -90,7 +91,8 @@ def evaluate_model(
     print(f"  images:  {root_path}")
     print(
         f"  size:    {img_h}x{img_w}   decode: {decode}"
-        f"{'   int8' if quantize else ''}{'   serving' if serving else ''}"
+        f"{'   int8' if quantize else ''}{'-static' if static_quant else ''}"
+        f"{'   serving' if serving else ''}"
     )
     print("-" * 60)
 
@@ -106,6 +108,11 @@ def evaluate_model(
     if not image_paths:
         print("No data to evaluate!")
         return None
+    if static_quant:
+        # calibrate static int8 activation scales on a data sample
+        n_cal = min(256, len(image_paths))
+        print(f"Calibrating static int8 scales on {n_cal} images ...")
+        ocr.calibrate(image_paths[:n_cal], batch_size=min(batch_size, n_cal))
 
     from tqdm import tqdm
 
@@ -205,6 +212,11 @@ def main() -> int:
         help="on-device preprocessing + double-buffered host letterbox "
         "(attention decode; fastest end-to-end path)",
     )
+    parser.add_argument(
+        "--static-quant", action="store_true",
+        help="with --quantize: calibrate static int8 activation scales on "
+        "up to 256 eval images (drops the per-conv abs-max pass)",
+    )
     args = parser.parse_args()
 
     if not os.path.exists(args.model):
@@ -231,8 +243,9 @@ def main() -> int:
                 if args.width_buckets
                 else None
             ),
-            quantize=args.quantize,
+            quantize=args.quantize or args.static_quant,
             serving=args.serving,
+            static_quant=args.static_quant,
         )
     except Exception as e:
         print(f"Error: {e}")

@@ -112,7 +112,7 @@ class OCRInference:
         if with_ctc_head is None:
             with_ctc_head = arch.get("with_ctc_head", False)
 
-        self.model = RCNN(
+        self._model_kwargs = dict(
             num_classes=self.charset.num_classes,
             hidden_size=int(hidden_size),
             sos_id=self.charset.sos_id,
@@ -127,6 +127,7 @@ class OCRInference:
             quantize=quantize,
             dtype=dtype,
         )
+        self.model = RCNN(**self._model_kwargs)
         self.variables = jax.device_put(
             jax.tree_util.tree_map(jnp.asarray, variables)
         )
@@ -221,6 +222,55 @@ class OCRInference:
             return run
 
         return self._cached(("ctc", greedy), build)
+
+    # -- static activation calibration --------------------------------------
+    def calibrate(self, images: Union[ImageLike, List[ImageLike]], batch_size: int = 32) -> None:
+        """Post-training calibration: switch the int8 path to STATIC
+        activation scales recorded from sample data.
+
+        The dynamic int8 path (the ``quantize=True`` default) computes a
+        per-call abs-max over every quantized conv input — a full-tensor
+        reduction barrier that forces the activation through HBM in float.
+        With calibrated static scales the quantize-to-int8 step is purely
+        elementwise and fuses into the previous conv's epilogue, so hot
+        activations cross HBM once, as int8.
+
+        Call once with a representative sample (>= a few dozen images);
+        subsequent ``predict*`` calls use the static path.  Inputs outside
+        the calibrated range clip at ±127 · scale.
+        """
+        if not self.model.quantize:
+            raise ValueError("calibrate() requires OCRInference(quantize=True)")
+        images_list: List[ImageLike] = (
+            [images] if not isinstance(images, list) else list(images)
+        )
+        if not images_list:
+            raise ValueError("calibration needs at least one image")
+        calib_model = RCNN(**{**self._model_kwargs, "act_quant": "static"})
+
+        @jax.jit
+        def record(variables, batch):
+            _, mutated = calib_model.apply(
+                variables,
+                batch,
+                train=False,
+                method=calib_model.encode,
+                mutable=["quant_stats"],
+            )
+            return mutated["quant_stats"]
+
+        variables = dict(self.variables)
+        for i in range(0, len(images_list), batch_size):
+            chunk = images_list[i : i + batch_size]
+            arrays = [self._preprocess(img) for img in chunk]
+            if len(arrays) < batch_size:
+                arrays += [arrays[-1]] * (batch_size - len(arrays))
+            stats = record(variables, jnp.asarray(np.stack(arrays)))
+            variables = {**variables, "quant_stats": stats}
+
+        self.variables = variables
+        self.model = calib_model
+        self._jit_cache.clear()  # decode kernels must re-trace the static path
 
     # -- public API --------------------------------------------------------
     def _bucketize(self, images_list: List[ImageLike]) -> List[Tuple[int, Optional[int]]]:

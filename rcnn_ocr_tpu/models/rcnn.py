@@ -54,6 +54,7 @@ class RCNN(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     quantize: bool = False  # int8 inference for the wide conv stages
+    act_quant: str = "dynamic"  # "static" after calibration (quant_stats)
     stem_s2d: bool = False  # s2d stem conv rewrite (measured slower on v5e)
 
     def setup(self):
@@ -65,6 +66,7 @@ class RCNN(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             quantize=self.quantize,
+            act_quant=self.act_quant,
             stem_s2d=self.stem_s2d,
             name="cnn",
         )

@@ -84,6 +84,11 @@ class _RawConv(nn.Module):
     padding: Any
     dtype: Dtype
     quantize: bool = False
+    # activation quantization mode for the int8 path: "dynamic" computes a
+    # per-call abs-max; "static" uses a calibrated scale from the
+    # `quant_stats` collection (recorded when that collection is mutable —
+    # the calibration pass — and the forward stays full-precision there).
+    act_quant: str = "dynamic"
     # space-to-depth rewrite of a 3x3/s1/p1 conv (exact; MXU-friendlier for
     # tiny input-channel counts — the stem's C=3 first conv).  Inference
     # only; the [3,3,C,F] parameter is untouched (`ops/stem.py`).
@@ -99,9 +104,25 @@ class _RawConv(nn.Module):
         )
         padding = self.padding
         if self.quantize and not train:
-            from rcnn_ocr_tpu.ops.quant import int8_conv_nhwc
+            from rcnn_ocr_tpu.ops.quant import int8_conv_nhwc, int8_conv_nhwc_static
 
-            return int8_conv_nhwc(x, k, self.strides, padding).astype(self.dtype)
+            if self.act_quant == "static":
+                stat = self.variable(
+                    "quant_stats",
+                    "act_absmax",
+                    lambda: jnp.zeros((), jnp.float32),
+                )
+                if self.is_mutable_collection("quant_stats"):
+                    # calibration pass: record the range, run full precision
+                    stat.value = jnp.maximum(
+                        stat.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                    )
+                else:
+                    return int8_conv_nhwc_static(
+                        x, k, self.strides, padding, stat.value / 127.0
+                    ).astype(self.dtype)
+            else:
+                return int8_conv_nhwc(x, k, self.strides, padding).astype(self.dtype)
         if (
             self.s2d
             and not train
@@ -145,6 +166,7 @@ class ConvBN(nn.Module):
     padding: Any = ((1, 1), (1, 1))
     dtype: Dtype = jnp.float32
     quantize: bool = False  # int8 inference path for MXU-bound layers
+    act_quant: str = "dynamic"  # activation quant mode (see _RawConv)
     s2d: bool = False  # space-to-depth conv rewrite (see _RawConv)
 
     @nn.compact
@@ -156,6 +178,7 @@ class ConvBN(nn.Module):
             self.padding,
             self.dtype,
             quantize=self.quantize,
+            act_quant=self.act_quant,
             s2d=self.s2d,
             name="conv",
         )(x, train)
@@ -185,6 +208,7 @@ class SEBasicBlock(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     quantize: bool = False
+    act_quant: str = "dynamic"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -192,11 +216,12 @@ class SEBasicBlock(nn.Module):
         identity = x
         out = ConvBN(
             self.features, strides=(self.stride, self.stride), dtype=self.dtype,
-            quantize=self.quantize, name="conv1"
+            quantize=self.quantize, act_quant=self.act_quant, name="conv1"
         )(x, train)
         out = nn.relu(out)
         out = ConvBN(
-            self.features, dtype=self.dtype, quantize=self.quantize, name="conv2"
+            self.features, dtype=self.dtype, quantize=self.quantize,
+            act_quant=self.act_quant, name="conv2"
         )(out, train)
         out = SELayer(
             self.features,
@@ -236,6 +261,7 @@ class SEResNet31(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     quantize: bool = False  # int8 inference for the MXU-bound wide stages
+    act_quant: str = "dynamic"  # "static" after OCRInference.calibrate()
     # exact space-to-depth rewrite of the C=3 stem conv (ops/stem.py).
     # Measured SLOWER on v5e at 32x128 (tools/stem_experiments.py: 16.9 ms vs
     # 13.6 ms per 2048 — the s2d/d2s transposes cost more than the padded
@@ -261,6 +287,7 @@ class SEResNet31(nn.Module):
         block_kwargs = dict(
             reduction=self.reduction,
             quantize=self.quantize,
+            act_quant=self.act_quant,
             dropblock_p=self.dropblock_p,
             dropblock_block_size=self.dropblock_block_size,
             dtype=self.dtype,
@@ -291,6 +318,7 @@ class SEResNet31(nn.Module):
                 padding=((0, 0), (1, 1)),
                 dtype=self.dtype,
                 quantize=self.quantize,
+                act_quant=self.act_quant,
                 name="out0",
             )(x, train)
         )
@@ -302,6 +330,7 @@ class SEResNet31(nn.Module):
                 padding="VALID",
                 dtype=self.dtype,
                 quantize=self.quantize,
+                act_quant=self.act_quant,
                 name="out1",
             )(x, train)
         )

@@ -63,3 +63,35 @@ def int8_conv_nhwc(
         preferred_element_type=jnp.int32,
     )
     return y.astype(jnp.float32) * (xs * ws)
+
+
+def int8_conv_nhwc_static(
+    x: jnp.ndarray,  # [B, H, W, Cin] float
+    w: jnp.ndarray,  # [kh, kw, Cin, Cout] float
+    strides: Sequence[int],
+    padding,
+    act_scale: jnp.ndarray,  # scalar float: calibrated abs-max / 127
+) -> jnp.ndarray:
+    """int8 convolution with a CALIBRATED static activation scale.
+
+    Unlike the dynamic path, there is no abs-max reduction over the input —
+    the quantize-to-int8 step is purely elementwise, so XLA fuses it into
+    the *producer's* epilogue (the previous conv's dequant-BN-ReLU chain)
+    and the activation crosses HBM once, as int8, instead of fp + two extra
+    passes.  Scales come from a calibration pass over sample data
+    (``OCRInference.calibrate``); values beyond the calibrated range clip.
+    """
+    act_scale = jnp.maximum(act_scale, 1e-8)
+    wq, ws = quantize_weight_per_cout(w)
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / act_scale), -127, 127
+    ).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=tuple(strides),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (act_scale * ws)
