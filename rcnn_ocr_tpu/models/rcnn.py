@@ -55,6 +55,7 @@ class RCNN(nn.Module):
     use_pallas: bool = False
     quantize: bool = False  # int8 inference for the wide conv stages
     act_quant: str = "dynamic"  # "static" after calibration (quant_stats)
+    quantize_stem: bool = False  # int8 stem too (viable with act_quant static)
     stem_s2d: bool = False  # s2d stem conv rewrite (measured slower on v5e)
 
     def setup(self):
@@ -67,6 +68,7 @@ class RCNN(nn.Module):
             use_pallas=self.use_pallas,
             quantize=self.quantize,
             act_quant=self.act_quant,
+            quantize_stem=self.quantize_stem,
             stem_s2d=self.stem_s2d,
             name="cnn",
         )

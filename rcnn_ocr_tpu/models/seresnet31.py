@@ -262,6 +262,12 @@ class SEResNet31(nn.Module):
     use_pallas: bool = False
     quantize: bool = False  # int8 inference for the MXU-bound wide stages
     act_quant: str = "dynamic"  # "static" after OCRInference.calibrate()
+    # also int8-quantize the stem convs.  With DYNAMIC activation scales
+    # this measured slower (the abs-max pass over the large early
+    # activations costs more than the int8 conv saves — PERF.md negative
+    # results); the STATIC path has no abs-max pass, so the stem becomes
+    # a candidate again (tools/quant_experiments.py re-measures it).
+    quantize_stem: bool = False
     # exact space-to-depth rewrite of the C=3 stem conv (ops/stem.py).
     # Measured SLOWER on v5e at 32x128 (tools/stem_experiments.py: 16.9 ms vs
     # 13.6 ms per 2048 — the s2d/d2s transposes cost more than the padded
@@ -276,12 +282,19 @@ class SEResNet31(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x.astype(self.dtype)
         # stem
+        q_stem = self.quantize and self.quantize_stem
         x = nn.relu(
             ConvBN(
-                self._w(64), dtype=self.dtype, s2d=self.stem_s2d, name="stem0"
+                self._w(64), dtype=self.dtype, s2d=self.stem_s2d,
+                quantize=q_stem, act_quant=self.act_quant, name="stem0"
             )(x, train)
         )
-        x = nn.relu(ConvBN(self._w(128), dtype=self.dtype, name="stem1")(x, train))
+        x = nn.relu(
+            ConvBN(
+                self._w(128), dtype=self.dtype,
+                quantize=q_stem, act_quant=self.act_quant, name="stem1"
+            )(x, train)
+        )
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
         block_kwargs = dict(

@@ -64,6 +64,31 @@ def test_backbone_calibration_records_and_applies(rng):
     assert rel < 0.05, rel
 
 
+def test_quantize_stem_wiring(rng):
+    """quantize_stem=True int8-quantizes stem0/stem1 too: their quant_stats
+    entries appear under calibration and the output stays close to bf16."""
+    from rcnn_ocr_tpu.models.seresnet31 import SEResNet31
+
+    kwargs = dict(width_mult=0.25, dtype=jnp.float32, quantize=True)
+    base = SEResNet31(**kwargs, act_quant="static")
+    stem = SEResNet31(**kwargs, act_quant="static", quantize_stem=True)
+    x = jnp.asarray(rng.normal(size=(2, 32, 64, 3)).astype(np.float32))
+    v = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    _, mut_base = base.apply(v, x, train=False, mutable=["quant_stats"])
+    _, mut_stem = stem.apply(v, x, train=False, mutable=["quant_stats"])
+    base_keys = set(mut_base["quant_stats"]["cnn"] if "cnn" in mut_base["quant_stats"] else mut_base["quant_stats"])
+    stem_keys = set(mut_stem["quant_stats"]["cnn"] if "cnn" in mut_stem["quant_stats"] else mut_stem["quant_stats"])
+    assert {"stem0", "stem1"} <= stem_keys
+    assert not ({"stem0", "stem1"} & base_keys)
+
+    v_cal = {**v, "quant_stats": mut_stem["quant_stats"]}
+    got = np.asarray(stem.apply(v_cal, x, train=False))
+    want = np.asarray(SEResNet31(width_mult=0.25, dtype=jnp.float32).apply(v, x, train=False))
+    rel = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+    assert rel < 0.08, rel
+
+
 def test_inference_calibrate_api(tmp_path, rng):
     """OCRInference(quantize=True).calibrate(): decodes still work and the
     static path is active (quant_stats present, model act_quant static)."""
