@@ -18,7 +18,12 @@ TPU-native differences:
   grouped into a few static widths so the pad waste shrinks while XLA
   still never recompiles on the hot path;
 * a CTC decode path (greedy on device, beam search via the native C++
-  kernel) when the checkpoint carries a CTC head.
+  kernel) when the checkpoint carries a CTC head;
+* multi-chip serving: ``OCRInference(..., mesh=True)`` (or an explicit
+  ``jax.sharding.Mesh``) replicates the params across the mesh and shards
+  every batch over the data axis — pure data-parallel decode with no
+  forward-path collectives, scaling throughput ~linearly with chips.
+  Batch sizes round up to tile the mesh evenly.
 """
 
 from __future__ import annotations
@@ -80,11 +85,29 @@ class OCRInference:
         width_buckets: Optional[Sequence[int]] = None,
         with_ctc_head: Optional[bool] = None,
         quantize: bool = False,  # int8 inference for the wide conv stages
+        mesh: Any = None,  # True: all devices data-parallel; or a jax Mesh
         verbose: bool = True,
     ):
         self.model_path = model_path
         self.width_buckets = sorted(width_buckets) if width_buckets else None
         self._dtype = dtype
+        # multi-chip serving: params replicated, batches sharded over the
+        # mesh's data axis — XLA runs each shard on its own chip with no
+        # collectives on the forward path (pure DP; ICI only for the
+        # replicated-param broadcast at load time)
+        self._mesh = None
+        if mesh is not None and mesh is not False:
+            from jax.sharding import Mesh
+
+            from rcnn_ocr_tpu.parallel.mesh import (
+                batch_sharding,
+                make_mesh,
+                replicated_sharding,
+            )
+
+            self._mesh = mesh if isinstance(mesh, Mesh) else make_mesh()
+            self._rep = replicated_sharding(self._mesh)
+            self._data_sh = batch_sharding(self._mesh)
         # per-instance jit cache (an lru_cache on bound methods would pin
         # the instance + its device arrays for the process lifetime — a
         # leak in long-lived servers)
@@ -129,7 +152,8 @@ class OCRInference:
         )
         self.model = RCNN(**self._model_kwargs)
         self.variables = jax.device_put(
-            jax.tree_util.tree_map(jnp.asarray, variables)
+            jax.tree_util.tree_map(jnp.asarray, variables),
+            self._rep if self._mesh is not None else None,
         )
         self.transform = get_val_transform(img_h, img_w)
         self._bucket_transforms = (
@@ -189,9 +213,31 @@ class OCRInference:
             fn = self._jit_cache[key] = build()
         return fn
 
+    def _jit(self, fn, n_batch_args: int = 1):
+        """jit a (variables, *batch_arrays) kernel; on a mesh, pin params
+        replicated and every batch arg + output sharded on the data axis."""
+        if self._mesh is None:
+            return jax.jit(fn)
+        return jax.jit(
+            fn,
+            in_shardings=(self._rep,) + (self._data_sh,) * n_batch_args,
+            out_shardings=self._data_sh,
+        )
+
+    def _round_batch(self, batch_size: int) -> int:
+        """Sharded batch dims must tile the data axis evenly."""
+        if self._mesh is None:
+            return batch_size
+        n = int(np.prod(list(self._mesh.shape.values())))
+        return max(n, -(-batch_size // n) * n)
+
+    def _device_batch(self, arr: np.ndarray):
+        if self._mesh is not None:
+            return jax.device_put(arr, self._data_sh)
+        return jnp.asarray(arr)
+
     def _greedy_fn(self, steps: int):
         def build():
-            @jax.jit
             def run(variables, images):
                 logits = self.model.apply(
                     variables, images, train=False, batch_max_length=steps - 1
@@ -201,13 +247,12 @@ class OCRInference:
                 maxp = jnp.max(probs, axis=-1)
                 return pred, maxp
 
-            return run
+            return self._jit(run)
 
         return self._cached(("greedy", steps), build)
 
     def _ctc_fn(self, greedy: bool):
         def build():
-            @jax.jit
             def run(variables, images):
                 logits = self.model.apply(
                     variables, images, train=False, method=self.model.ctc_logits
@@ -219,7 +264,7 @@ class OCRInference:
                     return tokens, valid
                 return jax.nn.log_softmax(logits, axis=-1)
 
-            return run
+            return self._jit(run)
 
         return self._cached(("ctc", greedy), build)
 
@@ -247,8 +292,8 @@ class OCRInference:
         if not images_list:
             raise ValueError("calibration needs at least one image")
         calib_model = RCNN(**{**self._model_kwargs, "act_quant": "static"})
+        batch_size = self._round_batch(batch_size)
 
-        @jax.jit
         def record(variables, batch):
             _, mutated = calib_model.apply(
                 variables,
@@ -259,13 +304,23 @@ class OCRInference:
             )
             return mutated["quant_stats"]
 
+        if self._mesh is None:
+            record = jax.jit(record)
+        else:
+            # abs-max stats are scalars: replicated out, batch sharded in
+            record = jax.jit(
+                record,
+                in_shardings=(self._rep, self._data_sh),
+                out_shardings=self._rep,
+            )
+
         variables = dict(self.variables)
         for i in range(0, len(images_list), batch_size):
             chunk = images_list[i : i + batch_size]
             arrays = [self._preprocess(img) for img in chunk]
             if len(arrays) < batch_size:
                 arrays += [arrays[-1]] * (batch_size - len(arrays))
-            stats = record(variables, jnp.asarray(np.stack(arrays)))
+            stats = record(variables, self._device_batch(np.stack(arrays)))
             variables = {**variables, "quant_stats": stats}
 
         self.variables = variables
@@ -307,6 +362,7 @@ class OCRInference:
         is_single = not isinstance(images, list)
         images_list: List[ImageLike] = [images] if is_single else list(images)
         steps = max_length + 1
+        batch_size = self._round_batch(batch_size)
         run = self._greedy_fn(steps)
 
         results: List[Any] = [None] * len(images_list)
@@ -324,7 +380,7 @@ class OCRInference:
                 n_real = len(arrays)
                 if n_real < batch_size:
                     arrays += [arrays[-1]] * (batch_size - n_real)  # static shape
-                batch = jnp.asarray(np.stack(arrays))
+                batch = self._device_batch(np.stack(arrays))
                 pred, maxp = run(self.variables, batch)
                 pred = np.asarray(pred)[:n_real]
                 maxp = np.asarray(maxp)[:n_real]
@@ -352,7 +408,6 @@ class OCRInference:
         def build():
             from rcnn_ocr_tpu.ops.preprocess import resize_pad_normalize
 
-            @jax.jit
             def run(variables, raw, sizes):
                 x = resize_pad_normalize(raw, sizes, self.img_h, target_w)
                 logits = self.model.apply(
@@ -361,7 +416,7 @@ class OCRInference:
                 probs = jax.nn.softmax(logits, axis=-1)
                 return jnp.argmax(logits, axis=-1), jnp.max(probs, axis=-1)
 
-            return run
+            return self._jit(run, n_batch_args=2)
 
         return self._cached(("serving", steps, target_w), build)
 
@@ -394,6 +449,7 @@ class OCRInference:
         is_single = not isinstance(images, list)
         images_list: List[ImageLike] = [images] if is_single else list(images)
         steps = max_length + 1
+        batch_size = self._round_batch(batch_size)
         canvas_h, canvas_w = canvas
 
         groups: Dict[Optional[int], List[int]] = {}
@@ -422,7 +478,11 @@ class OCRInference:
                 if k + 1 < len(chunks):
                     pending = pool.submit(letterbox_chunk, chunks[k + 1])
                 run = self._serving_fn(steps, bucket or self.img_w)
-                pred, _ = run(self.variables, jnp.asarray(raw), jnp.asarray(sizes))
+                pred, _ = run(
+                    self.variables,
+                    self._device_batch(raw),
+                    self._device_batch(sizes),
+                )
                 # np.asarray blocks on device compute while the NEXT chunk
                 # letterboxes in the worker thread (overlap)
                 pred_rows = np.asarray(pred)
@@ -448,6 +508,7 @@ class OCRInference:
             raise ValueError("this checkpoint has no CTC head")
         is_single = not isinstance(images, list)
         images_list: List[ImageLike] = [images] if is_single else list(images)
+        batch_size = self._round_batch(batch_size)
 
         skip = {self.charset.pad_id, self.charset.sos_id, self.charset.eos_id}
         skip.add(self.charset.ctc_blank_id)
@@ -458,7 +519,7 @@ class OCRInference:
             n_real = len(arrays)
             if n_real < batch_size:
                 arrays += [arrays[-1]] * (batch_size - n_real)
-            batch = jnp.asarray(np.stack(arrays))
+            batch = self._device_batch(np.stack(arrays))
             if method == "greedy":
                 tokens, valid = self._ctc_fn(True)(self.variables, batch)
                 tokens, valid = np.asarray(tokens), np.asarray(valid)

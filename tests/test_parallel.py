@@ -152,3 +152,67 @@ def test_tp_report_names_sharded_params():
     report = tp_report(param_shardings(params, mesh, DEFAULT_TP_RULES))
     assert list(report) == ["attn/w_gen"]
     assert "model" in report["attn/w_gen"]
+
+
+def test_mesh_sharded_inference_matches_single_device(tmp_path, rng):
+    """OCRInference(mesh=...): params replicated, batches sharded over the
+    data axis — decodes (attention, CTC, serving) and int8 calibration all
+    agree with the single-device engine."""
+    from rcnn_ocr_tpu.inference import OCRInference
+    from rcnn_ocr_tpu.models import RCNN
+    from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+    from rcnn_ocr_tpu.training.optim import build_optimizer
+    from rcnn_ocr_tpu.training.train_step import create_train_state
+    from rcnn_ocr_tpu.vocab.charset import Charset
+
+    tokens = ["<PAD>", "<SOS>", "<EOS>", " "] + list("abc")
+    charset = Charset.from_tokens(tokens)
+    model = RCNN(
+        num_classes=charset.num_classes, hidden_size=16, width_mult=0.25,
+        lstm_layers=1, with_ctc_head=True, ctc_blank_id=charset.ctc_blank_id,
+        sos_id=charset.sos_id, eos_id=charset.eos_id, pad_id=charset.pad_id,
+        dtype=jnp.float32,
+    )
+    v = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 32, 64, 3), jnp.float32),
+        text=jnp.zeros((1, 5), jnp.int32), batch_max_length=4,
+        method=model.init_all,
+    )
+    state = create_train_state(model, v, build_optimizer("Adam", 1e-3))
+    ckpt = tmp_path / "ckpt.msgpack"
+    ckpt_io.save_checkpoint(
+        str(ckpt), state, None, epoch=1, global_step=1, best_val_loss=0.0,
+        best_val_acc=0.0, itos=list(charset.itos), stoi=dict(charset.stoi),
+        config={"img_h": 32, "img_w": 64, "hidden_size": 16}, log_dir="logs",
+    )
+
+    imgs = [
+        rng.uniform(0, 255, size=(32, 64, 3)).astype(np.uint8) for _ in range(6)
+    ]
+    single = OCRInference(str(ckpt), dtype=jnp.float32, verbose=False)
+    sharded = OCRInference(str(ckpt), dtype=jnp.float32, mesh=True, verbose=False)
+    assert sharded._mesh is not None
+    n = int(np.prod(list(sharded._mesh.shape.values())))
+    assert n == 8
+
+    # an awkward batch_size rounds UP to tile the mesh (6 imgs, bs=4 -> 8)
+    want = single.predict(imgs, max_length=4, batch_size=4)
+    got = sharded.predict(imgs, max_length=4, batch_size=4)
+    assert got == want
+
+    assert sharded.predict_ctc(imgs, batch_size=4) == single.predict_ctc(
+        imgs, batch_size=4
+    )
+    assert sharded.predict_serving(
+        imgs, max_length=4, batch_size=4, canvas=(32, 64)
+    ) == single.predict_serving(imgs, max_length=4, batch_size=4, canvas=(32, 64))
+
+    # int8 calibration under the mesh: stats replicated, decodes still run
+    q = OCRInference(
+        str(ckpt), dtype=jnp.float32, quantize=True, mesh=True, verbose=False
+    )
+    q.calibrate(imgs, batch_size=8)
+    assert "quant_stats" in q.variables
+    out = q.predict(imgs, max_length=4, batch_size=8)
+    assert isinstance(out, list) and len(out) == 6
