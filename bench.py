@@ -123,6 +123,13 @@ def main():
         tokens, valid = ctc_greedy_decode_jnp(logits, 0)
         return tokens, valid
 
+    @jax.jit
+    def attn_greedy_int8_static(variables, images):
+        logits = model_qs.apply(
+            variables, images, train=False, batch_max_length=max_len
+        )
+        return jnp.argmax(logits, axis=-1)
+
     if os.environ.get("BENCH_CHECK_PALLAS") == "1" and on_tpu:
         # TPU-side numerics check of the Pallas kernels (interpret-mode tests
         # run on CPU only; this asserts on the real chip).  Gated: two extra
@@ -155,6 +162,8 @@ def main():
     qs_ips = batch / dt_qs
     dt_attn = _time_fn(attn_greedy, variables, images)
     attn_ips = batch / dt_attn
+    dt_attn_qs = _time_fn(attn_greedy_int8_static, variables_qs, images)
+    attn_qs_ips = batch / dt_attn_qs
 
     # label the headline with the path that actually won (a regression that
     # made bf16 beat int8 must not be misattributed)
@@ -167,7 +176,8 @@ def main():
         f"[bench] platform={platform} batch={batch} "
         f"ctc_greedy_int8_static={qs_ips:,.0f} img/s  "
         f"ctc_greedy_int8={q_ips:,.0f} img/s  ctc_greedy_bf16={ctc_ips:,.0f} img/s  "
-        f"attn_greedy={attn_ips:,.0f} img/s",
+        f"attn_greedy={attn_ips:,.0f} img/s  "
+        f"attn_greedy_int8_static={attn_qs_ips:,.0f} img/s",
         file=sys.stderr,
     )
     print(
@@ -182,6 +192,7 @@ def main():
                 "ctc_greedy_int8_img_s": round(q_ips, 1),
                 "ctc_greedy_int8_static_img_s": round(qs_ips, 1),
                 "attn_greedy_img_s": round(attn_ips, 1),
+                "attn_greedy_int8_static_img_s": round(attn_qs_ips, 1),
                 "platform": platform,
             }
         )

@@ -251,7 +251,14 @@ class OCRInference:
 
         return self._cached(("greedy", steps), build)
 
-    def _ctc_fn(self, greedy: bool):
+    def _ctc_fn(self, greedy: bool, prune_k: int = 0):
+        """CTC head kernel.  ``greedy``: on-device collapse -> tokens.
+        Beam mode ships frame log-probs to the host beam search; with
+        ``prune_k`` > 0 only the top-k candidates per frame cross the
+        device->host link (k=16 at vocab 194 is ~12x less traffic, and
+        candidate pruning at k >= beam width leaves prefix beam search
+        results unchanged in practice — the dropped tail is ~e^-10)."""
+
         def build():
             def run(variables, images):
                 logits = self.model.apply(
@@ -262,11 +269,15 @@ class OCRInference:
                         logits, self.charset.ctc_blank_id
                     )
                     return tokens, valid
-                return jax.nn.log_softmax(logits, axis=-1)
+                log_probs = jax.nn.log_softmax(logits, axis=-1)
+                if prune_k:
+                    vals, idx = jax.lax.top_k(log_probs, prune_k)
+                    return vals, idx.astype(jnp.int32)
+                return log_probs
 
             return self._jit(run)
 
-        return self._cached(("ctc", greedy), build)
+        return self._cached(("ctc", greedy, prune_k), build)
 
     # -- static activation calibration --------------------------------------
     def calibrate(self, images: Union[ImageLike, List[ImageLike]], batch_size: int = 32) -> None:
@@ -502,6 +513,7 @@ class OCRInference:
         batch_size: int = 32,
         method: str = "greedy",
         beam_width: int = 16,
+        prune_k: int = 16,  # beam: top-k frame candidates fetched (0 = full V)
     ):
         """CTC decode via the shared-encoder CTC head."""
         if not self.model.with_ctc_head:
@@ -525,9 +537,25 @@ class OCRInference:
                 tokens, valid = np.asarray(tokens), np.asarray(valid)
                 rows = [tokens[b, : valid[b]].tolist() for b in range(n_real)]
             elif method == "beam":
-                log_probs = np.asarray(self._ctc_fn(False)(self.variables, batch))
+                k = min(prune_k, self.charset.num_classes) if prune_k else 0
+                if k:
+                    vals, idx = self._ctc_fn(False, k)(self.variables, batch)
+                    vals, idx = np.asarray(vals), np.asarray(idx)
+                    # rebuild a (pruned) dense frame matrix on the host: the
+                    # dropped tail is ~e^-10 likelihood, far below anything a
+                    # width-`beam_width` search would keep
+                    log_probs = np.full(
+                        (n_real, vals.shape[1], self.charset.num_classes),
+                        -1e30,
+                        np.float32,
+                    )
+                    np.put_along_axis(log_probs, idx[:n_real], vals[:n_real], -1)
+                else:
+                    log_probs = np.asarray(
+                        self._ctc_fn(False)(self.variables, batch)
+                    )[:n_real]
                 rows, _ = ctc_beam_search(
-                    log_probs[:n_real],
+                    log_probs,
                     blank_id=self.charset.ctc_blank_id,
                     beam_width=beam_width,
                     already_log_probs=True,

@@ -121,6 +121,19 @@ def test_inference_api_end_to_end(tiny_state, tmp_path):
     assert len(greedy) == 2 and all(isinstance(t, str) for t in greedy)
     beam = ocr.predict_ctc(img, method="beam", beam_width=4)
     assert isinstance(beam, str)
+    # top-k frame pruning (device->host transfer saver): k >= V is exactly
+    # the unpruned search; a tight k still returns sane strings
+    rng_imgs = [
+        (np.random.default_rng(s).uniform(0, 255, (20, 50, 3))).astype(np.uint8)
+        for s in range(3)
+    ]
+    full = ocr.predict_ctc(rng_imgs, method="beam", beam_width=4, prune_k=0)
+    exact_k = ocr.predict_ctc(
+        rng_imgs, method="beam", beam_width=4, prune_k=len(TOKENS)
+    )
+    assert exact_k == full
+    tight = ocr.predict_ctc(rng_imgs, method="beam", beam_width=4, prune_k=3)
+    assert len(tight) == 3 and all(isinstance(t, str) for t in tight)
 
     # PIL input path
     from PIL import Image
