@@ -121,7 +121,10 @@ def evaluate_model(
         chunk = image_paths[i : i + batch_size]
         if serving:
             out = ocr.predict_serving(
-                chunk, max_length=max_length, batch_size=batch_size
+                chunk,
+                max_length=max_length,
+                batch_size=batch_size,
+                method="ctc_greedy" if decode == "ctc_greedy" else "attention",
             )
             predicted.extend(out if isinstance(out, list) else [out])
         elif decode == "attention":

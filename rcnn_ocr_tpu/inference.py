@@ -415,12 +415,17 @@ class OCRInference:
 
         return results[0] if is_single else results
 
-    def _serving_fn(self, steps: int, target_w: int):
+    def _serving_fn(self, steps: int, target_w: int, ctc: bool = False):
         def build():
             from rcnn_ocr_tpu.ops.preprocess import resize_pad_normalize
 
             def run(variables, raw, sizes):
                 x = resize_pad_normalize(raw, sizes, self.img_h, target_w)
+                if ctc:
+                    logits = self.model.apply(
+                        variables, x, train=False, method=self.model.ctc_logits
+                    )
+                    return ctc_greedy_decode_jnp(logits, self.charset.ctc_blank_id)
                 logits = self.model.apply(
                     variables, x, train=False, batch_max_length=steps - 1
                 )
@@ -429,7 +434,7 @@ class OCRInference:
 
             return self._jit(run, n_batch_args=2)
 
-        return self._cached(("serving", steps, target_w), build)
+        return self._cached(("serving", steps, target_w, ctc), build)
 
     def predict_serving(
         self,
@@ -437,6 +442,7 @@ class OCRInference:
         max_length: int = 25,
         batch_size: int = 256,
         canvas: Tuple[int, int] = (64, 512),
+        method: str = "attention",  # or "ctc_greedy" (needs a CTC head)
     ):
         """High-throughput serving decode with on-device preprocessing.
 
@@ -450,8 +456,15 @@ class OCRInference:
         Double-buffered: the next chunk's host letterbox runs in a worker
         thread while the device decodes the current one.  Honors
         ``width_buckets`` (each bucket decodes at its own static width).
+        ``method="ctc_greedy"`` decodes through the CTC head instead (the
+        fastest end-to-end configuration together with int8-static).
         """
-        if not self.model.with_attention_head:
+        ctc = method in ("ctc", "ctc_greedy")
+        if ctc and not self.model.with_ctc_head:
+            raise ValueError("this checkpoint has no CTC head")
+        if not ctc and method != "attention":
+            raise ValueError(f"Unsupported serving decode method: {method}")
+        if not ctc and not self.model.with_attention_head:
             raise ValueError("this checkpoint has no attention head; use predict_ctc()")
         from concurrent.futures import ThreadPoolExecutor
 
@@ -488,8 +501,8 @@ class OCRInference:
                 bucket, idxs, n_real, raw, sizes = pending.result()
                 if k + 1 < len(chunks):
                     pending = pool.submit(letterbox_chunk, chunks[k + 1])
-                run = self._serving_fn(steps, bucket or self.img_w)
-                pred, _ = run(
+                run = self._serving_fn(steps, bucket or self.img_w, ctc=ctc)
+                pred, aux = run(
                     self.variables,
                     self._device_batch(raw),
                     self._device_batch(sizes),
@@ -497,6 +510,24 @@ class OCRInference:
                 # np.asarray blocks on device compute while the NEXT chunk
                 # letterboxes in the worker thread (overlap)
                 pred_rows = np.asarray(pred)
+                if ctc:
+                    skip = {
+                        self.charset.pad_id,
+                        self.charset.sos_id,
+                        self.charset.eos_id,
+                        self.charset.ctc_blank_id,
+                    }
+                    valid = np.asarray(aux)
+                    rows = [
+                        pred_rows[j, : valid[j]].tolist()
+                        for j in range(len(idxs))
+                    ]
+                    texts = ids_to_text(
+                        rows, list(self.charset.itos), skip_ids=skip
+                    )
+                    for j, out_idx in enumerate(idxs):
+                        results[out_idx] = texts[j]
+                    continue
                 for j, out_idx in enumerate(idxs):
                     results[out_idx] = decode_tokens(
                         pred_rows[j],

@@ -121,6 +121,15 @@ def test_inference_api_end_to_end(tiny_state, tmp_path):
     assert len(greedy) == 2 and all(isinstance(t, str) for t in greedy)
     beam = ocr.predict_ctc(img, method="beam", beam_width=4)
     assert isinstance(beam, str)
+    # CTC serving path (uint8 letterbox + on-device preprocess + greedy
+    # collapse): identical decode to the host-preprocess CTC path on a
+    # constant image (interpolation-free)
+    serve_ctc = ocr.predict_serving(
+        [img, img], max_length=4, batch_size=2, canvas=(32, 64),
+        method="ctc_greedy",
+    )
+    assert serve_ctc == greedy
+
     # top-k frame pruning (device->host transfer saver): k >= V is exactly
     # the unpruned search; a tight k still returns sane strings
     rng_imgs = [
