@@ -20,7 +20,7 @@ from __future__ import annotations
 import argparse
 import math
 import os
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -83,6 +83,7 @@ def evaluate_model(
     quantize: bool = False,
     serving: bool = False,
     static_quant: bool = False,
+    save_calibration: Optional[str] = None,
 ):
     print("Evaluating model on dataset")
     print(f"  model:   {model_path}")
@@ -113,6 +114,9 @@ def evaluate_model(
         n_cal = min(256, len(image_paths))
         print(f"Calibrating static int8 scales on {n_cal} images ...")
         ocr.calibrate(image_paths[:n_cal], batch_size=min(batch_size, n_cal))
+        if save_calibration:
+            ocr.save_calibration(save_calibration)
+            print(f"Calibrated checkpoint written to: {save_calibration}")
 
     from tqdm import tqdm
 
@@ -220,6 +224,11 @@ def main() -> int:
         help="with --quantize: calibrate static int8 activation scales on "
         "up to 256 eval images (drops the per-conv abs-max pass)",
     )
+    parser.add_argument(
+        "--save-calibration", metavar="PATH", default=None,
+        help="with --static-quant: write a copy of the checkpoint with the "
+        "calibrated scales embedded (re-opens straight onto the static path)",
+    )
     args = parser.parse_args()
 
     if not os.path.exists(args.model):
@@ -249,6 +258,7 @@ def main() -> int:
             quantize=args.quantize or args.static_quant,
             serving=args.serving,
             static_quant=args.static_quant,
+            save_calibration=args.save_calibration,
         )
     except Exception as e:
         print(f"Error: {e}")

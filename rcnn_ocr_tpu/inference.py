@@ -136,6 +136,11 @@ class OCRInference:
             with_ctc_head = arch.get("with_ctc_head", False)
 
         self._model_kwargs = dict(
+            # a checkpoint carrying calibrated scales resumes the static
+            # int8 path directly — no re-calibration on process start
+            act_quant=(
+                "static" if (quantize and "quant_stats" in variables) else "dynamic"
+            ),
             num_classes=self.charset.num_classes,
             hidden_size=int(hidden_size),
             sos_id=self.charset.sos_id,
@@ -337,6 +342,33 @@ class OCRInference:
         self.variables = variables
         self.model = calib_model
         self._jit_cache.clear()  # decode kernels must re-trace the static path
+
+    def save_calibration(self, path: str) -> None:
+        """Persist the calibrated static-int8 scales: writes a copy of the
+        source checkpoint with ``quant_stats`` embedded.  Re-opening that
+        file with ``OCRInference(..., quantize=True)`` activates the static
+        path directly — no re-calibration on process start."""
+        if "quant_stats" not in self.variables:
+            raise ValueError("no calibration recorded; call calibrate() first")
+        from flax import serialization
+
+        from rcnn_ocr_tpu.training.checkpoint import load_checkpoint_blob
+
+        host = jax.tree_util.tree_map(np.asarray, self.variables)
+        if self.model_path.endswith((".pth", ".pt")):
+            # torch sources have no msgpack blob to copy — write bare weights
+            blob: Dict[str, Any] = {}
+        else:
+            blob = dict(load_checkpoint_blob(self.model_path))
+        blob["params"] = serialization.to_state_dict(host["params"])
+        blob["batch_stats"] = serialization.to_state_dict(
+            host.get("batch_stats", {})
+        )
+        blob["quant_stats"] = serialization.to_state_dict(host["quant_stats"])
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.msgpack_serialize(blob))
+        os.replace(tmp, path)
 
     # -- public API --------------------------------------------------------
     def _bucketize(self, images_list: List[ImageLike]) -> List[Tuple[int, Optional[int]]]:

@@ -181,6 +181,9 @@ def load_variables(path: str, template_variables: Optional[Dict[str, Any]] = Non
     if "params" not in blob:
         raise ValueError(f"{path} holds no model parameters")
     variables = {"params": blob["params"], "batch_stats": blob.get("batch_stats", {})}
+    if blob.get("quant_stats"):
+        # calibrated static-int8 activation scales (OCRInference.calibrate)
+        variables["quant_stats"] = blob["quant_stats"]
     if template_variables is not None:
         variables = serialization.from_state_dict(template_variables, variables)
     return variables, blob

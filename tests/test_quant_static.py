@@ -133,3 +133,19 @@ def test_inference_calibrate_api(tmp_path, rng):
     assert isinstance(after, list) and len(after) == 4
     # calibrated on the same inputs -> decisions should agree with dynamic
     assert before == after
+
+    # persistence round-trip: the saved checkpoint re-opens directly on the
+    # static path (no re-calibration) and decodes identically
+    cal_path = str(tmp_path / "calibrated.msgpack")
+    ocr.save_calibration(cal_path)
+    ocr2 = OCRInference(cal_path, quantize=True, dtype=jnp.float32, verbose=False)
+    assert ocr2.model.act_quant == "static"
+    assert "quant_stats" in ocr2.variables
+    assert ocr2.predict(imgs, max_length=4, batch_size=4) == after
+    # uncalibrated error path
+    ocr3 = OCRInference(str(ckpt), quantize=True, dtype=jnp.float32, verbose=False)
+    try:
+        ocr3.save_calibration(str(tmp_path / "x.msgpack"))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
