@@ -128,7 +128,8 @@ def main():
 
         t = max(_time_fn(run, v, x, iters=args.iters) - t_null, 1e-9)
         total += t
-        sol_ms = gmac * 2 * B / 352e9 if gmac else float("nan")
+        # SoL ms = (gmac·1e9 MAC/img · 2 op/MAC · B img) / 352e12 op/s · 1e3
+        sol_ms = gmac * 2 * B / 352.0 if gmac else float("nan")
         print(f"[stage] {name:12s} {t * 1e3:7.2f} ms   "
               f"SoL(conv@352TOPs) {sol_ms:6.2f} ms", file=sys.stderr)
     print(f"[stage] sum {total * 1e3:7.2f} ms (net of floor)", file=sys.stderr)
