@@ -47,7 +47,9 @@ def _load() -> Optional[ctypes.CDLL]:
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH) and os.path.isdir(_NATIVE_DIR):
+        if os.path.isdir(_NATIVE_DIR):
+            # always invoke make: it is a no-op when the .so is current and
+            # rebuilds a stale library after source changes
             _build()
         if not os.path.exists(_SO_PATH):
             return None
@@ -77,6 +79,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_float),
         ]
+        try:
+            lib.rcnn_letterbox_u8.restype = ctypes.c_int64
+            lib.rcnn_letterbox_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+        except AttributeError:
+            # stale library predating letterbox; callers fall back to numpy
+            pass
         _lib = lib
         return _lib
 
@@ -123,6 +140,53 @@ def levenshtein_ids(a: Sequence[int], b: Sequence[int]) -> int:
             len(bb),
         )
     )
+
+
+def letterbox_u8(
+    images: Sequence[np.ndarray],
+    canvas_h: int,
+    canvas_w: int,
+    threads: int = 0,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Thread-pooled batch letterbox: paste HWC uint8 images into a fixed
+    uint8 canvas batch (larger images crop).  Returns ``(canvas [N, H, W, 3],
+    sizes [N, 2])`` or ``None`` when the native library is unavailable or an
+    input is not contiguous HWC uint8 (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rcnn_letterbox_u8"):
+        return None
+    n = len(images)
+    out = np.empty((n, canvas_h, canvas_w, 3), dtype=np.uint8)
+    sizes = np.zeros((n, 2), dtype=np.int32)
+    if n == 0:
+        return out, sizes
+    for img in images:
+        if not (
+            isinstance(img, np.ndarray)
+            and img.dtype == np.uint8
+            and img.ndim == 3
+            and img.shape[2] == 3
+            and img.flags["C_CONTIGUOUS"]
+        ):
+            return None
+    ptrs = (ctypes.c_void_p * n)(*[img.ctypes.data for img in images])
+    hs = np.array([img.shape[0] for img in images], dtype=np.int64)
+    ws = np.array([img.shape[1] for img in images], dtype=np.int64)
+    res = lib.rcnn_letterbox_u8(
+        ptrs,
+        hs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ws.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(canvas_h),
+        int(canvas_w),
+        int(threads),
+    )
+    if res < 0:
+        return None
+    sizes[:, 0] = np.minimum(hs, canvas_h)
+    sizes[:, 1] = np.minimum(ws, canvas_w)
+    return out, sizes
 
 
 def ctc_beam_search_batch(

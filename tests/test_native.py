@@ -67,3 +67,41 @@ def test_native_ctc_beam_lengths():
     got = native.ctc_beam_search_batch(lp, blank=0, beam_width=4, lengths=np.array([2]))
     assert got is not None
     assert got[0][0] == [1]
+
+
+def test_native_letterbox_matches_numpy():
+    """C++ batch letterbox == the numpy paste loop, incl. crop + padding."""
+    import numpy as np
+
+    from rcnn_ocr_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    ch, cw = 24, 48
+    imgs = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for h, w in [(10, 20), (24, 48), (40, 90), (1, 1), (24, 7)]
+    ]
+    got = native.letterbox_u8(imgs, ch, cw)
+    assert got is not None
+    out, sizes = got
+    assert out.shape == (len(imgs), ch, cw, 3)
+    for i, img in enumerate(imgs):
+        h, w = min(img.shape[0], ch), min(img.shape[1], cw)
+        np.testing.assert_array_equal(out[i, :h, :w], img[:h, :w])
+        assert (out[i, :, w:] == 0).all() and (out[i, h:] == 0).all()
+        assert tuple(sizes[i]) == (h, w)
+
+    # unsupported inputs -> None so the caller can fall back
+    assert native.letterbox_u8([imgs[0][:, ::2]], ch, cw) is None  # strided
+    assert native.letterbox_u8([imgs[0].astype(np.float32)], ch, cw) is None
+
+    # host_letterbox facade produces identical results on either path
+    from rcnn_ocr_tpu.ops.preprocess import host_letterbox
+
+    out2, sizes2 = host_letterbox(imgs, ch, cw)
+    np.testing.assert_array_equal(out, out2)
+    np.testing.assert_array_equal(sizes, sizes2)
