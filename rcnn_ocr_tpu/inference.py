@@ -160,6 +160,7 @@ class OCRInference:
             jax.tree_util.tree_map(jnp.asarray, variables),
             self._rep if self._mesh is not None else None,
         )
+        self._itos = list(self.charset.itos)  # decode loops reuse one copy
         self.transform = get_val_transform(img_h, img_w)
         self._bucket_transforms = (
             {w: get_val_transform(img_h, w) for w in self.width_buckets}
@@ -431,7 +432,7 @@ class OCRInference:
                 for j, out_idx in enumerate(chunk_idx):
                     text = decode_tokens(
                         pred[j],
-                        list(self.charset.itos),
+                        self._itos,
                         pad_id=self.charset.pad_id,
                         eos_id=self.charset.eos_id,
                         blank_id=self.charset.blank_id,
@@ -555,7 +556,7 @@ class OCRInference:
                         for j in range(len(idxs))
                     ]
                     texts = ids_to_text(
-                        rows, list(self.charset.itos), skip_ids=skip
+                        rows, self._itos, skip_ids=skip
                     )
                     for j, out_idx in enumerate(idxs):
                         results[out_idx] = texts[j]
@@ -563,7 +564,7 @@ class OCRInference:
                 for j, out_idx in enumerate(idxs):
                     results[out_idx] = decode_tokens(
                         pred_rows[j],
-                        list(self.charset.itos),
+                        self._itos,
                         pad_id=self.charset.pad_id,
                         eos_id=self.charset.eos_id,
                         blank_id=self.charset.blank_id,
@@ -625,6 +626,6 @@ class OCRInference:
                 )
             else:
                 raise ValueError(f"Unsupported decode method: {method}")
-            results.extend(ids_to_text(rows, list(self.charset.itos), skip_ids=skip))
+            results.extend(ids_to_text(rows, self._itos, skip_ids=skip))
 
         return results[0] if is_single else results
