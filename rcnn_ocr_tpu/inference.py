@@ -476,6 +476,7 @@ class OCRInference:
         batch_size: int = 256,
         canvas: Tuple[int, int] = (64, 512),
         method: str = "attention",  # or "ctc_greedy" (needs a CTC head)
+        return_confidence: bool = False,  # attention only (predict() parity)
     ):
         """High-throughput serving decode with on-device preprocessing.
 
@@ -493,6 +494,8 @@ class OCRInference:
         fastest end-to-end configuration together with int8-static).
         """
         ctc = method in ("ctc", "ctc_greedy")
+        if ctc and return_confidence:
+            raise ValueError("return_confidence requires method='attention'")
         if ctc and not self.model.with_ctc_head:
             raise ValueError("this checkpoint has no CTC head")
         if not ctc and method != "attention":
@@ -527,7 +530,7 @@ class OCRInference:
             raw, sizes = host_letterbox(rgb, canvas_h, canvas_w)
             return bucket, idxs, n_real, raw, sizes
 
-        results: List[Optional[str]] = [None] * len(images_list)
+        results: List[Any] = [None] * len(images_list)
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = pool.submit(letterbox_chunk, chunks[0]) if chunks else None
             for k in range(len(chunks)):
@@ -561,14 +564,27 @@ class OCRInference:
                     for j, out_idx in enumerate(idxs):
                         results[out_idx] = texts[j]
                     continue
+                maxp_rows = np.asarray(aux) if return_confidence else None
                 for j, out_idx in enumerate(idxs):
-                    results[out_idx] = decode_tokens(
+                    text = decode_tokens(
                         pred_rows[j],
                         self._itos,
                         pad_id=self.charset.pad_id,
                         eos_id=self.charset.eos_id,
                         blank_id=self.charset.blank_id,
                     )
+                    if return_confidence:
+                        mask = (pred_rows[j] != self.charset.pad_id) & (
+                            pred_rows[j] != self.charset.eos_id
+                        )
+                        conf = (
+                            float(maxp_rows[j][mask].mean())
+                            if mask.sum() > 0
+                            else 0.0
+                        )
+                        results[out_idx] = (text, conf)
+                    else:
+                        results[out_idx] = text
         return results[0] if is_single else results
 
     def predict_ctc(

@@ -121,6 +121,19 @@ def test_inference_api_end_to_end(tiny_state, tmp_path):
     assert len(greedy) == 2 and all(isinstance(t, str) for t in greedy)
     beam = ocr.predict_ctc(img, method="beam", beam_width=4)
     assert isinstance(beam, str)
+    # serving with confidence (predict() parity on the fast path)
+    serve_conf = ocr.predict_serving(
+        [img, img], max_length=4, batch_size=2, canvas=(32, 64),
+        return_confidence=True,
+    )
+    for text, conf in serve_conf:
+        assert isinstance(text, str) and 0.0 <= conf <= 1.0
+    with pytest.raises(ValueError):
+        ocr.predict_serving(
+            img, max_length=4, canvas=(32, 64), method="ctc_greedy",
+            return_confidence=True,
+        )
+
     # CTC serving path (uint8 letterbox + on-device preprocess + greedy
     # collapse): identical decode to the host-preprocess CTC path on a
     # constant image (interpolation-free)
