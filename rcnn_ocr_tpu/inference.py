@@ -467,7 +467,10 @@ class OCRInference:
 
             return self._jit(run, n_batch_args=2)
 
-        return self._cached(("serving", steps, target_w, ctc), build)
+        # the CTC kernel is steps-independent — key it once per width so
+        # different max_length calls reuse the same compilation
+        key_steps = 0 if ctc else steps
+        return self._cached(("serving", key_steps, target_w, ctc), build)
 
     def predict_serving(
         self,
