@@ -97,10 +97,29 @@ def test_training_end_to_end_and_resume(tiny_env):
 
 @pytest.mark.slow
 def test_training_ctc_head(tiny_env):
+    """CRNN configuration: attention-free CTC-only model trains end-to-end
+    and its checkpoint serves through predict_ctc (the reference's dead
+    `load_crnn` path, live here — /root/reference/training/utils.py:70-119)."""
+    import jax.numpy as jnp
+
     exp_dir = str(tiny_env["tmp"] / "exp_ctc")
     cfg = _base_cfg(tiny_env, exp_dir, head="ctc", epochs=1)
     result = run_training(cfg)
     assert np.isfinite(result["val_loss"])
+
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    ocr = OCRInference(
+        os.path.join(exp_dir, "last_ckpt.msgpack"),
+        dtype=jnp.float32,
+        verbose=False,
+    )
+    assert ocr.model.with_ctc_head and not ocr.model.with_attention_head
+    img = np.full((20, 50, 3), 255, np.uint8)
+    out = ocr.predict_ctc([img, img], method="greedy")
+    assert len(out) == 2 and all(isinstance(t, str) for t in out)
+    with pytest.raises(ValueError):
+        ocr.predict(img)  # no attention head on a CRNN checkpoint
 
 
 @pytest.mark.slow
