@@ -495,6 +495,12 @@ class OCRInference:
         ``width_buckets`` (each bucket decodes at its own static width).
         ``method="ctc_greedy"`` decodes through the CTC head instead (the
         fastest end-to-end configuration together with int8-static).
+
+        Note: the on-device resize's resampling kernel differs from the
+        host cv2 path (`ops/preprocess.py` module docstring) — measured
+        ~1.5pt exact-match below host preprocessing on a small synthetic
+        model.  Use ``predict``/``predict_ctc`` when bit-parity with the
+        training-time transform matters more than throughput.
         """
         ctc = method in ("ctc", "ctc_greedy")
         if ctc and return_confidence:
