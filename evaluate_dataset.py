@@ -85,6 +85,10 @@ def evaluate_model(
     static_quant: bool = False,
     save_calibration: Optional[str] = None,
 ):
+    if serving and decode not in ("attention", "ctc_greedy"):
+        raise ValueError(
+            f"--serving supports --decode attention/ctc_greedy, not {decode!r}"
+        )
     print("Evaluating model on dataset")
     print(f"  model:   {model_path}")
     print(f"  charset: {charset_path}")

@@ -321,6 +321,18 @@ class OCRInference:
             )
             return mutated["quant_stats"]
 
+        # seed a zero quant_stats collection up front (via eval_shape — no
+        # compile) so every loop iteration passes the SAME pytree structure
+        # to the jitted recorder; without it the second chunk retraces
+        # (remote compiles here are minutes each)
+        batch_spec = jax.ShapeDtypeStruct(
+            (batch_size, self.img_h, self.img_w, 3), jnp.float32
+        )
+        stats_shapes = jax.eval_shape(record, dict(self.variables), batch_spec)
+        zero_stats = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), stats_shapes
+        )
+
         if self._mesh is None:
             record = jax.jit(record)
         else:
@@ -331,7 +343,7 @@ class OCRInference:
                 out_shardings=self._rep,
             )
 
-        variables = dict(self.variables)
+        variables = {**self.variables, "quant_stats": zero_stats}
         for i in range(0, len(images_list), batch_size):
             chunk = images_list[i : i + batch_size]
             arrays = [self._preprocess(img) for img in chunk]
@@ -357,8 +369,17 @@ class OCRInference:
 
         host = jax.tree_util.tree_map(np.asarray, self.variables)
         if self.model_path.endswith((".pth", ".pt")):
-            # torch sources have no msgpack blob to copy — write bare weights
-            blob: Dict[str, Any] = {}
+            # torch sources have no msgpack blob to copy — embed what this
+            # engine already knows so the file re-opens standalone
+            blob: Dict[str, Any] = {
+                "itos": list(self.charset.itos),
+                "stoi": {str(k): int(v) for k, v in self.charset.stoi.items()},
+                "config": {
+                    "img_h": self.img_h,
+                    "img_w": self.img_w,
+                    "hidden_size": self._model_kwargs["hidden_size"],
+                },
+            }
         else:
             blob = dict(load_checkpoint_blob(self.model_path))
         blob["params"] = serialization.to_state_dict(host["params"])
@@ -372,6 +393,29 @@ class OCRInference:
         os.replace(tmp, path)
 
     # -- public API --------------------------------------------------------
+    def _decode_attention_row(
+        self, pred_row: np.ndarray, maxp_row, return_confidence: bool
+    ):
+        """One attention-decoded row -> text (or (text, confidence)).
+
+        Single definition shared by ``predict`` and ``predict_serving`` so
+        the confidence contract (mean max-softmax over non-PAD/EOS steps)
+        cannot diverge between the two paths."""
+        text = decode_tokens(
+            pred_row,
+            self._itos,
+            pad_id=self.charset.pad_id,
+            eos_id=self.charset.eos_id,
+            blank_id=self.charset.blank_id,
+        )
+        if not return_confidence:
+            return text
+        mask = (pred_row != self.charset.pad_id) & (
+            pred_row != self.charset.eos_id
+        )
+        conf = float(maxp_row[mask].mean()) if mask.sum() > 0 else 0.0
+        return (text, conf)
+
     def _bucketize(self, images_list: List[ImageLike]) -> List[Tuple[int, Optional[int]]]:
         """Assign each image its width bucket (None = single fixed width).
 
@@ -430,21 +474,9 @@ class OCRInference:
                 maxp = np.asarray(maxp)[:n_real]
 
                 for j, out_idx in enumerate(chunk_idx):
-                    text = decode_tokens(
-                        pred[j],
-                        self._itos,
-                        pad_id=self.charset.pad_id,
-                        eos_id=self.charset.eos_id,
-                        blank_id=self.charset.blank_id,
+                    results[out_idx] = self._decode_attention_row(
+                        pred[j], maxp[j], return_confidence
                     )
-                    if return_confidence:
-                        mask = (pred[j] != self.charset.pad_id) & (
-                            pred[j] != self.charset.eos_id
-                        )
-                        conf = float(maxp[j][mask].mean()) if mask.sum() > 0 else 0.0
-                        results[out_idx] = (text, conf)
-                    else:
-                        results[out_idx] = text
 
         return results[0] if is_single else results
 
@@ -494,7 +526,10 @@ class OCRInference:
         thread while the device decodes the current one.  Honors
         ``width_buckets`` (each bucket decodes at its own static width).
         ``method="ctc_greedy"`` decodes through the CTC head instead (the
-        fastest end-to-end configuration together with int8-static).
+        fastest end-to-end configuration together with int8-static);
+        like ``predict_ctc``, the CTC decode has no ``max_length`` notion —
+        output length is bounded by the collapsed frame count, and the
+        ``max_length`` arg only shapes the attention kernel.
 
         Note: the on-device resize's resampling kernel differs from the
         host cv2 path (`ops/preprocess.py` module docstring) — measured
@@ -575,25 +610,11 @@ class OCRInference:
                     continue
                 maxp_rows = np.asarray(aux) if return_confidence else None
                 for j, out_idx in enumerate(idxs):
-                    text = decode_tokens(
+                    results[out_idx] = self._decode_attention_row(
                         pred_rows[j],
-                        self._itos,
-                        pad_id=self.charset.pad_id,
-                        eos_id=self.charset.eos_id,
-                        blank_id=self.charset.blank_id,
+                        maxp_rows[j] if return_confidence else None,
+                        return_confidence,
                     )
-                    if return_confidence:
-                        mask = (pred_rows[j] != self.charset.pad_id) & (
-                            pred_rows[j] != self.charset.eos_id
-                        )
-                        conf = (
-                            float(maxp_rows[j][mask].mean())
-                            if mask.sum() > 0
-                            else 0.0
-                        )
-                        results[out_idx] = (text, conf)
-                    else:
-                        results[out_idx] = text
         return results[0] if is_single else results
 
     def predict_ctc(

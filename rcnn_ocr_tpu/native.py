@@ -27,6 +27,22 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _stale() -> bool:
+    """True when the .so is missing or any C++ source/Makefile is newer."""
+    if not os.path.exists(_SO_PATH):
+        return True
+    so_mtime = os.path.getmtime(_SO_PATH)
+    try:
+        names = os.listdir(_NATIVE_DIR)
+    except OSError:
+        return False
+    for name in names:
+        if name.endswith(".cpp") or name == "Makefile":
+            if os.path.getmtime(os.path.join(_NATIVE_DIR, name)) > so_mtime:
+                return True
+    return False
+
+
 def _build() -> bool:
     try:
         subprocess.run(
@@ -47,9 +63,10 @@ def _load() -> Optional[ctypes.CDLL]:
         if _tried:
             return _lib
         _tried = True
-        if os.path.isdir(_NATIVE_DIR):
-            # always invoke make: it is a no-op when the .so is current and
-            # rebuilds a stale library after source changes
+        if os.path.isdir(_NATIVE_DIR) and _stale():
+            # only shell out to make when the .so is missing or older than a
+            # source file — keeps cold starts subprocess-free and narrows
+            # the concurrent-rebuild window to actual dev-time rebuilds
             _build()
         if not os.path.exists(_SO_PATH):
             return None

@@ -71,3 +71,17 @@ def test_ids_to_tokens_str():
     itos = ["<PAD>", "<SOS>", "a"]
     assert ids_to_tokens_str([1, 2, 0], itos) == "<SOS> a <PAD>"
     assert ids_to_tokens_str([7], itos) == "<UNK:7>"
+
+
+def test_serving_rejects_beam_decode():
+    """--serving only routes attention/ctc_greedy; ctc_beam must error
+    rather than silently evaluating the wrong decode path."""
+    import pytest
+
+    from evaluate_dataset import evaluate_model
+
+    with pytest.raises(ValueError, match="serving"):
+        evaluate_model(
+            model_path="x", charset_path="y", csv_path="z", root_path="r",
+            decode="ctc_beam", serving=True,
+        )

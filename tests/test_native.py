@@ -99,9 +99,21 @@ def test_native_letterbox_matches_numpy():
     assert native.letterbox_u8([imgs[0][:, ::2]], ch, cw) is None  # strided
     assert native.letterbox_u8([imgs[0].astype(np.float32)], ch, cw) is None
 
-    # host_letterbox facade produces identical results on either path
+    # host_letterbox facade == an independently-computed numpy reference
+    # (catches native/numpy divergence regardless of which path it takes)
     from rcnn_ocr_tpu.ops.preprocess import host_letterbox
 
+    ref = np.zeros((len(imgs), ch, cw, 3), np.uint8)
+    ref_sizes = np.zeros((len(imgs), 2), np.int32)
+    for i, img in enumerate(imgs):
+        h, w = min(img.shape[0], ch), min(img.shape[1], cw)
+        ref[i, :h, :w] = img[:h, :w]
+        ref_sizes[i] = (h, w)
     out2, sizes2 = host_letterbox(imgs, ch, cw)
-    np.testing.assert_array_equal(out, out2)
-    np.testing.assert_array_equal(sizes, sizes2)
+    np.testing.assert_array_equal(out2, ref)
+    np.testing.assert_array_equal(sizes2, ref_sizes)
+    # force the numpy fallback (F-order inputs fail the contiguity check)
+    # and assert it matches the same reference
+    out3, sizes3 = host_letterbox([np.asfortranarray(im) for im in imgs], ch, cw)
+    np.testing.assert_array_equal(out3, ref)
+    np.testing.assert_array_equal(sizes3, ref_sizes)

@@ -271,3 +271,42 @@ def test_trained_oracle_decode_agreement(ref_model_cls, tmp_path):
     t_acc = sum(p == t for p, t in zip(t_dec, y_val))
     j_acc = sum(p == t for p, t in zip(j_dec, y_val))
     assert t_acc == j_acc
+
+
+def test_pth_calibration_roundtrip(models, tmp_path):
+    """save_calibration() on a .pth source embeds charset + sizes so the
+    calibrated msgpack re-opens standalone on the static int8 path."""
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    tmodel = models[0]
+    itos = ["<PAD>", "<SOS>", "<EOS>"] + list("abcdefghijk")
+    assert len(itos) == NUM_CLASSES
+    p = tmp_path / "full.pth"
+    torch.save(
+        {
+            "model_state": tmodel.state_dict(),
+            "itos": itos,
+            "stoi": {s: i for i, s in enumerate(itos)},
+            "config": {"hidden_size": HIDDEN, "img_h": 32, "img_w": 64},
+        },
+        p,
+    )
+    ocr = OCRInference(str(p), quantize=True, dtype=jnp.float32, verbose=False)
+    imgs = [
+        np.random.default_rng(s).integers(0, 256, (32, 64, 3)).astype(np.uint8)
+        for s in range(2)
+    ]
+    ocr.calibrate(imgs, batch_size=2)
+    out = tmp_path / "calibrated.msgpack"
+    ocr.save_calibration(str(out))
+
+    # standalone reopen: no charset_path, sizes from the embedded config
+    ocr2 = OCRInference(str(out), quantize=True, dtype=jnp.float32, verbose=False)
+    assert ocr2.model.act_quant == "static"
+    assert ocr2.img_h == 32 and ocr2.img_w == 64
+    assert list(ocr2.charset.itos) == itos
+    assert ocr2.predict(imgs, max_length=4, batch_size=2) == ocr.predict(
+        imgs, max_length=4, batch_size=2
+    )

@@ -17,26 +17,16 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def _fetch(out):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), out)
-
-
-def _time_fn(fn, *args, iters=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    _fetch(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _fetch(out)
-    return (time.perf_counter() - t0) / iters
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _bench_util import fetch as _fetch, time_fn as _time_fn  # noqa: E402
 
 
 def main():
