@@ -565,9 +565,23 @@ class OCRInference:
             for i in range(0, len(indices), batch_size)
         ]
 
+        warned_crop = [False]
+
         def letterbox_chunk(chunk):
             bucket, idxs = chunk
             rgb = [self._to_rgb(images_list[j]) for j in idxs]
+            if not warned_crop[0] and any(
+                im.shape[0] > canvas_h or im.shape[1] > canvas_w for im in rgb
+            ):
+                warned_crop[0] = True
+                import warnings
+
+                warnings.warn(
+                    f"predict_serving: input image(s) exceed the "
+                    f"{canvas_h}x{canvas_w} letterbox canvas and will be "
+                    f"CROPPED — pass canvas=(H, W) covering your data",
+                    stacklevel=3,
+                )
             n_real = len(rgb)
             if n_real < batch_size:
                 rgb += [rgb[-1]] * (batch_size - n_real)
