@@ -533,9 +533,10 @@ class OCRInference:
 
         Note: the on-device resize's resampling kernel differs from the
         host cv2 path (`ops/preprocess.py` module docstring) — measured
-        ~1.5pt exact-match below host preprocessing on a small synthetic
-        model.  Use ``predict``/``predict_ctc`` when bit-parity with the
-        training-time transform matters more than throughput.
+        −0.4pt exact-match at full scale (99.05% → 98.67%, PERF.md demo)
+        and up to −1.5pt on a tiny model.  Use ``predict``/``predict_ctc``
+        when bit-parity with the training-time transform matters more
+        than throughput.
         """
         ctc = method in ("ctc", "ctc_greedy")
         if ctc and return_confidence:
