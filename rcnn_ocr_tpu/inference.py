@@ -565,27 +565,19 @@ class OCRInference:
             for i in range(0, len(indices), batch_size)
         ]
 
-        warned_crop = [False]
+        from rcnn_ocr_tpu.ops.preprocess import host_resize_geometry
 
         def letterbox_chunk(chunk):
             bucket, idxs = chunk
             rgb = [self._to_rgb(images_list[j]) for j in idxs]
-            if not warned_crop[0] and any(
-                im.shape[0] > canvas_h or im.shape[1] > canvas_w for im in rgb
-            ):
-                warned_crop[0] = True
-                import warnings
-
-                warnings.warn(
-                    f"predict_serving: input image(s) exceed the "
-                    f"{canvas_h}x{canvas_w} letterbox canvas and will be "
-                    f"CROPPED — pass canvas=(H, W) covering your data",
-                    stacklevel=3,
-                )
             n_real = len(rgb)
             if n_real < batch_size:
                 rgb += [rgb[-1]] * (batch_size - n_real)
             raw, sizes = host_letterbox(rgb, canvas_h, canvas_w)
+            # host-float64 placed-rect geometry rides along with the sizes
+            # so the device resize is bit-identical to the host transform
+            geom = host_resize_geometry(sizes, self.img_h, bucket or self.img_w)
+            sizes = np.concatenate([sizes, geom], axis=1)
             return bucket, idxs, n_real, raw, sizes
 
         results: List[Any] = [None] * len(images_list)

@@ -66,10 +66,35 @@ def _bilinear_weights(n_out: int, n_src: int, src_len, dst_len, origin):
     return jnp.where(keep, w, 0.0)
 
 
+_warned_crop = False  # once-per-process crop warning (host_letterbox)
+
+
+def host_resize_geometry(sizes, img_h: int, img_w: int):
+    """Per-image placed-rect geometry, matching ``ResizeAndPad`` bit-for-bit.
+
+    Returns int32 ``[B, 3]`` of ``(dst_h, dst_w, y0)`` computed in float64
+    with round-half-even — the same arithmetic the host transform uses.
+    The device kernel's in-kernel float32 fallback can round half-boundary
+    sizes to a different rect (shifting the whole placement one pixel), so
+    exactness-critical callers compute geometry here and pass
+    ``[h, w, dst_h, dst_w, y0]`` rows as ``sizes``.
+    """
+    import numpy as np
+
+    sizes = np.asarray(sizes, dtype=np.int64)
+    h = np.maximum(sizes[:, 0], 1).astype(np.float64)
+    w = np.maximum(sizes[:, 1], 1).astype(np.float64)
+    scale = np.minimum(img_h / h, img_w / w)
+    dst_h = np.maximum(np.rint(h * scale), 1.0).astype(np.int64)
+    dst_w = np.maximum(np.rint(w * scale), 1.0).astype(np.int64)
+    y0 = (img_h - dst_h) // 2
+    return np.stack([dst_h, dst_w, y0], axis=1).astype(np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("img_h", "img_w", "method"))
 def resize_pad_normalize(
     raw: jnp.ndarray,  # [B, Hc, Wc, 3] uint8 host-decoded pixels on a canvas
-    sizes: jnp.ndarray,  # [B, 2] int32 true (h, w) of each image on the canvas
+    sizes: jnp.ndarray,  # [B, 2] int32 (h, w); or [B, 5] with host geometry
     img_h: int,
     img_w: int,
     method: str = "area",
@@ -85,24 +110,39 @@ def resize_pad_normalize(
     weight-matrix matmuls on the MXU) and bilinear for images that grow —
     per image, like :class:`~rcnn_ocr_tpu.data.transforms.ResizeAndPad`.
     ``method="linear"`` is the previous triangle-kernel behavior.
+
+    ``sizes`` may carry 5 columns ``[h, w, dst_h, dst_w, y0]`` (from
+    :func:`host_resize_geometry`) — required for bit-level host parity:
+    the in-kernel float32 geometry can round half-boundary sizes to a
+    rect one pixel off the host's float64 result.
     """
+    if method not in ("area", "linear"):
+        raise ValueError(f"method must be 'area' or 'linear', got {method!r}")
     canvas_h, canvas_w = raw.shape[1], raw.shape[2]
+    has_geometry = sizes.shape[1] >= 5
 
     def one(img: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
         h = jnp.maximum(size[0], 1).astype(jnp.float32)
         w = jnp.maximum(size[1], 1).astype(jnp.float32)
-        scale = jnp.minimum(img_h / h, img_w / w)
-        new_h = jnp.maximum(jnp.round(h * scale), 1.0)
-        new_w = jnp.maximum(jnp.round(w * scale), 1.0)
-        # map the source rect (0,0)-(h,w) onto (y0,0)-(y0+new_h,new_w)
-        y0 = jnp.floor((img_h - new_h) / 2.0)
+        if has_geometry:
+            new_h = size[2].astype(jnp.float32)
+            new_w = size[3].astype(jnp.float32)
+            y0 = size[4].astype(jnp.float32)
+            # the host transform's own interpolation pick: dst < src
+            shrink = (new_h < h) | (new_w < w)
+        else:
+            scale = jnp.minimum(img_h / h, img_w / w)
+            new_h = jnp.maximum(jnp.round(h * scale), 1.0)
+            new_w = jnp.maximum(jnp.round(w * scale), 1.0)
+            # map the source rect (0,0)-(h,w) onto (y0,0)-(y0+new_h,new_w)
+            y0 = jnp.floor((img_h - new_h) / 2.0)
+            shrink = scale < 1.0
         imgf = img.astype(jnp.float32)
         if method == "area":
             # cv2 parity, all on the MXU: INTER_AREA coverage matrices when
             # the image shrinks, clamped-bilinear matrices when it grows
             # (the scale is isotropic, so the whole image does one or the
             # other — exactly ResizeAndPad's interpolation choice)
-            shrink = scale < 1.0
             wh = jnp.where(
                 shrink,
                 _coverage_weights(img_h, canvas_h, h, new_h, y0),
@@ -155,6 +195,19 @@ def host_letterbox(images, canvas_h: int, canvas_w: int) -> Tuple:
     one CPU; the pool scales the memcpy across cores on real hosts).
     """
     import numpy as np
+
+    global _warned_crop
+    if not _warned_crop and any(
+        img.shape[0] > canvas_h or img.shape[1] > canvas_w for img in images
+    ):
+        _warned_crop = True
+        import warnings
+
+        warnings.warn(
+            f"host_letterbox: input image(s) exceed the {canvas_h}x{canvas_w} "
+            f"canvas and will be CROPPED — pass a canvas covering your data",
+            stacklevel=2,
+        )
 
     from rcnn_ocr_tpu import native
 

@@ -122,10 +122,48 @@ def test_area_resize_matches_host_cv2():
     ]
     host = np.stack([(rp(im).astype(np.float32) / 255.0 - 0.5) / 0.5 for im in imgs])
     raw, sizes = host_letterbox(imgs, 60, 160)
+    from rcnn_ocr_tpu.ops.preprocess import host_resize_geometry
+
+    sizes5 = np.concatenate([sizes, host_resize_geometry(sizes, ih, iw)], axis=1)
     dev = np.asarray(
-        resize_pad_normalize(jnp.asarray(raw), jnp.asarray(sizes), ih, iw,
+        resize_pad_normalize(jnp.asarray(raw), jnp.asarray(sizes5), ih, iw,
                              method="area")
     )
     d = np.abs(dev - host)
     # every pixel within one uint8 quantization step of the cv2 pipeline
     assert (d <= 1.0 / 255.0 / 0.5 + 1e-6).all(), d.max()
+
+    # the [B, 2] in-kernel-geometry fallback stays available and close
+    dev2 = np.asarray(
+        resize_pad_normalize(jnp.asarray(raw), jnp.asarray(sizes), ih, iw,
+                             method="area")
+    )
+    assert np.abs(dev2 - host).mean() < 0.01
+
+    # unknown methods must raise, not silently fall back to linear
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        resize_pad_normalize(jnp.asarray(raw), jnp.asarray(sizes), ih, iw,
+                             method="aera")
+
+
+def test_host_geometry_matches_resize_and_pad_half_boundary():
+    """float32 in-kernel geometry rounds 11x88 -> (32,100) to a 12-row rect
+    while the host's float64 gives 13 — host_resize_geometry must agree
+    with ResizeAndPad on exactly these half-boundary sizes."""
+    import numpy as np
+
+    from rcnn_ocr_tpu.data.transforms import ResizeAndPad
+    from rcnn_ocr_tpu.ops.preprocess import host_resize_geometry
+
+    ih, iw = 32, 100
+    cases = [(11, 88), (22, 176), (3, 24), (17, 300), (40, 100), (1, 1)]
+    geom = host_resize_geometry(np.array(cases, np.int32), ih, iw)
+    for (h, w), (dst_h, dst_w, y0) in zip(cases, geom):
+        rp = ResizeAndPad(img_h=ih, img_w=iw)
+        out = rp(np.zeros((h, w, 3), np.uint8))  # black on white canvas
+        rows = np.where((out[:, :, 0] == 0).any(axis=1))[0]
+        cols = np.where((out[:, :, 0] == 0).any(axis=0))[0]
+        assert (rows[0], rows[-1] + 1 - rows[0]) == (y0, dst_h), (h, w)
+        assert cols[-1] + 1 - cols[0] == dst_w, (h, w)
