@@ -218,6 +218,92 @@ def assign_width_buckets(
     return out
 
 
+def optimal_width_buckets(
+    scaled_widths: Sequence[int],
+    k: int,
+    multiple: int = 8,
+    max_width: Optional[int] = None,
+) -> List[int]:
+    """Choose ≤ ``k`` static bucket widths minimizing total right-pad waste.
+
+    TPU-native auto-bucketing: given the height-normalized widths of the
+    actual data, pick the padded widths (rounded up to ``multiple`` — the
+    backbone's W/8 time axis wants multiples of 8) that minimize
+    ``sum_i(bucket(w_i) − w_i)``.  Exact DP over the sorted unique widths:
+    partition them into ≤ k contiguous groups, each padded to its
+    maximum.  O(U²·k) with prefix sums for U unique widths.
+
+    ``max_width`` clamps every width first (images wider than the model's
+    maximum always pad/crop there anyway).
+    """
+
+    def up(w: int) -> int:
+        return ((max(int(w), 1) + multiple - 1) // multiple) * multiple
+
+    widths = [max(1, int(w)) for w in scaled_widths]
+    if max_width is not None:
+        widths = [min(w, int(max_width)) for w in widths]
+    if not widths or k <= 0:
+        raise ValueError("need at least one width and k >= 1")
+
+    uniq = sorted(set(widths))
+    counts = [widths.count(u) for u in uniq]
+    u = len(uniq)
+    if u <= k:
+        return [up(x) for x in uniq]
+
+    # prefix sums for O(1) group cost: images in group (i..j] pad to up(uniq[j])
+    pref_n = [0] * (u + 1)
+    pref_wsum = [0] * (u + 1)
+    for i in range(u):
+        pref_n[i + 1] = pref_n[i] + counts[i]
+        pref_wsum[i + 1] = pref_wsum[i] + counts[i] * uniq[i]
+
+    def cost(i: int, j: int) -> int:  # group covers uniq[i..j] inclusive
+        n = pref_n[j + 1] - pref_n[i]
+        return up(uniq[j]) * n - (pref_wsum[j + 1] - pref_wsum[i])
+
+    INF = float("inf")
+    dp = [[INF] * u for _ in range(k + 1)]
+    cut = [[-1] * u for _ in range(k + 1)]
+    for j in range(u):
+        dp[1][j] = cost(0, j)
+    for g in range(2, k + 1):
+        for j in range(g - 1, u):
+            for m in range(g - 2, j):
+                c = dp[g - 1][m] + cost(m + 1, j)
+                if c < dp[g][j]:
+                    dp[g][j] = c
+                    cut[g][j] = m
+    # backtrack the best ≤ k partition of all U widths
+    best_g = min(range(1, k + 1), key=lambda g: dp[g][u - 1])
+    bounds = []
+    g, j = best_g, u - 1
+    while g >= 1:
+        bounds.append(j)
+        j = cut[g][j]
+        g -= 1
+    buckets = {up(uniq[b]) for b in bounds}
+    if max_width is not None:
+        # rounding-up must not push a bucket past the model's maximum
+        buckets = {min(b, int(max_width)) for b in buckets}
+    return sorted(buckets)
+
+
+def probe_scaled_widths(dataset, img_h: int, num_workers: int = 8) -> List[int]:
+    """Height-normalized width of every sample (header probe, no decode)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from rcnn_ocr_tpu.data.transforms import image_size
+
+    paths = [dataset.sample_path(i) for i in range(len(dataset))]
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        sizes = list(pool.map(image_size, paths))
+    return [
+        max(1, int(round(w * (img_h / max(h, 1))))) for h, w in sizes
+    ]
+
+
 def probe_dataset_buckets(
     dataset,
     img_h: int,

@@ -64,7 +64,9 @@ DEFAULTS: Dict[str, Any] = {
     "compute_dtype": "bfloat16",  # MXU-native compute precision
     "mesh_shape": None,  # e.g. [8] or [4, 2]; None = all devices, data-parallel
     "mesh_axes": ["data"],
-    "width_buckets": None,  # e.g. [64, 128, 192, 256]; None = single img_w
+    # e.g. [64, 128, 192, 256]; an int K derives the K waste-minimizing
+    # widths from the training data (multiples of 8); None = single img_w
+    "width_buckets": None,
     "use_pallas": False,  # XLA fusion currently beats the pallas kernels at these shapes
     "device_augment": False,  # run train augmentation on-device (ops/augment.py)
     "log_every": 50,  # per-step TB scalars every N steps (device fetch cadence)

@@ -257,15 +257,22 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
     # of one global img_w.  Transforms are then chosen per batch by the
     # loader, so datasets carry no baked-in resize width.
     width_buckets = cfg.get("width_buckets")
-    if width_buckets:
+    auto_bucket_k = None
+    if isinstance(width_buckets, int):
+        # "width_buckets": K — derive the K optimal static widths from the
+        # training data itself (waste-minimizing DP, resolved after the
+        # datasets are built)
+        auto_bucket_k = max(1, int(width_buckets))
+    elif width_buckets:
         width_buckets = sorted({int(b) for b in width_buckets})
-        if train_proportions is not None:
-            logger.info(
-                "width_buckets ignored: proportional multi-dataset mixing "
-                "requires fixed-width batches (buckets would break the "
-                "per-batch dataset quotas)"
-            )
-            width_buckets = None
+    if width_buckets and train_proportions is not None:
+        logger.info(
+            "width_buckets ignored: proportional multi-dataset mixing "
+            "requires fixed-width batches (buckets would break the "
+            "per-batch dataset quotas)"
+        )
+        width_buckets = None
+        auto_bucket_k = None
     cfg_dict = cfg.to_dict()
     device_augment = bool(cfg.get("device_augment", False))
 
@@ -348,6 +355,29 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
 
     train_bucket_of = None
     val_bucket_ofs = [None] * len(val_sets)
+    if auto_bucket_k:
+        from rcnn_ocr_tpu.data.loader import (
+            optimal_width_buckets,
+            probe_scaled_widths,
+        )
+
+        scaled = probe_scaled_widths(
+            train_dataset, img_h, num_workers=loader_workers * 4
+        )
+        width_buckets = optimal_width_buckets(
+            scaled, auto_bucket_k, multiple=8, max_width=img_w
+        )
+        from rcnn_ocr_tpu.data.loader import bucket_for_width
+
+        waste = sum(
+            max(0, bucket_for_width(min(w, img_w), width_buckets) - min(w, img_w))
+            for w in scaled
+        )
+        logger.info(
+            f"width_buckets=auto(k={auto_bucket_k}) -> {width_buckets} "
+            f"(right-pad waste {waste / max(sum(scaled), 1):.1%} of content "
+            f"pixels over {len(scaled)} samples)"
+        )
     if width_buckets:
         # one-time header probe of every sample -> per-index bucket width;
         # XLA then compiles one step per bucket (shape-keyed jit cache)

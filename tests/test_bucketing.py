@@ -153,3 +153,101 @@ def test_training_with_width_buckets(tmp_path, tiny_charset):
     m = re.search(r"train_step compilations: (\d+)", log)
     assert m is not None
     assert int(m.group(1)) <= 2  # at most one compile per bucket
+
+
+def test_optimal_width_buckets_dp():
+    """The DP picks the waste-minimizing ≤k partition (checked against
+    brute force over all contiguous partitions) and rounds to multiples."""
+    import itertools
+
+    from rcnn_ocr_tpu.data.loader import optimal_width_buckets
+
+    rng = np.random.default_rng(0)
+
+    def brute(widths, k, multiple, max_width):
+        def up(w):
+            x = ((max(int(w), 1) + multiple - 1) // multiple) * multiple
+            return min(x, max_width) if max_width else x
+
+        widths = [min(max(1, int(w)), max_width) if max_width else int(w)
+                  for w in widths]
+        uniq = sorted(set(widths))
+        best = None
+        for g in range(1, k + 1):
+            if g > len(uniq):
+                break
+            for cuts in itertools.combinations(range(1, len(uniq)), g - 1):
+                parts, lo = [], 0
+                for c in list(cuts) + [len(uniq)]:
+                    parts.append(uniq[lo:c])
+                    lo = c
+                buckets = sorted({up(p[-1]) for p in parts})
+                waste = 0
+                for w in widths:
+                    b = next((b for b in buckets if b >= w), buckets[-1])
+                    waste += max(0, b - w)
+                if best is None or waste < best:
+                    best = waste
+        return best
+
+    for trial in range(6):
+        widths = rng.integers(10, 120, size=20).tolist()
+        k = int(rng.integers(1, 5))
+        got = optimal_width_buckets(widths, k, multiple=8, max_width=128)
+        assert len(got) <= k and all(b % 8 == 0 or b == 128 for b in got)
+        waste = 0
+        for w in widths:
+            w = min(w, 128)
+            b = next((b for b in got if b >= w), got[-1])
+            waste += max(0, b - w)
+        assert waste == brute(widths, k, 8, 128), (trial, widths, k, got)
+
+    # degenerate: fewer unique widths than k
+    assert optimal_width_buckets([30, 30, 50], 4, multiple=8) == [32, 56]
+
+
+def test_training_with_auto_width_buckets(tmp_path, tiny_charset):
+    """"width_buckets": K (an int) derives the buckets from the data."""
+    import csv
+
+    from rcnn_ocr_tpu.training.config import Config
+    from rcnn_ocr_tpu.training.train import run_training
+
+    root = str(tmp_path / "abk")
+    os.makedirs(root)
+    rng = np.random.default_rng(2)
+    rows = []
+    for i in range(24):
+        w = [40, 150][i % 2]
+        label = "ab" if i % 2 else "cd"
+        img = render_text_image(label, h=32, w=w, rng=rng)
+        fname = f"t{i}.png"
+        _write(os.path.join(root, fname), img)
+        rows.append([fname, label])
+    csv_path = os.path.join(root, "labels.csv")
+    with open(csv_path, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    charset_path = str(tmp_path / "charset.txt")
+    with open(charset_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(["<PAD>", "<SOS>", "<EOS>"] + list("abcdefghij")) + "\n")
+
+    exp_dir = str(tmp_path / "exp_auto_buckets")
+    cfg = Config({
+        "train_csvs": [csv_path], "train_roots": [root],
+        "charset_path": charset_path, "exp_dir": exp_dir,
+        "img_h": 32, "img_w": 192, "width_buckets": 2,
+        "max_len": 6, "hidden_size": 32, "width_mult": 0.125,
+        "batch_size": 4, "epochs": 1, "val_size": 8, "seed": 0,
+        "compute_dtype": "float32", "use_pallas": False,
+        "num_workers": 2, "progress": False,
+    })
+    result = run_training(cfg)
+    assert np.isfinite(result["val_loss"])
+    log = open(os.path.join(exp_dir, "train.log"), encoding="utf-8").read()
+    assert "width_buckets=auto(k=2)" in log
+    # two distinct rendered widths -> two derived buckets, both mult-of-8
+    import re
+
+    m = re.search(r"auto\(k=2\) -> \[(\d+), (\d+)\]", log)
+    assert m is not None, log
+    assert all(int(b) % 8 == 0 for b in m.groups())
