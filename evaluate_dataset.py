@@ -101,15 +101,32 @@ def evaluate_model(
     )
     print("-" * 60)
 
-    ocr = OCRInference(
-        model_path, charset_path, device="auto", img_h=img_h, img_w=img_w,
-        width_buckets=width_buckets, quantize=quantize,
-    )
     image_paths, true_texts = load_dataset(csv_path, root_path)
     if max_samples:
         image_paths = image_paths[:max_samples]
         true_texts = true_texts[:max_samples]
     print(f"Found {len(image_paths)} samples")
+
+    if isinstance(width_buckets, str) and width_buckets.startswith("auto"):
+        # "auto" / "auto:K": derive the K waste-minimizing widths from the
+        # eval data itself (same DP the training loop uses)
+        k = int(width_buckets.split(":")[1]) if ":" in width_buckets else 4
+        from rcnn_ocr_tpu.data.loader import optimal_width_buckets
+        from rcnn_ocr_tpu.data.transforms import image_size
+
+        sizes = [image_size(p) for p in image_paths]
+        scaled = [
+            max(1, int(round(w * (img_h / max(h, 1))))) for h, w in sizes
+        ]
+        width_buckets = optimal_width_buckets(
+            scaled, k, multiple=8, max_width=img_w
+        )
+        print(f"Auto width buckets (k={k}): {width_buckets}")
+
+    ocr = OCRInference(
+        model_path, charset_path, device="auto", img_h=img_h, img_w=img_w,
+        width_buckets=width_buckets, quantize=quantize,
+    )
     if not image_paths:
         print("No data to evaluate!")
         return None
@@ -212,7 +229,8 @@ def main() -> int:
     parser.add_argument("--beam-width", type=int, default=16)
     parser.add_argument(
         "--width-buckets", type=str, default=None,
-        help="comma-separated static widths, e.g. 64,128,256 (less pad waste)",
+        help="comma-separated static widths, e.g. 64,128,256 (less pad "
+        "waste); or auto:K to derive K optimal widths from the eval data",
     )
     parser.add_argument(
         "--quantize", action="store_true",
@@ -255,7 +273,9 @@ def main() -> int:
             max_length=args.max_length,
             beam_width=args.beam_width,
             width_buckets=(
-                [int(w) for w in args.width_buckets.split(",")]
+                args.width_buckets
+                if args.width_buckets and args.width_buckets.startswith("auto")
+                else [int(w) for w in args.width_buckets.split(",")]
                 if args.width_buckets
                 else None
             ),
