@@ -106,6 +106,9 @@ def evaluate_model(
         image_paths = image_paths[:max_samples]
         true_texts = true_texts[:max_samples]
     print(f"Found {len(image_paths)} samples")
+    if not image_paths:
+        print("No data to evaluate!")
+        return None
 
     if isinstance(width_buckets, str) and width_buckets.startswith("auto"):
         # "auto" / "auto:K": derive the K waste-minimizing widths from the
@@ -127,9 +130,6 @@ def evaluate_model(
         model_path, charset_path, device="auto", img_h=img_h, img_w=img_w,
         width_buckets=width_buckets, quantize=quantize,
     )
-    if not image_paths:
-        print("No data to evaluate!")
-        return None
     if static_quant:
         # calibrate static int8 activation scales on a data sample
         n_cal = min(256, len(image_paths))

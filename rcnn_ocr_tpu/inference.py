@@ -234,7 +234,9 @@ class OCRInference:
         """Sharded batch dims must tile the data axis evenly."""
         if self._mesh is None:
             return batch_size
-        n = int(np.prod(list(self._mesh.shape.values())))
+        from rcnn_ocr_tpu.parallel.mesh import data_axis
+
+        n = int(self._mesh.shape[data_axis(self._mesh)])
         return max(n, -(-batch_size // n) * n)
 
     def _device_batch(self, arr: np.ndarray):
@@ -426,11 +428,24 @@ class OCRInference:
         if not self.width_buckets:
             return [(i, None) for i in range(len(images_list))]
         from rcnn_ocr_tpu.data.loader import bucket_for_width
+        from rcnn_ocr_tpu.data.transforms import image_size
 
         out = []
         for i, img in enumerate(images_list):
-            rgb = self._to_rgb(img)
-            h, w = rgb.shape[:2]
+            # bucketing only needs (h, w) — header-probe paths instead of
+            # decoding (the one full decode happens downstream in
+            # _preprocess / letterbox_chunk), and read shapes in place for
+            # already-decoded inputs
+            if isinstance(img, str):
+                if not os.path.exists(img):
+                    raise FileNotFoundError(f"Image file not found: {img}")
+                h, w = image_size(img)
+            elif isinstance(img, np.ndarray):
+                h, w = img.shape[:2]
+            elif hasattr(img, "size") and hasattr(img, "convert"):  # PIL
+                w, h = img.size
+            else:
+                h, w = self._to_rgb(img).shape[:2]
             scaled_w = max(1, int(round(w * (self.img_h / max(h, 1)))))
             out.append((i, bucket_for_width(scaled_w, self.width_buckets)))
         return out

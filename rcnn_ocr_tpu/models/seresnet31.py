@@ -128,6 +128,7 @@ class _RawConv(nn.Module):
             and not train
             and self.kernel == (3, 3)
             and tuple(self.strides) == (1, 1)
+            and tuple(map(tuple, padding)) == ((1, 1), (1, 1))
             and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
         ):

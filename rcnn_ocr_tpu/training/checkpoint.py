@@ -185,5 +185,11 @@ def load_variables(path: str, template_variables: Optional[Dict[str, Any]] = Non
         # calibrated static-int8 activation scales (OCRInference.calibrate)
         variables["quant_stats"] = blob["quant_stats"]
     if template_variables is not None:
+        had_quant = "quant_stats" in variables
         variables = serialization.from_state_dict(template_variables, variables)
+        if had_quant and "quant_stats" not in variables:
+            # flax drops collections absent from the template; keep the
+            # calibrated static-int8 scales so a resumed run re-saves them
+            variables = dict(variables)
+            variables["quant_stats"] = blob["quant_stats"]
     return variables, blob

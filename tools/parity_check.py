@@ -73,6 +73,8 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=64, help="number of samples")
     ap.add_argument("--reference", default="/root/reference",
                     help="path to the reference repo (for the torch oracle)")
+    ap.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"],
+                    help="framework compute dtype (torch oracle stays fp32)")
     args = ap.parse_args()
 
     import numpy as np
@@ -83,9 +85,10 @@ def main() -> int:
     from rcnn_ocr_tpu.inference import OCRInference
     from rcnn_ocr_tpu.vocab.charset import decode_tokens
 
+    dtype = jnp.float32 if args.dtype == "fp32" else jnp.bfloat16
     ocr = OCRInference(
         args.ckpt, args.charset, img_h=args.img_h, img_w=args.img_w,
-        dtype=jnp.float32, verbose=False,
+        dtype=dtype, verbose=False,
     )
     cs = ocr.charset
 

@@ -119,6 +119,12 @@ def main() -> int:
         "--resume-from", default=None,
         help="bare state_dict .pth to continue training from (reuses --out data)",
     )
+    ap.add_argument(
+        "--charset", default=None,
+        help="token-per-line charset file (e.g. configs/charset.txt) — trains the "
+        "oracle at that production vocab size; labels are drawn from the "
+        "renderable cv2.putText subset (ASCII alnum) present in the charset",
+    )
     args = ap.parse_args()
 
     import torch
@@ -133,11 +139,26 @@ def main() -> int:
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
 
-    # charset file: specials + alphabet, one token per line
-    tokens = ["<PAD>", "<SOS>", "<EOS>"] + list(ALPHABET)
-    charset_path = os.path.join(out, "charset.txt")
-    with open(charset_path, "w", encoding="utf-8") as f:
-        f.write("\n".join(tokens) + "\n")
+    # charset file: either the supplied production charset, or a minimal
+    # specials + alphabet file, one token per line
+    global ALPHABET
+    if args.charset:
+        tokens = [
+            ln.rstrip("\n") for ln in open(args.charset, encoding="utf-8")
+            if ln.rstrip("\n")
+        ]
+        charset_path = os.path.abspath(args.charset)
+        # cv2.putText only renders ASCII; train labels over the charset's
+        # renderable alnum subset (the model still has the full vocab head)
+        renderable = [t for t in tokens if len(t) == 1 and t.isascii() and t.isalnum()]
+        if not renderable:
+            raise SystemExit(f"charset {args.charset} has no renderable ASCII tokens")
+        ALPHABET = "".join(renderable)
+    else:
+        tokens = ["<PAD>", "<SOS>", "<EOS>"] + list(ALPHABET)
+        charset_path = os.path.join(out, "charset.txt")
+        with open(charset_path, "w", encoding="utf-8") as f:
+            f.write("\n".join(tokens) + "\n")
     charset = Charset.from_tokens(tokens)
 
     train_csv = os.path.join(out, "train", "labels.csv")
