@@ -405,6 +405,11 @@ class MultiDataset:
             return self.datasets[ds_idx][sample_idx]
         return self.datasets[ds_idx].fetch(sample_idx, transform=transform)
 
+    def sample_path(self, index) -> str:
+        """Image path of a ``(ds_idx, sample_idx)`` sample (size probing)."""
+        ds_idx, sample_idx = index
+        return self.datasets[ds_idx].sample_path(sample_idx)
+
     def __len__(self) -> int:
         return sum(len(ds) for ds in self.datasets)
 

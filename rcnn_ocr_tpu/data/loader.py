@@ -20,7 +20,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -100,7 +100,10 @@ class DataLoader:
         self.with_ctc = with_ctc
         self.prefetch = max(1, prefetch)
         self.drop_invalid = drop_invalid
-        # width bucketing: bucket_of[i] = padded width for dataset index i;
+        # width bucketing: bucket_of[i] = padded width for dataset index i
+        # (a sequence for flat int indices, or a mapping for MultiDataset's
+        # (ds, idx) tuple indices — samplers guarantee the FIRST index of
+        # every batch is native to the batch's bucket);
         # transform_for_width(w) builds the per-bucket resize transform
         # (memoized — one transform object per distinct bucket width)
         self.bucket_of = bucket_of
@@ -324,6 +327,128 @@ def probe_dataset_buckets(
     with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
         sizes = list(pool.map(image_size, paths))
     return assign_width_buckets(sizes, img_h, buckets)
+
+
+class BucketedProportionalBatchSampler:
+    """Proportional multi-dataset mixing where every batch is single-bucket.
+
+    Composes the two sequence-scaling features the reference keeps separate
+    (`/root/reference/data/dataset.py:299-334` fixed-width proportional
+    sampler; SURVEY.md §5.7 width bucketing): each batch holds exactly
+    ``round(batch_size * prop_d)`` samples from dataset ``d`` (the reference
+    sampler's contract) while ALL samples in a batch share one static padded
+    width, so XLA still compiles at most ``len(buckets)`` train-step shapes.
+
+    Mechanics:
+
+    * one endless shuffled index stream per non-empty ``(dataset, bucket)``
+      pool — every sample of a pool is seen once per pass before reshuffle;
+    * each batch's bucket is drawn from the proportion-weighted bucket mass
+      ``P(b) ∝ Σ_d prop_d · |pool[d][b]| / |dataset_d|`` — in expectation
+      each dataset's internal width distribution is followed as closely as
+      the single-bucket constraint allows;
+    * when dataset ``d`` has no samples in the drawn bucket, its quota is
+      filled from ``d``'s nearest non-empty bucket (the per-batch transform
+      resizes them to the batch width — same geometry any fixed-width run
+      applies to every sample);
+    * yielded batches lead with a native-bucket sample: the loader reads the
+      batch width from ``bucket_of[indices[0]]`` (see :class:`DataLoader`),
+      so substitutes never define the batch shape.
+
+    Epoch length matches :class:`ProportionalBatchSampler` (min full passes
+    over any proportioned dataset).
+    """
+
+    def __init__(
+        self,
+        datasets,
+        batch_size: int,
+        proportions,
+        bucket_ofs: Sequence[Sequence[int]],  # per dataset: bucket width per sample
+        seed: Optional[int] = None,
+    ):
+        if abs(sum(proportions) - 1.0) >= 1e-6:
+            raise ValueError("proportions must sum to 1")
+        if len(bucket_ofs) != len(datasets):
+            raise ValueError("bucket_ofs must align with datasets")
+        self.datasets = list(datasets)
+        self.batch_size = batch_size
+        self.proportions = list(proportions)
+        self._rng = np.random.default_rng(seed)
+        self._quotas = [int(round(batch_size * p)) for p in proportions]
+        self.buckets = sorted({int(b) for bo in bucket_ofs for b in bo})
+
+        self._pools: List[Dict[int, np.ndarray]] = []
+        for bo in bucket_ofs:
+            pools: Dict[int, np.ndarray] = {}
+            arr = np.asarray(list(bo), dtype=np.int64)
+            for b in self.buckets:
+                members = np.nonzero(arr == b)[0]
+                if len(members):
+                    pools[b] = members
+            self._pools.append(pools)
+
+        # bucket chosen per batch ∝ proportion-weighted sample mass
+        mass = np.array([
+            sum(
+                p * len(pools.get(b, ())) / max(1, len(ds))
+                for p, pools, ds in zip(self.proportions, self._pools, self.datasets)
+            )
+            for b in self.buckets
+        ])
+        if mass.sum() <= 0:
+            raise ValueError("no samples in any bucket")
+        self._bucket_p = mass / mass.sum()
+
+        self._streams: List[Dict[int, Iterator[int]]] = [
+            {b: self._endless_shuffle(members) for b, members in pools.items()}
+            for pools in self._pools
+        ]
+        # natural bucket of every (ds, idx) — the loader's width lookup
+        self.bucket_of: Dict[Tuple[int, int], int] = {
+            (d, int(i)): int(b)
+            for d, bo in enumerate(bucket_ofs)
+            for i, b in enumerate(bo)
+        }
+
+    def _endless_shuffle(self, members: np.ndarray) -> Iterator[int]:
+        while True:
+            for i in self._rng.permutation(len(members)):
+                yield int(members[i])
+
+    def _nearest_pool(self, d: int, bucket: int) -> int:
+        """Nearest non-empty bucket of dataset ``d`` (ties -> smaller)."""
+        have = sorted(self._pools[d])
+        return min(have, key=lambda b: (abs(b - bucket), b))
+
+    def __iter__(self):
+        for _ in range(len(self)):
+            bucket = int(
+                self._rng.choice(np.asarray(self.buckets), p=self._bucket_p)
+            )
+            native: List[Tuple[int, int]] = []
+            borrowed: List[Tuple[int, int]] = []
+            for d, quota in enumerate(self._quotas):
+                if quota <= 0:
+                    continue
+                if bucket in self._streams[d]:
+                    stream = self._streams[d][bucket]
+                    native.extend((d, next(stream)) for _ in range(quota))
+                else:
+                    stream = self._streams[d][self._nearest_pool(d, bucket)]
+                    borrowed.extend((d, next(stream)) for _ in range(quota))
+            # mass[b] > 0 guarantees at least one dataset has a native pool
+            head = native[int(self._rng.integers(len(native)))]
+            rest = [s for s in native if s is not head] + borrowed
+            order = self._rng.permutation(len(rest))
+            yield [head] + [rest[i] for i in order]
+
+    def __len__(self) -> int:
+        return min(
+            len(ds) // max(1, quota)
+            for ds, quota, prop in zip(self.datasets, self._quotas, self.proportions)
+            if prop > 0
+        )
 
 
 class BucketedBatchSampler:

@@ -265,14 +265,6 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         auto_bucket_k = max(1, int(width_buckets))
     elif width_buckets:
         width_buckets = sorted({int(b) for b in width_buckets})
-    if width_buckets and train_proportions is not None:
-        logger.info(
-            "width_buckets ignored: proportional multi-dataset mixing "
-            "requires fixed-width batches (buckets would break the "
-            "per-batch dataset quotas)"
-        )
-        width_buckets = None
-        auto_bucket_k = None
     cfg_dict = cfg.to_dict()
     device_augment = bool(cfg.get("device_augment", False))
 
@@ -355,45 +347,61 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
 
     train_bucket_of = None
     val_bucket_ofs = [None] * len(val_sets)
-    if auto_bucket_k:
+    if auto_bucket_k or width_buckets:
         from rcnn_ocr_tpu.data.loader import (
+            BucketedProportionalBatchSampler,
+            bucket_for_width,
             optimal_width_buckets,
             probe_scaled_widths,
         )
 
-        scaled = probe_scaled_widths(
-            train_dataset, img_h, num_workers=loader_workers * 4
-        )
-        width_buckets = optimal_width_buckets(
-            scaled, auto_bucket_k, multiple=8, max_width=img_w
-        )
-        from rcnn_ocr_tpu.data.loader import bucket_for_width
-
-        waste = sum(
-            max(0, bucket_for_width(min(w, img_w), width_buckets) - min(w, img_w))
-            for w in scaled
-        )
-        logger.info(
-            f"width_buckets=auto(k={auto_bucket_k}) -> {width_buckets} "
-            f"(right-pad waste {waste / max(sum(scaled), 1):.1%} of content "
-            f"pixels over {len(scaled)} samples)"
-        )
-    if width_buckets:
-        # one-time header probe of every sample -> per-index bucket width;
-        # XLA then compiles one step per bucket (shape-keyed jit cache)
-        train_bucket_of = probe_dataset_buckets(
-            train_dataset, img_h, width_buckets, num_workers=loader_workers * 4
-        )
-        train_sampler = BucketedBatchSampler(
-            train_bucket_of, batch_size, shuffle=True, seed=seed
-        )
+        # one-time header probe of every sample, per source dataset (works
+        # for both the flat-index and the (ds, idx)-tuple sampler cases)
+        per_ds_scaled = [
+            probe_scaled_widths(ds, img_h, num_workers=loader_workers * 4)
+            for ds in train_sets
+        ]
+        all_scaled = [w for ws in per_ds_scaled for w in ws]
+        if auto_bucket_k:
+            width_buckets = optimal_width_buckets(
+                all_scaled, auto_bucket_k, multiple=8, max_width=img_w
+            )
+            waste = sum(
+                max(0, bucket_for_width(min(w, img_w), width_buckets) - min(w, img_w))
+                for w in all_scaled
+            )
+            logger.info(
+                f"width_buckets=auto(k={auto_bucket_k}) -> {width_buckets} "
+                f"(right-pad waste {waste / max(sum(all_scaled), 1):.1%} of "
+                f"content pixels over {len(all_scaled)} samples)"
+            )
+        # XLA compiles one train step per bucket (shape-keyed jit cache)
+        per_ds_bucket_of = [
+            [bucket_for_width(w, width_buckets) for w in ws]
+            for ws in per_ds_scaled
+        ]
+        if train_proportions is not None:
+            # bucket-aware quota sampler: per-batch dataset proportions hold
+            # while every batch stays single-bucket (SURVEY.md §5.7 +
+            # the reference's proportional mixing, composed)
+            train_sampler = BucketedProportionalBatchSampler(
+                train_sets, batch_size, proportions, per_ds_bucket_of, seed=seed
+            )
+            train_bucket_of = train_sampler.bucket_of
+            flat_buckets = [b for bo in per_ds_bucket_of for b in bo]
+        else:
+            train_bucket_of = per_ds_bucket_of[0] if len(train_sets) == 1 else [
+                b for bo in per_ds_bucket_of for b in bo
+            ]
+            train_sampler = BucketedBatchSampler(
+                train_bucket_of, batch_size, shuffle=True, seed=seed
+            )
+            flat_buckets = list(train_bucket_of)
         val_bucket_ofs = [
             probe_dataset_buckets(vs, img_h, width_buckets, num_workers=loader_workers * 4)
             for vs in val_sets
         ]
-        hist = {
-            w: train_bucket_of.count(w) for w in sorted(set(train_bucket_of))
-        }
+        hist = {w: flat_buckets.count(w) for w in sorted(set(flat_buckets))}
         logger.info(f"Width buckets {width_buckets}: train histogram {hist}")
 
     train_loader = DataLoader(
