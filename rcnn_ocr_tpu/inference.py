@@ -35,8 +35,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rcnn_ocr_tpu.data.transforms import ensure_rgb, get_val_transform, imread_cv2
+from rcnn_ocr_tpu.data.transforms import ResizeAndPad, ensure_rgb, imread_cv2
 from rcnn_ocr_tpu.models import RCNN
+from rcnn_ocr_tpu.ops.augment import device_normalize
 from rcnn_ocr_tpu.ops.ctc import ctc_beam_search, ctc_greedy_decode_jnp, ids_to_text
 from rcnn_ocr_tpu.vocab.charset import Charset, decode_tokens
 
@@ -161,9 +162,12 @@ class OCRInference:
             self._rep if self._mesh is not None else None,
         )
         self._itos = list(self.charset.itos)  # decode loops reuse one copy
-        self.transform = get_val_transform(img_h, img_w)
+        # host side only resize-pads to uint8; every decode kernel starts
+        # with device_normalize, so the host->device link carries 4x fewer
+        # bytes with bit-identical numerics (fp32 normalize either side)
+        self.transform = ResizeAndPad(img_h=img_h, img_w=img_w)
         self._bucket_transforms = (
-            {w: get_val_transform(img_h, w) for w in self.width_buckets}
+            {w: ResizeAndPad(img_h=img_h, img_w=w) for w in self.width_buckets}
             if self.width_buckets
             else None
         )
@@ -248,7 +252,8 @@ class OCRInference:
         def build():
             def run(variables, images):
                 logits = self.model.apply(
-                    variables, images, train=False, batch_max_length=steps - 1
+                    variables, device_normalize(images), train=False,
+                    batch_max_length=steps - 1,
                 )
                 probs = jax.nn.softmax(logits, axis=-1)
                 pred = jnp.argmax(logits, axis=-1)
@@ -270,7 +275,8 @@ class OCRInference:
         def build():
             def run(variables, images):
                 logits = self.model.apply(
-                    variables, images, train=False, method=self.model.ctc_logits
+                    variables, device_normalize(images), train=False,
+                    method=self.model.ctc_logits,
                 )
                 if greedy:
                     tokens, valid = ctc_greedy_decode_jnp(
@@ -286,6 +292,33 @@ class OCRInference:
             return self._jit(run)
 
         return self._cached(("ctc", greedy, prune_k), build)
+
+    def _ctc_beam_device_fn(self, beam_width: int, prune_k: int):
+        """Whole-beam-on-device kernel: encoder -> CTC log-probs -> top-k
+        frame pruning -> vectorized prefix beam search, one jit.  Only the
+        final [B, T] labels + lengths cross the device->host link (the host
+        path ships [B, T, k] frames and loops the search on one core)."""
+
+        def build():
+            from rcnn_ocr_tpu.ops.ctc import ctc_beam_search_jax
+
+            def run(variables, images):
+                logits = self.model.apply(
+                    variables, device_normalize(images), train=False,
+                    method=self.model.ctc_logits,
+                )
+                log_probs = jax.nn.log_softmax(logits, axis=-1)
+                vals, idx = jax.lax.top_k(log_probs, prune_k)
+                labels, lens, _ = ctc_beam_search_jax(
+                    vals, idx.astype(jnp.int32),
+                    blank_id=self.charset.ctc_blank_id,
+                    beam_width=beam_width,
+                )
+                return labels, lens
+
+            return self._jit(run)
+
+        return self._cached(("ctc_beam_dev", beam_width, prune_k), build)
 
     # -- static activation calibration --------------------------------------
     def calibrate(self, images: Union[ImageLike, List[ImageLike]], batch_size: int = 32) -> None:
@@ -316,7 +349,7 @@ class OCRInference:
         def record(variables, batch):
             _, mutated = calib_model.apply(
                 variables,
-                batch,
+                device_normalize(batch),
                 train=False,
                 method=calib_model.encode,
                 mutable=["quant_stats"],
@@ -328,7 +361,7 @@ class OCRInference:
         # to the jitted recorder; without it the second chunk retraces
         # (remote compiles here are minutes each)
         batch_spec = jax.ShapeDtypeStruct(
-            (batch_size, self.img_h, self.img_w, 3), jnp.float32
+            (batch_size, self.img_h, self.img_w, 3), jnp.uint8
         )
         stats_shapes = jax.eval_shape(record, dict(self.variables), batch_spec)
         zero_stats = jax.tree_util.tree_map(
@@ -644,9 +677,18 @@ class OCRInference:
         batch_size: int = 32,
         method: str = "greedy",
         beam_width: int = 16,
-        prune_k: int = 16,  # beam: top-k frame candidates fetched (0 = full V)
+        prune_k: int = 16,  # beam: top-k frame candidates considered (0 = full V)
+        device_beam: bool = True,
     ):
-        """CTC decode via the shared-encoder CTC head."""
+        """CTC decode via the shared-encoder CTC head.
+
+        ``method="beam"`` runs the prefix beam search ON DEVICE by default
+        (``ctc_beam_search_jax`` fused behind the encoder — batch-parallel,
+        only [B, T] labels cross the link).  ``device_beam=False`` restores
+        the host search (C++ trie beam over shipped top-k frames), which is
+        also the fallback when ``prune_k`` is 0 (the device kernel needs a
+        static candidate count).
+        """
         if not self.model.with_ctc_head:
             raise ValueError("this checkpoint has no CTC head")
         is_single = not isinstance(images, list)
@@ -669,28 +711,37 @@ class OCRInference:
                 rows = [tokens[b, : valid[b]].tolist() for b in range(n_real)]
             elif method == "beam":
                 k = min(prune_k, self.charset.num_classes) if prune_k else 0
-                if k:
-                    vals, idx = self._ctc_fn(False, k)(self.variables, batch)
-                    vals, idx = np.asarray(vals), np.asarray(idx)
-                    # rebuild a (pruned) dense frame matrix on the host: the
-                    # dropped tail is ~e^-10 likelihood, far below anything a
-                    # width-`beam_width` search would keep
-                    log_probs = np.full(
-                        (n_real, vals.shape[1], self.charset.num_classes),
-                        -1e30,
-                        np.float32,
+                if k and device_beam:
+                    tokens, valid = self._ctc_beam_device_fn(beam_width, k)(
+                        self.variables, batch
                     )
-                    np.put_along_axis(log_probs, idx[:n_real], vals[:n_real], -1)
+                    tokens, valid = np.asarray(tokens), np.asarray(valid)
+                    rows = [tokens[b, : valid[b]].tolist() for b in range(n_real)]
                 else:
-                    log_probs = np.asarray(
-                        self._ctc_fn(False)(self.variables, batch)
-                    )[:n_real]
-                rows, _ = ctc_beam_search(
-                    log_probs,
-                    blank_id=self.charset.ctc_blank_id,
-                    beam_width=beam_width,
-                    already_log_probs=True,
-                )
+                    if k:
+                        vals, idx = self._ctc_fn(False, k)(self.variables, batch)
+                        vals, idx = np.asarray(vals), np.asarray(idx)
+                        # rebuild a (pruned) dense frame matrix on the host:
+                        # the dropped tail is ~e^-10 likelihood, far below
+                        # anything a width-`beam_width` search would keep
+                        log_probs = np.full(
+                            (n_real, vals.shape[1], self.charset.num_classes),
+                            -1e30,
+                            np.float32,
+                        )
+                        np.put_along_axis(
+                            log_probs, idx[:n_real], vals[:n_real], -1
+                        )
+                    else:
+                        log_probs = np.asarray(
+                            self._ctc_fn(False)(self.variables, batch)
+                        )[:n_real]
+                    rows, _ = ctc_beam_search(
+                        log_probs,
+                        blank_id=self.charset.ctc_blank_id,
+                        beam_width=beam_width,
+                        already_log_probs=True,
+                    )
             else:
                 raise ValueError(f"Unsupported decode method: {method}")
             results.extend(ids_to_text(rows, self._itos, skip_ids=skip))

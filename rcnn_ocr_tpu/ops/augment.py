@@ -153,6 +153,21 @@ def invert_batch(images: jnp.ndarray, key: jax.Array, p: float = 0.0) -> jnp.nda
     return jnp.where(apply[:, None, None, None], 1.0 - images, images)
 
 
+def device_normalize(images: jnp.ndarray) -> jnp.ndarray:
+    """uint8 NHWC batch -> normalized [-1, 1] float32, on device.
+
+    The no-augmentation mirror of
+    :func:`rcnn_ocr_tpu.data.transforms.normalize_unit` — identical fp32
+    ops, so device- and host-normalized batches are bit-identical.  Ships
+    resize-padded uint8 across the host->device link (4x fewer bytes than
+    normalized float32); float inputs pass through unchanged so callers
+    stay compatible with host-normalized batches.
+    """
+    if images.dtype == jnp.uint8:
+        return (images.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+    return images
+
+
 def device_train_augment(
     images_u8: jnp.ndarray,  # [B, H, W, C] uint8 (resize-padded on host)
     key: jax.Array,

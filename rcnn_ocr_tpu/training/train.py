@@ -42,7 +42,7 @@ from rcnn_ocr_tpu.data.loader import (
     DataLoader,
     probe_dataset_buckets,
 )
-from rcnn_ocr_tpu.data.transforms import get_train_transform, get_val_transform
+from rcnn_ocr_tpu.data.transforms import ResizeAndPad, get_train_transform
 from rcnn_ocr_tpu.models import RCNN
 from rcnn_ocr_tpu.parallel.mesh import (
     batch_sharding,
@@ -272,13 +272,13 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         if device_augment:
             # host only resize-pads to uint8; affine/brightness/invert/
             # normalize run fused on-device inside the train step
-            from rcnn_ocr_tpu.data.transforms import ResizeAndPad
-
             return ResizeAndPad(img_h=img_h, img_w=w)
         return get_train_transform(cfg_dict, img_h=img_h, img_w=w)
 
     train_transform = train_transform_for(img_w)
-    val_transform = get_val_transform(img_h, img_w)
+    # validation ships resize-padded uint8; eval_step normalizes on device
+    # (same 4x host->device byte saving as device_augment on the train side)
+    val_transform = ResizeAndPad(img_h=img_h, img_w=img_w)
     if device_augment:
         logger.info("Augmentation: on-device (batched affine/B-C/invert under jit)")
 
@@ -430,7 +430,9 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
             with_ctc=with_ctc,
             bucket_of=vb,
             transform_for_width=(
-                (lambda w: get_val_transform(img_h, w)) if vb is not None else None
+                (lambda w: ResizeAndPad(img_h=img_h, img_w=w))
+                if vb is not None
+                else None
             ),
         )
         for vs, vb in zip(val_sets, val_bucket_ofs)

@@ -174,7 +174,12 @@ def make_eval_step(
 
     @jax.jit
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        from rcnn_ocr_tpu.ops.augment import device_normalize
+
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # val batches arrive as resize-padded uint8 (4x less host->device
+        # traffic); normalize fuses into the stem here
+        batch = {**batch, "image": device_normalize(batch["image"])}
         out = {}
         if head in ("attention", "both"):
             tf_logits = model.apply(

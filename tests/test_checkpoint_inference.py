@@ -151,9 +151,19 @@ def test_inference_api_end_to_end(tiny_state, tmp_path):
     ]
     full = ocr.predict_ctc(rng_imgs, method="beam", beam_width=4, prune_k=0)
     exact_k = ocr.predict_ctc(
-        rng_imgs, method="beam", beam_width=4, prune_k=len(TOKENS)
+        rng_imgs, method="beam", beam_width=4, prune_k=len(TOKENS),
+        device_beam=False,
     )
     assert exact_k == full
+    # device beam vs host beam at the SAME top-k pruning: identical candidate
+    # sets and identical missing-class semantics -> identical decodes (the
+    # unpruned `full` host run can differ on this near-uniform random-weight
+    # model, where blank legitimately falls outside the top-k of a frame)
+    dev = ocr.predict_ctc(rng_imgs, method="beam", beam_width=4, prune_k=5)
+    host_k = ocr.predict_ctc(
+        rng_imgs, method="beam", beam_width=4, prune_k=5, device_beam=False
+    )
+    assert dev == host_k
     tight = ocr.predict_ctc(rng_imgs, method="beam", beam_width=4, prune_k=3)
     assert len(tight) == 3 and all(isinstance(t, str) for t in tight)
 
@@ -247,3 +257,43 @@ def test_hpo_builtin_driver(tmp_path):
     assert out["best_params"] is not None
     assert os.path.exists(tmp_path / "t_results.json")
     assert all(p["hidden_size"] in (16, 32) for p in calls)
+
+
+def test_uint8_ship_matches_float_ship(tiny_state, tmp_path):
+    """The greedy/CTC kernels produce identical decodes whether the batch
+    arrives as resize-padded uint8 (the shipped default) or as the
+    host-normalized float batch of rounds 1-2."""
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.data.transforms import normalize_unit
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    model, state, _ = tiny_state
+    charset_path = tmp_path / "cs.txt"
+    charset_path.write_text("\n".join(TOKENS) + "\n", encoding="utf-8")
+    ckpt_path = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(ckpt_path, state)
+    ocr = OCRInference(
+        ckpt_path, str(charset_path), img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+
+    rng = np.random.default_rng(1)
+    u8 = np.stack([
+        ocr._preprocess(rng.integers(0, 256, (20, 50, 3)).astype(np.uint8))
+        for _ in range(2)
+    ])
+    assert u8.dtype == np.uint8  # host side ships unnormalized uint8 now
+    f32 = normalize_unit(u8)
+
+    run = ocr._greedy_fn(5)
+    pred_u8, maxp_u8 = run(ocr.variables, jnp.asarray(u8))
+    pred_f32, maxp_f32 = run(ocr.variables, jnp.asarray(f32))
+    assert np.array_equal(np.asarray(pred_u8), np.asarray(pred_f32))
+    assert np.array_equal(np.asarray(maxp_u8), np.asarray(maxp_f32))
+
+    ctc = ocr._ctc_fn(True)
+    t_u8, v_u8 = ctc(ocr.variables, jnp.asarray(u8))
+    t_f32, v_f32 = ctc(ocr.variables, jnp.asarray(f32))
+    assert np.array_equal(np.asarray(t_u8), np.asarray(t_f32))
+    assert np.array_equal(np.asarray(v_u8), np.asarray(v_f32))

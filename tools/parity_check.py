@@ -138,9 +138,14 @@ def main() -> int:
         args.reference, cs.num_classes, ocr.model.hidden_size,
         cs.sos_id, cs.eos_id, cs.pad_id, cs.blank_id, sd,
     )
+    t_in = batch
+    if t_in.dtype == np.uint8:
+        # the framework ships resize-padded uint8 and normalizes on device;
+        # the torch oracle needs the same normalize applied host-side
+        t_in = (t_in.astype(np.float32) / 255.0 - 0.5) / 0.5
     with torch.no_grad():
         t_logits = tmodel(
-            torch.from_numpy(batch.transpose(0, 3, 1, 2)),
+            torch.from_numpy(t_in.transpose(0, 3, 1, 2)),
             is_train=False, batch_max_length=args.max_length,
         ).numpy()
     theirs = [
