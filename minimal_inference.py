@@ -2,24 +2,51 @@
 `minimal_inference.py`: load a checkpoint + charset, predict one image.
 
 Works with this framework's msgpack checkpoints *and* the reference's
-.pth checkpoints (imported on the fly).  ``--quantize`` runs the int8
-serving path (the benchmark headline configuration).
+.pth checkpoints (imported on the fly).  Flags mirror the eval CLI:
+``--quantize`` runs the int8 serving path (the benchmark headline
+configuration), ``--serving`` the on-device-preprocess pipeline,
+``--width-buckets 64,128`` or ``auto[:K]`` bucketed decode, and
+``--img-h/--img-w`` override the checkpoint's training size.
 """
 
-import sys
+import argparse
 
 from rcnn_ocr_tpu.inference import OCRInference
 
 
-def main():
-    argv = [a for a in sys.argv[1:] if a != "--quantize"]
-    quantize = "--quantize" in sys.argv[1:]
-    model_path = argv[0] if len(argv) > 0 else "exp1/best_acc_weights.msgpack"
-    charset_path = argv[1] if len(argv) > 1 else "configs/charset.txt"
-    image_path = argv[2] if len(argv) > 2 else "test.png"
+def parse_buckets(spec):
+    if spec is None or spec.startswith("auto"):
+        return spec
+    return [int(b) for b in spec.split(",") if b]
 
-    ocr = OCRInference(model_path, charset_path, device="auto", quantize=quantize)
-    text = ocr.predict(image_path)
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("model", nargs="?", default="exp1/best_acc_weights.msgpack")
+    ap.add_argument("charset", nargs="?", default="configs/charset.txt")
+    ap.add_argument("image", nargs="?", default="test.png")
+    ap.add_argument("--quantize", action="store_true", help="int8 serving path")
+    ap.add_argument(
+        "--serving", action="store_true",
+        help="predict_serving: uint8 letterbox + on-device preprocess",
+    )
+    ap.add_argument(
+        "--width-buckets", default=None,
+        help="comma list (64,128) or auto[:K] — decode at bucketed widths",
+    )
+    ap.add_argument("--img-h", type=int, default=None)
+    ap.add_argument("--img-w", type=int, default=None)
+    args = ap.parse_args()
+
+    ocr = OCRInference(
+        args.model, args.charset, device="auto", quantize=args.quantize,
+        img_h=args.img_h, img_w=args.img_w,
+        width_buckets=parse_buckets(args.width_buckets),
+    )
+    if args.serving:
+        text = ocr.predict_serving(args.image, canvas="auto")
+    else:
+        text = ocr.predict(args.image)
     print(f"Result: '{text}'")
 
 

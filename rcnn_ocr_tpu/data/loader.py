@@ -329,6 +329,44 @@ def probe_dataset_buckets(
     return assign_width_buckets(sizes, img_h, buckets)
 
 
+class ProcessShardedBatchSampler:
+    """Per-process view of a replicated global batch sampler (multi-host DP).
+
+    Every process builds the SAME underlying sampler (identical seed), so
+    the global batch sequence is common knowledge; this wrapper keeps only
+    the contiguous row block that maps to this process's addressable
+    devices under the data-axis sharding (process ``p`` of ``P`` gets rows
+    ``[p*B/P, (p+1)*B/P)`` of each global batch).  Feed the local rows
+    through :func:`rcnn_ocr_tpu.parallel.mesh.make_process_local_batch`.
+
+    Width-bucketed samplers are not composable with this wrapper (the
+    loader reads the batch width from the batch's first index, which a
+    non-lead slice does not control) — ``run_training`` rejects that
+    combination explicitly.
+    """
+
+    def __init__(self, sampler, process_index: int, process_count: int):
+        if not (0 <= process_index < process_count):
+            raise ValueError("process_index out of range")
+        self.sampler = sampler
+        self.pidx = process_index
+        self.pcount = process_count
+
+    def __iter__(self):
+        for batch in self.sampler:
+            local = len(batch) // self.pcount
+            if local == 0:
+                # a global batch with fewer rows than processes cannot be
+                # split; every process skips it (replicated samplers agree),
+                # keeping the per-process step counts — and therefore the
+                # collectives — in lockstep
+                continue
+            yield batch[self.pidx * local : (self.pidx + 1) * local]
+
+    def __len__(self) -> int:
+        return len(self.sampler)  # type: ignore[arg-type]
+
+
 class BucketedProportionalBatchSampler:
     """Proportional multi-dataset mixing where every batch is single-bucket.
 

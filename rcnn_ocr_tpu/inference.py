@@ -83,13 +83,25 @@ class OCRInference:
         img_w: Optional[int] = None,  # None: checkpoint's training size, else 256
         hidden_size: Optional[int] = None,
         dtype: Any = jnp.bfloat16,
-        width_buckets: Optional[Sequence[int]] = None,
+        width_buckets: Optional[Union[Sequence[int], str]] = None,
         with_ctc_head: Optional[bool] = None,
         quantize: bool = False,  # int8 inference for the wide conv stages
         mesh: Any = None,  # True: all devices data-parallel; or a jax Mesh
         verbose: bool = True,
     ):
         self.model_path = model_path
+        # width_buckets="auto" / "auto:K": defer to the first predict* call
+        # with a list — the K waste-minimizing widths are derived from that
+        # batch's aspect ratios (the same DP the training loop and eval CLI
+        # use) and fixed for the instance lifetime
+        self._auto_bucket_k = 0
+        if isinstance(width_buckets, str):
+            if not width_buckets.startswith("auto"):
+                raise ValueError(f"width_buckets: unknown spec {width_buckets!r}")
+            self._auto_bucket_k = (
+                int(width_buckets.split(":")[1]) if ":" in width_buckets else 4
+            )
+            width_buckets = None
         self.width_buckets = sorted(width_buckets) if width_buckets else None
         self._dtype = dtype
         # multi-chip serving: params replicated, batches sharded over the
@@ -113,6 +125,7 @@ class OCRInference:
         # the instance + its device arrays for the process lifetime — a
         # leak in long-lived servers)
         self._jit_cache: Dict[Tuple, Any] = {}
+        self._verbose = verbose
 
         variables, meta = self._load_variables(model_path)
         # default to the size the checkpoint was trained at (a full ckpt
@@ -458,30 +471,58 @@ class OCRInference:
         static width its aspect ratio needs, so XLA compiles once per
         bucket and right-pad waste shrinks versus one global ``img_w``.
         """
+        self._resolve_auto_buckets(images_list)
         if not self.width_buckets:
             return [(i, None) for i in range(len(images_list))]
         from rcnn_ocr_tpu.data.loader import bucket_for_width
-        from rcnn_ocr_tpu.data.transforms import image_size
 
         out = []
         for i, img in enumerate(images_list):
-            # bucketing only needs (h, w) — header-probe paths instead of
-            # decoding (the one full decode happens downstream in
-            # _preprocess / letterbox_chunk), and read shapes in place for
-            # already-decoded inputs
-            if isinstance(img, str):
-                if not os.path.exists(img):
-                    raise FileNotFoundError(f"Image file not found: {img}")
-                h, w = image_size(img)
-            elif isinstance(img, np.ndarray):
-                h, w = img.shape[:2]
-            elif hasattr(img, "size") and hasattr(img, "convert"):  # PIL
-                w, h = img.size
-            else:
-                h, w = self._to_rgb(img).shape[:2]
+            h, w = self._probe_hw(img)
             scaled_w = max(1, int(round(w * (self.img_h / max(h, 1)))))
             out.append((i, bucket_for_width(scaled_w, self.width_buckets)))
         return out
+
+    def _probe_hw(self, img: ImageLike) -> Tuple[int, int]:
+        """(h, w) of an input without decoding it — header-probe for paths
+        (the one full decode happens downstream in _preprocess /
+        letterbox_chunk), in-place shape reads for decoded inputs."""
+        from rcnn_ocr_tpu.data.transforms import image_size
+
+        if isinstance(img, str):
+            if not os.path.exists(img):
+                raise FileNotFoundError(f"Image file not found: {img}")
+            return image_size(img)
+        if isinstance(img, np.ndarray):
+            return int(img.shape[0]), int(img.shape[1])
+        if hasattr(img, "size") and hasattr(img, "convert"):  # PIL
+            w, h = img.size
+            return int(h), int(w)
+        shp = self._to_rgb(img).shape
+        return int(shp[0]), int(shp[1])
+
+    def _resolve_auto_buckets(self, images_list: List[ImageLike]) -> None:
+        """First call with data resolves ``width_buckets="auto:K"`` (the
+        training loop's waste-minimizing DP over this batch's widths)."""
+        if not self._auto_bucket_k or self.width_buckets:
+            return
+        from rcnn_ocr_tpu.data.loader import optimal_width_buckets
+
+        scaled = []
+        for img in images_list:
+            h, w = self._probe_hw(img)
+            scaled.append(max(1, int(round(w * (self.img_h / max(h, 1))))))
+        self.width_buckets = optimal_width_buckets(
+            scaled, self._auto_bucket_k, multiple=8, max_width=self.img_w
+        )
+        self._bucket_transforms = {
+            w: ResizeAndPad(img_h=self.img_h, img_w=w) for w in self.width_buckets
+        }
+        if self._verbose:
+            print(
+                f"Auto width buckets (k={self._auto_bucket_k}): "
+                f"{self.width_buckets} (from {len(scaled)} images)"
+            )
 
     def predict(
         self,
@@ -557,7 +598,7 @@ class OCRInference:
         images: Union[ImageLike, List[ImageLike]],
         max_length: int = 25,
         batch_size: int = 256,
-        canvas: Tuple[int, int] = (64, 512),
+        canvas: Union[Tuple[int, int], str] = (64, 512),
         method: str = "attention",  # or "ctc_greedy" (needs a CTC head)
         return_confidence: bool = False,  # attention only (predict() parity)
     ):
@@ -602,6 +643,15 @@ class OCRInference:
         images_list: List[ImageLike] = [images] if is_single else list(images)
         steps = max_length + 1
         batch_size = self._round_batch(batch_size)
+        if isinstance(canvas, str):
+            if canvas != "auto":
+                raise ValueError(f"canvas: unknown spec {canvas!r}")
+            # size the letterbox canvas to the data (header probes, no
+            # decode) so nothing is cropped; one static shape per call set
+            sizes = [self._probe_hw(img) for img in images_list]
+            canvas = (max(h for h, _ in sizes), max(w for _, w in sizes))
+            if self._verbose:
+                print(f"Auto serving canvas: {canvas[0]}x{canvas[1]}")
         canvas_h, canvas_w = canvas
 
         groups: Dict[Optional[int], List[int]] = {}

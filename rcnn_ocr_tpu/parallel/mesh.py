@@ -166,3 +166,25 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         else:
             out[k] = v
     return out
+
+
+def make_process_local_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Per-process batch rows -> globally sharded ``jax.Array``s (SURVEY §5.8).
+
+    The multi-host-ready input feed: every process passes ONLY the rows its
+    addressable devices consume (``global_batch / process_count`` of them,
+    sampled by :class:`rcnn_ocr_tpu.data.loader.ProcessShardedBatchSampler`),
+    and ``jax.make_array_from_process_local_data`` assembles the logically
+    global array — no host ever holds or ships the full global batch.  With
+    one process this is exactly ``device_put(v, batch_sharding(mesh))``
+    (equivalence asserted in ``tests/test_parallel.py``), so training always
+    runs through this path.
+    """
+    bs = batch_sharding(mesh)
+    pcount = jax.process_count()
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        global_shape = (v.shape[0] * pcount,) + v.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(bs, v, global_shape)
+    return out

@@ -40,13 +40,14 @@ from rcnn_ocr_tpu.data.dataset import (
 from rcnn_ocr_tpu.data.loader import (
     BucketedBatchSampler,
     DataLoader,
+    ProcessShardedBatchSampler,
     probe_dataset_buckets,
 )
 from rcnn_ocr_tpu.data.transforms import ResizeAndPad, get_train_transform
 from rcnn_ocr_tpu.models import RCNN
 from rcnn_ocr_tpu.parallel.mesh import (
-    batch_sharding,
     make_mesh,
+    make_process_local_batch,
     param_shardings,
     replicated_sharding,
 )
@@ -404,13 +405,51 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         hist = {w: flat_buckets.count(w) for w in sorted(set(flat_buckets))}
         logger.info(f"Width buckets {width_buckets}: train histogram {hist}")
 
+    # --- multi-host input sharding (SURVEY §5.8) ---
+    # every process builds identical samplers (same seed), keeps only its
+    # contiguous block of each global batch, and make_process_local_batch
+    # assembles the global sharded array in to_device
+    pcount = jax.process_count()
+    local_static_bs = static_bs
+    if pcount > 1:
+        if width_buckets:
+            raise NotImplementedError(
+                "width_buckets + multi-process training is unsupported: the "
+                "per-batch width is chosen from the batch's first global row, "
+                "which non-lead processes do not hold — run multi-host jobs "
+                "with a fixed img_w"
+            )
+        if static_bs % pcount:
+            raise ValueError(
+                f"batch_size (static {static_bs}) must divide evenly across "
+                f"{pcount} processes"
+            )
+        local_static_bs = static_bs // pcount
+        train_sampler = ProcessShardedBatchSampler(
+            train_sampler, jax.process_index(), pcount
+        )
+        logger.info(
+            f"Multi-host feed: {pcount} processes x {local_static_bs} "
+            f"local rows -> global batch {static_bs}"
+        )
+
+    def _val_sampler(vs, vb):
+        sampler = (
+            BucketedBatchSampler(vb, batch_size, shuffle=False)
+            if vb is not None
+            else ShuffleBatchSampler(vs, batch_size, shuffle=False)
+        )
+        if pcount > 1:
+            sampler = ProcessShardedBatchSampler(sampler, jax.process_index(), pcount)
+        return sampler
+
     train_loader = DataLoader(
         train_dataset,
         train_sampler,
         charset,
         max_len,
         num_workers=loader_workers,
-        static_batch_size=static_bs,
+        static_batch_size=local_static_bs,
         with_ctc=with_ctc,
         bucket_of=train_bucket_of,
         transform_for_width=train_transform_for if width_buckets else None,
@@ -418,15 +457,11 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
     val_loaders = [
         DataLoader(
             vs,
-            (
-                BucketedBatchSampler(vb, batch_size, shuffle=False)
-                if vb is not None
-                else ShuffleBatchSampler(vs, batch_size, shuffle=False)
-            ),
+            _val_sampler(vs, vb),
             charset,
             max_len,
             num_workers=loader_workers,
-            static_batch_size=static_bs,
+            static_batch_size=local_static_bs,
             with_ctc=with_ctc,
             bucket_of=vb,
             transform_for_width=(
@@ -498,15 +533,15 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
             f"Resumed from: {resume_path} (epoch={start_epoch - 1}, step={global_step})"
         )
 
-    data_shard = batch_sharding(mesh)
-
     def to_device(batch):
         arrays = {
             k: v
             for k, v in batch.items()
             if isinstance(v, np.ndarray) and k != "lengths"
         }
-        return jax.device_put(arrays, data_shard)
+        # multi-host-ready feed: this process's rows -> the global sharded
+        # array (single-process: identical to device_put on the data axis)
+        return make_process_local_batch(arrays, mesh)
 
     # async: device->host gather is synchronous (the train step donates its
     # buffers) but serialization + disk writes run off the training path

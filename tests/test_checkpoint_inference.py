@@ -297,3 +297,40 @@ def test_uint8_ship_matches_float_ship(tiny_state, tmp_path):
     t_f32, v_f32 = ctc(ocr.variables, jnp.asarray(f32))
     assert np.array_equal(np.asarray(t_u8), np.asarray(t_f32))
     assert np.array_equal(np.asarray(v_u8), np.asarray(v_f32))
+
+
+def test_width_buckets_auto_and_canvas_auto(tiny_state, tmp_path):
+    """Constructor-level width_buckets='auto:K' resolves from the first
+    batch; predict_serving(canvas='auto') sizes the letterbox from data."""
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    model, state, _ = tiny_state
+    charset_path = tmp_path / "cs.txt"
+    charset_path.write_text("\n".join(TOKENS) + "\n", encoding="utf-8")
+    ckpt_path = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(ckpt_path, state)
+    ocr = OCRInference(
+        ckpt_path, str(charset_path), img_h=32, img_w=64,
+        width_buckets="auto:2", dtype=jnp.float32, verbose=False,
+    )
+    assert ocr.width_buckets is None  # deferred until data is seen
+
+    rng = np.random.default_rng(0)
+    imgs = [
+        rng.integers(0, 256, (32, 20, 3)).astype(np.uint8),  # narrow
+        rng.integers(0, 256, (32, 60, 3)).astype(np.uint8),  # wide
+    ]
+    outs = ocr.predict(imgs, max_length=4, batch_size=2)
+    assert len(outs) == 2
+    assert ocr.width_buckets is not None and len(ocr.width_buckets) <= 2
+    assert all(w % 8 == 0 or w == 64 for w in ocr.width_buckets)
+
+    serve = ocr.predict_serving(imgs, max_length=4, batch_size=2, canvas="auto")
+    assert len(serve) == 2 and all(isinstance(t, str) for t in serve)
+
+    with pytest.raises(ValueError):
+        OCRInference(
+            ckpt_path, str(charset_path), width_buckets="bogus", verbose=False
+        )

@@ -216,3 +216,54 @@ def test_mesh_sharded_inference_matches_single_device(tmp_path, rng):
     assert "quant_stats" in q.variables
     out = q.predict(imgs, max_length=4, batch_size=8)
     assert isinstance(out, list) and len(out) == 6
+
+
+def test_make_process_local_batch_single_process_equivalence():
+    """Single-process, the multi-host feed is bit-identical to device_put
+    with the data-axis sharding (VERDICT r2 #7: multi-host-ready input)."""
+    import jax
+
+    from rcnn_ocr_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        make_process_local_batch,
+    )
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    rng = np.random.default_rng(0)
+    host = {
+        "image": rng.integers(0, 255, (8, 16, 24, 3)).astype(np.uint8),
+        "target_y": rng.integers(0, 9, (8, 5)).astype(np.int32),
+        "valid": np.ones((8,), np.bool_),
+    }
+    fed = make_process_local_batch(host, mesh)
+    ref = {k: jax.device_put(v, batch_sharding(mesh)) for k, v in host.items()}
+    for k in host:
+        assert fed[k].sharding.is_equivalent_to(ref[k].sharding, fed[k].ndim), k
+        assert np.array_equal(np.asarray(fed[k]), np.asarray(ref[k])), k
+
+
+def test_process_sharded_batch_sampler_partitions():
+    from rcnn_ocr_tpu.data.loader import ProcessShardedBatchSampler
+
+    global_batches = [list(range(8)), list(range(8, 16)), [16, 17, 18]]
+
+    class _S:
+        def __iter__(self):
+            return iter(global_batches)
+
+        def __len__(self):
+            return len(global_batches)
+
+    P = 4
+    views = [list(ProcessShardedBatchSampler(_S(), p, P)) for p in range(P)]
+    # full batches: contiguous blocks that reassemble the global batch
+    for n in range(2):
+        merged = [i for p in range(P) for i in views[p][n]]
+        assert merged == global_batches[n]
+        assert all(len(views[p][n]) == 2 for p in range(P))
+    # the ragged 3-row batch splits 0-per-process -> skipped by EVERY process
+    assert all(len(v) == 2 for v in views)
+
+    with pytest.raises(ValueError):
+        ProcessShardedBatchSampler(_S(), 4, 4)
