@@ -130,6 +130,22 @@ def main():
         )
         return jnp.argmax(logits, axis=-1)
 
+    @jax.jit
+    def ctc_beam_int8_static(variables, images):
+        # beam search fully on device (ops/ctc.py ctc_beam_search_jax):
+        # encoder -> log-probs -> top-16 frame pruning -> W=16 prefix beam
+        from rcnn_ocr_tpu.ops.ctc import ctc_beam_search_jax
+
+        logits = model_qs.apply(
+            variables, images, train=False, method=model_qs.ctc_logits
+        )
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        vals, idx = jax.lax.top_k(log_probs, 16)
+        labels, lens, _ = ctc_beam_search_jax(
+            vals, idx.astype(jnp.int32), blank_id=0, beam_width=16
+        )
+        return labels, lens
+
     if os.environ.get("BENCH_CHECK_PALLAS") == "1" and on_tpu:
         # TPU-side numerics check of the Pallas kernels (interpret-mode tests
         # run on CPU only; this asserts on the real chip).  Gated: two extra
@@ -164,6 +180,8 @@ def main():
     attn_ips = batch / dt_attn
     dt_attn_qs = _time_fn(attn_greedy_int8_static, variables_qs, images)
     attn_qs_ips = batch / dt_attn_qs
+    dt_beam = _time_fn(ctc_beam_int8_static, variables_qs, images)
+    beam_ips = batch / dt_beam
 
     # label the headline with the path that actually won (a regression that
     # made bf16 beat int8 must not be misattributed)
@@ -177,7 +195,8 @@ def main():
         f"ctc_greedy_int8_static={qs_ips:,.0f} img/s  "
         f"ctc_greedy_int8={q_ips:,.0f} img/s  ctc_greedy_bf16={ctc_ips:,.0f} img/s  "
         f"attn_greedy={attn_ips:,.0f} img/s  "
-        f"attn_greedy_int8_static={attn_qs_ips:,.0f} img/s",
+        f"attn_greedy_int8_static={attn_qs_ips:,.0f} img/s  "
+        f"ctc_beam16_int8_static={beam_ips:,.0f} img/s",
         file=sys.stderr,
     )
     print(
@@ -193,6 +212,7 @@ def main():
                 "ctc_greedy_int8_static_img_s": round(qs_ips, 1),
                 "attn_greedy_img_s": round(attn_ips, 1),
                 "attn_greedy_int8_static_img_s": round(attn_qs_ips, 1),
+                "ctc_beam16_int8_static_img_s": round(beam_ips, 1),
                 "platform": platform,
             }
         )

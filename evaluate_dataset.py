@@ -85,9 +85,9 @@ def evaluate_model(
     static_quant: bool = False,
     save_calibration: Optional[str] = None,
 ):
-    if serving and decode not in ("attention", "ctc_greedy"):
+    if serving and decode not in ("attention", "ctc_greedy", "ctc_beam"):
         raise ValueError(
-            f"--serving supports --decode attention/ctc_greedy, not {decode!r}"
+            f"--serving supports --decode attention/ctc_greedy/ctc_beam, not {decode!r}"
         )
     print("Evaluating model on dataset")
     print(f"  model:   {model_path}")
@@ -149,7 +149,7 @@ def evaluate_model(
                 chunk,
                 max_length=max_length,
                 batch_size=batch_size,
-                method="ctc_greedy" if decode == "ctc_greedy" else "attention",
+                method=decode if decode.startswith("ctc_") else "attention",
             )
             predicted.extend(out if isinstance(out, list) else [out])
         elif decode == "attention":

@@ -569,7 +569,14 @@ class OCRInference:
 
         return results[0] if is_single else results
 
-    def _serving_fn(self, steps: int, target_w: int, ctc: bool = False):
+    def _serving_fn(
+        self,
+        steps: int,
+        target_w: int,
+        ctc: bool = False,
+        beam_width: int = 0,
+        prune_k: int = 16,
+    ):
         def build():
             from rcnn_ocr_tpu.ops.preprocess import resize_pad_normalize
 
@@ -579,6 +586,19 @@ class OCRInference:
                     logits = self.model.apply(
                         variables, x, train=False, method=self.model.ctc_logits
                     )
+                    if beam_width:
+                        from rcnn_ocr_tpu.ops.ctc import ctc_beam_search_jax
+
+                        log_probs = jax.nn.log_softmax(logits, axis=-1)
+                        vals, idx = jax.lax.top_k(
+                            log_probs, min(prune_k, self.charset.num_classes)
+                        )
+                        labels, lens, _ = ctc_beam_search_jax(
+                            vals, idx.astype(jnp.int32),
+                            blank_id=self.charset.ctc_blank_id,
+                            beam_width=beam_width,
+                        )
+                        return labels, lens
                     return ctc_greedy_decode_jnp(logits, self.charset.ctc_blank_id)
                 logits = self.model.apply(
                     variables, x, train=False, batch_max_length=steps - 1
@@ -588,10 +608,12 @@ class OCRInference:
 
             return self._jit(run, n_batch_args=2)
 
-        # the CTC kernel is steps-independent — key it once per width so
+        # the CTC kernels are steps-independent — key them once per width so
         # different max_length calls reuse the same compilation
         key_steps = 0 if ctc else steps
-        return self._cached(("serving", key_steps, target_w, ctc), build)
+        return self._cached(
+            ("serving", key_steps, target_w, ctc, beam_width, prune_k), build
+        )
 
     def predict_serving(
         self,
@@ -599,8 +621,10 @@ class OCRInference:
         max_length: int = 25,
         batch_size: int = 256,
         canvas: Union[Tuple[int, int], str] = (64, 512),
-        method: str = "attention",  # or "ctc_greedy" (needs a CTC head)
+        method: str = "attention",  # or "ctc_greedy" / "ctc_beam"
         return_confidence: bool = False,  # attention only (predict() parity)
+        beam_width: int = 16,  # ctc_beam only
+        prune_k: int = 16,  # ctc_beam: top-k frame candidates considered
     ):
         """High-throughput serving decode with on-device preprocessing.
 
@@ -616,9 +640,12 @@ class OCRInference:
         ``width_buckets`` (each bucket decodes at its own static width).
         ``method="ctc_greedy"`` decodes through the CTC head instead (the
         fastest end-to-end configuration together with int8-static);
-        like ``predict_ctc``, the CTC decode has no ``max_length`` notion —
-        output length is bounded by the collapsed frame count, and the
-        ``max_length`` arg only shapes the attention kernel.
+        ``method="ctc_beam"`` swaps the greedy collapse for the fully
+        on-device prefix beam search (``ctc_beam_search_jax``) — same
+        pipeline, one fused kernel, beam-quality decodes at serving rates.
+        Like ``predict_ctc``, the CTC decodes have no ``max_length``
+        notion — output length is bounded by the collapsed frame count, and
+        the ``max_length`` arg only shapes the attention kernel.
 
         The on-device resize reproduces the host cv2 pipeline exactly
         (INTER_AREA coverage / clamped INTER_LINEAR as MXU matmuls with
@@ -626,7 +653,8 @@ class OCRInference:
         `ops/preprocess.py`): measured accuracy equals the host-preprocess
         path (99.05% == 99.05% on the PERF.md full-scale demo).
         """
-        ctc = method in ("ctc", "ctc_greedy")
+        ctc = method in ("ctc", "ctc_greedy", "ctc_beam")
+        ctc_beam_w = beam_width if method == "ctc_beam" else 0
         if ctc and return_confidence:
             raise ValueError("return_confidence requires method='attention'")
         if ctc and not self.model.with_ctc_head:
@@ -685,7 +713,10 @@ class OCRInference:
                 bucket, idxs, n_real, raw, sizes = pending.result()
                 if k + 1 < len(chunks):
                     pending = pool.submit(letterbox_chunk, chunks[k + 1])
-                run = self._serving_fn(steps, bucket or self.img_w, ctc=ctc)
+                run = self._serving_fn(
+                    steps, bucket or self.img_w, ctc=ctc,
+                    beam_width=ctc_beam_w, prune_k=prune_k,
+                )
                 pred, aux = run(
                     self.variables,
                     self._device_batch(raw),

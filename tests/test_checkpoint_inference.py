@@ -143,6 +143,17 @@ def test_inference_api_end_to_end(tiny_state, tmp_path):
     )
     assert serve_ctc == greedy
 
+    # serving beam = the on-device prefix beam fused into the same serving
+    # kernel; equals the host-preprocess device beam on a constant image
+    serve_beam = ocr.predict_serving(
+        [img, img], max_length=4, batch_size=2, canvas=(32, 64),
+        method="ctc_beam", beam_width=4, prune_k=5,
+    )
+    beam_ref = ocr.predict_ctc(
+        [img, img], method="beam", beam_width=4, prune_k=5
+    )
+    assert serve_beam == beam_ref
+
     # top-k frame pruning (device->host transfer saver): k >= V is exactly
     # the unpruned search; a tight k still returns sane strings
     rng_imgs = [

@@ -99,6 +99,10 @@ def main():
     # set (half narrow -> W<=64 bucket, half wide -> W=128 bucket)
     fixed_csv = make_dataset(os.path.join(work, "fixed"), args.n_imgs, [96])
     mixed_csv = make_dataset(os.path.join(work, "mixed"), args.n_imgs, [40, 96])
+    # two single-width corpora for the PROPORTIONAL x bucketed scenarios
+    # (the reference's multi-corpus workflow: one narrow set, one wide set)
+    narrow_csv = make_dataset(os.path.join(work, "narrow"), args.n_imgs // 2, [40], seed=1)
+    wide_csv = make_dataset(os.path.join(work, "wide"), args.n_imgs // 2, [96], seed=2)
 
     base = dict(
         charset_path=charset_path,
@@ -119,6 +123,14 @@ def main():
         ("bucketed-512",
          dict(train_csvs=[mixed_csv], batch_size=512, width_buckets=[64, 128])),
         ("padded-512", dict(train_csvs=[mixed_csv], batch_size=512)),
+        # proportional two-corpus mixing (narrow + wide), bucketed vs padded:
+        # the combination round 2 silently disabled (VERDICT r2 #2)
+        ("prop-bucketed-512",
+         dict(train_csvs=[narrow_csv, wide_csv], batch_size=512,
+              train_proportions=[0.5, 0.5], width_buckets=[64, 128])),
+        ("prop-padded-512",
+         dict(train_csvs=[narrow_csv, wide_csv], batch_size=512,
+              train_proportions=[0.5, 0.5])),
     ]
 
     results = {}
@@ -130,10 +142,10 @@ def main():
         exp_dir = os.path.join(work, f"exp_{name}")
         shutil.rmtree(exp_dir, ignore_errors=True)
         over = dict(over)
-        csv_path = over.pop("train_csvs")[0]
+        csv_paths = over.pop("train_csvs")
         cfg = Config({**base, **over,
-                      "train_csvs": [csv_path],
-                      "train_roots": [os.path.dirname(csv_path)],
+                      "train_csvs": csv_paths,
+                      "train_roots": [os.path.dirname(p) for p in csv_paths],
                       "exp_dir": exp_dir})
         print(f"[train_bench] {name} ...", file=sys.stderr, flush=True)
         run_training(cfg)

@@ -1,0 +1,103 @@
+"""Validation-feed throughput: uint8 vs float32 host batches, end-to-end.
+
+Round 3 moved validation (and the non-serving inference paths) to
+resize-padded uint8 host batches with an on-device normalize
+(`ops/augment.py:device_normalize` — VERDICT r2 #4).  This measures what
+that buys end-to-end: host batch -> device transfer -> the eval forward
+(teacher-forced + greedy, `make_eval_step`'s compute), timed with a real
+output fetch, for both transfer dtypes.
+
+In this environment host->device rides a ~15-40 MB/s tunnel, so transfer
+dominates and the uint8 win approaches the 4x byte ratio; on production
+hosts (PCIe) the same ratio applies to the DMA bytes.
+
+Usage:  python tools/val_feed_bench.py            # TPU
+        JAX_PLATFORMS=cpu python tools/val_feed_bench.py --batch 8 --tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.models import RCNN
+    from rcnn_ocr_tpu.ops.augment import device_normalize
+
+    img_h, img_w, max_len = 32, 128, 12
+    num_classes = 40
+    model = RCNN(
+        num_classes=num_classes,
+        hidden_size=32 if args.tiny else 256,
+        width_mult=0.125 if args.tiny else 1.0,
+        sos_id=1, eos_id=2, pad_id=0, blank_id=None,
+        dtype=jnp.bfloat16,
+        use_pallas=False,
+    )
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng},
+        jnp.zeros((2, img_h, img_w, 3), jnp.float32),
+        text=jnp.zeros((2, max_len + 1), jnp.int32),
+        batch_max_length=max_len,
+        method=model.init_all,
+    )
+    variables = jax.device_put(variables)
+
+    @jax.jit
+    def eval_fwd(variables, images, text_in):
+        x = device_normalize(images)
+        tf_logits = model.apply(
+            variables, x, text=text_in, train=False, batch_max_length=max_len
+        )
+        greedy = model.apply(variables, x, train=False, batch_max_length=max_len)
+        return jnp.argmax(tf_logits, -1), jnp.argmax(greedy, -1)
+
+    rng_np = np.random.default_rng(0)
+    u8 = rng_np.integers(0, 256, (args.batch, img_h, img_w, 3), dtype=np.uint8)
+    f32 = (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+    text_in = np.zeros((args.batch, max_len + 1), np.int32)
+
+    def run(host_batch):
+        out = eval_fwd(variables, jnp.asarray(host_batch), jnp.asarray(text_in))
+        return tuple(np.asarray(o) for o in out)
+
+    results = {}
+    for name, host in (("float32", f32), ("uint8", u8)):
+        run(host)  # compile + warm
+        run(host)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = run(host)
+        dt = (time.perf_counter() - t0) / args.iters
+        results[name] = args.batch / dt
+        print(f"[val_feed] {name:8s} {results[name]:10,.0f} img/s", file=sys.stderr)
+
+    # decode equality: the uint8 path is the float path, numerically
+    assert all(
+        np.array_equal(a, b) for a, b in zip(run(u8), run(f32))
+    ), "uint8 and float32 feeds decoded differently"
+    results["speedup"] = results["uint8"] / results["float32"]
+    print(json.dumps({"val_feed_img_s": results,
+                      "platform": jax.devices()[0].platform}))
+
+
+if __name__ == "__main__":
+    main()
