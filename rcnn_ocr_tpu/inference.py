@@ -778,10 +778,21 @@ class OCRInference:
 
         skip = {self.charset.pad_id, self.charset.sos_id, self.charset.eos_id}
         skip.add(self.charset.ctc_blank_id)
-        results: List[str] = []
-        for i in range(0, len(images_list), batch_size):
-            chunk = images_list[i : i + batch_size]
-            arrays = [self._preprocess(img) for img in chunk]
+        results: List[Optional[str]] = [None] * len(images_list)
+        # group by width bucket (predict()/predict_serving() parity): each
+        # bucket keeps its own static shape, one compile per bucket
+        groups: Dict[Optional[int], List[int]] = {}
+        for idx0, bucket in self._bucketize(images_list):
+            groups.setdefault(bucket, []).append(idx0)
+        chunks = [
+            (bucket, indices[i : i + batch_size])
+            for bucket, indices in groups.items()
+            for i in range(0, len(indices), batch_size)
+        ]
+        for bucket, chunk_idx in chunks:
+            arrays = [
+                self._preprocess(images_list[j], width=bucket) for j in chunk_idx
+            ]
             n_real = len(arrays)
             if n_real < batch_size:
                 arrays += [arrays[-1]] * (batch_size - n_real)
@@ -825,6 +836,8 @@ class OCRInference:
                     )
             else:
                 raise ValueError(f"Unsupported decode method: {method}")
-            results.extend(ids_to_text(rows, self._itos, skip_ids=skip))
+            texts = ids_to_text(rows, self._itos, skip_ids=skip)
+            for j, out_idx in enumerate(chunk_idx):
+                results[out_idx] = texts[j]
 
         return results[0] if is_single else results

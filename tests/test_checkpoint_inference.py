@@ -245,6 +245,14 @@ def test_inference_width_buckets(tiny_state, tmp_path):
     # same image in the same bucket decodes identically regardless of order
     assert outs[0] == outs[2]
 
+    # predict_ctc honors the buckets too (greedy + device beam)
+    ctc_outs = ocr.predict_ctc([narrow, wide, narrow], batch_size=2)
+    assert len(ctc_outs) == 3 and ctc_outs[0] == ctc_outs[2]
+    beam_outs = ocr.predict_ctc(
+        [narrow, wide, narrow], batch_size=2, method="beam", beam_width=4
+    )
+    assert len(beam_outs) == 3 and beam_outs[0] == beam_outs[2]
+
 
 def test_hpo_builtin_driver(tmp_path):
     from rcnn_ocr_tpu.hpo.driver import run_hpo
