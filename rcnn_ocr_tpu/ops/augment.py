@@ -29,6 +29,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def inverse_affine_matrices(
@@ -153,18 +154,32 @@ def invert_batch(images: jnp.ndarray, key: jax.Array, p: float = 0.0) -> jnp.nda
     return jnp.where(apply[:, None, None, None], 1.0 - images, images)
 
 
+# all 256 possible normalized uint8 values, computed with host IEEE fp32
+# arithmetic — the device applies them by lookup, so the on-device result
+# is bit-identical to the host formula on EVERY backend.  (TPU's fp32
+# divide is reciprocal-based: `(x/255-.5)/.5` computed on-chip differs
+# from IEEE on 111/256 inputs, and input 127 — which normalizes to -1/255,
+# astride a bf16 rounding boundary — lands on a DIFFERENT bf16, flipping
+# decodes between uint8- and float32-fed batches.  Measured by
+# tools/normalize_exactness_probe.py.)
+_U8_NORM_TABLE = (
+    (np.arange(256, dtype=np.float32) / np.float32(255.0)) - np.float32(0.5)
+) / np.float32(0.5)
+
+
 def device_normalize(images: jnp.ndarray) -> jnp.ndarray:
     """uint8 NHWC batch -> normalized [-1, 1] float32, on device.
 
     The no-augmentation mirror of
-    :func:`rcnn_ocr_tpu.data.transforms.normalize_unit` — identical fp32
-    ops, so device- and host-normalized batches are bit-identical.  Ships
-    resize-padded uint8 across the host->device link (4x fewer bytes than
-    normalized float32); float inputs pass through unchanged so callers
-    stay compatible with host-normalized batches.
+    :func:`rcnn_ocr_tpu.data.transforms.normalize_unit` — a 256-entry
+    exact lookup, so device- and host-normalized batches are bit-identical
+    on every backend (see ``_U8_NORM_TABLE``).  Ships resize-padded uint8
+    across the host->device link (4x fewer bytes than normalized float32);
+    float inputs pass through unchanged so callers stay compatible with
+    host-normalized batches.
     """
     if images.dtype == jnp.uint8:
-        return (images.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        return jnp.asarray(_U8_NORM_TABLE)[images.astype(jnp.int32)]
     return images
 
 
