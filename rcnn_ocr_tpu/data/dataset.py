@@ -318,6 +318,10 @@ class OCRDataset:
         """Absolute image path of a sample (for size probing / bucketing)."""
         return self.samples[idx][0]
 
+    def sample_label(self, idx: int) -> str:
+        """Label string of a sample (for CTC-aware bucket assignment)."""
+        return self.samples[idx][1]
+
     def _usable_length(self, label: str) -> int:
         """Length after dropping chars the charset cannot encode."""
         if not self._strict_charset:
@@ -375,6 +379,9 @@ class SubsetDataset:
     def sample_path(self, idx: int) -> str:
         return self.dataset.sample_path(self.indices[idx])
 
+    def sample_label(self, idx: int) -> str:
+        return self.dataset.sample_label(self.indices[idx])
+
 
 def random_split(
     dataset, n_train: int, n_val: int, seed: int = 42
@@ -409,6 +416,10 @@ class MultiDataset:
         """Image path of a ``(ds_idx, sample_idx)`` sample (size probing)."""
         ds_idx, sample_idx = index
         return self.datasets[ds_idx].sample_path(sample_idx)
+
+    def sample_label(self, index) -> str:
+        ds_idx, sample_idx = index
+        return self.datasets[ds_idx].sample_label(sample_idx)
 
     def __len__(self) -> int:
         return sum(len(ds) for ds in self.datasets)
@@ -513,3 +524,7 @@ class ConcatDataset:
     def sample_path(self, idx: int) -> str:
         ds, local = self._locate(idx)
         return self.datasets[ds].sample_path(local)
+
+    def sample_label(self, idx: int) -> str:
+        ds, local = self._locate(idx)
+        return self.datasets[ds].sample_label(local)

@@ -307,6 +307,40 @@ def probe_scaled_widths(dataset, img_h: int, num_workers: int = 8) -> List[int]:
     ]
 
 
+def lift_buckets_for_ctc(
+    dataset,
+    bucket_of: Sequence[int],
+    charset,
+    max_len: int,
+    buckets: Sequence[int],
+    time_downsample: int = 8,
+) -> List[int]:
+    """Raise each sample's width bucket until its CTC label fits.
+
+    A CTC alignment needs ``len(label) + adjacent_repeats`` time steps; the
+    backbone yields ``W / time_downsample`` of them (RCNN: T = W/8).  Pure
+    geometry bucketing can drop a dense line into a bucket too short to
+    align — CTC then assigns the pair zero probability (optax charges
+    ~1e5), poisoning training loss AND making the label undecodable at
+    inference.  Labels are known at training/eval time, so the bucket
+    choice lifts to the smallest bucket whose time axis fits (the widest
+    bucket when none does — `ops/ctc.py:ctc_loss` masks those rows).
+    """
+    blank = charset.ctc_blank_id
+    out = list(bucket_of)
+    for i in range(len(dataset)):
+        ids = [
+            t
+            for t in charset.encode(dataset.sample_label(i), drop_blank=True)
+            if t != blank
+        ][:max_len]
+        reps = sum(a == b for a, b in zip(ids, ids[1:]))
+        need_w = (len(ids) + reps) * time_downsample
+        if need_w > out[i]:
+            out[i] = bucket_for_width(need_w, buckets)
+    return out
+
+
 def probe_dataset_buckets(
     dataset,
     img_h: int,

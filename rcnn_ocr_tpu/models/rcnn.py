@@ -28,6 +28,12 @@ from rcnn_ocr_tpu.models.seresnet31 import SEResNet31
 
 Dtype = Any
 
+# encoder time steps per input width: T = W / TIME_DOWNSAMPLE (three
+# stride-2 width reductions through the backbone; the out-head convs are
+# width-preserving at these paddings) — consumed by CTC-aware width
+# bucketing (data/loader.py:lift_buckets_for_ctc)
+TIME_DOWNSAMPLE = 8
+
 
 class RCNN(nn.Module):
     """SE-ResNet31 + BiLSTM encoder with attention and/or CTC heads.

@@ -41,13 +41,29 @@ def ctc_loss(
     ``valid`` masks statically padded batch rows *out of the mean* — a row
     with zero valid frames but a non-empty label is an impossible alignment
     and optax would charge it ~1e5, poisoning the loss.
+
+    Rows whose label cannot be aligned at all — required frames
+    ``label_len + adjacent_repeats`` exceed the available time steps — are
+    likewise excluded: CTC assigns them zero probability by construction
+    (optax charges ``-log_epsilon`` ≈ 1e5 each), so under width bucketing a
+    few dense lines in a short bucket would otherwise dominate the batch
+    loss and its gradient.  Bucket assignment avoids this when labels are
+    known (`data/loader.py:lift_buckets_for_ctc`); the mask here is the
+    backstop for any feed.
     """
     per_seq = optax.ctc_loss(
         logits, logit_paddings, labels, label_paddings, blank_id=blank_id
     )
-    if valid is None:
-        return jnp.mean(per_seq)
-    v = valid.astype(per_seq.dtype)
+    lab_real = 1.0 - label_paddings  # [B, L] 1.0 on real label positions
+    lab_len = jnp.sum(lab_real, axis=1)
+    repeats = jnp.sum(
+        (labels[:, 1:] == labels[:, :-1]).astype(per_seq.dtype)
+        * lab_real[:, 1:] * lab_real[:, :-1],
+        axis=1,
+    )
+    frames = jnp.sum(1.0 - logit_paddings, axis=1)
+    feasible = (lab_len + repeats <= frames).astype(per_seq.dtype)
+    v = feasible if valid is None else feasible * valid.astype(per_seq.dtype)
     return jnp.sum(per_seq * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 

@@ -352,9 +352,11 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         from rcnn_ocr_tpu.data.loader import (
             BucketedProportionalBatchSampler,
             bucket_for_width,
+            lift_buckets_for_ctc,
             optimal_width_buckets,
             probe_scaled_widths,
         )
+        from rcnn_ocr_tpu.models.rcnn import TIME_DOWNSAMPLE
 
         # one-time header probe of every sample, per source dataset (works
         # for both the flat-index and the (ds, idx)-tuple sampler cases)
@@ -381,6 +383,27 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
             [bucket_for_width(w, width_buckets) for w in ws]
             for ws in per_ds_scaled
         ]
+        if with_ctc:
+            # CTC feasibility: lift dense lines into buckets whose time
+            # axis (T = W/8) fits their label alignment
+            lifted = [
+                lift_buckets_for_ctc(
+                    ds, bo, charset, max_len, width_buckets,
+                    time_downsample=TIME_DOWNSAMPLE,
+                )
+                for ds, bo in zip(train_sets, per_ds_bucket_of)
+            ]
+            n_lifted = sum(
+                a != b
+                for la, lb in zip(lifted, per_ds_bucket_of)
+                for a, b in zip(la, lb)
+            )
+            if n_lifted:
+                logger.info(
+                    f"CTC-aware bucketing: {n_lifted} samples lifted to a "
+                    "wider bucket (label needs more time steps)"
+                )
+            per_ds_bucket_of = lifted
         if train_proportions is not None:
             # bucket-aware quota sampler: per-batch dataset proportions hold
             # while every batch stays single-bucket (SURVEY.md §5.7 +
@@ -402,6 +425,14 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
             probe_dataset_buckets(vs, img_h, width_buckets, num_workers=loader_workers * 4)
             for vs in val_sets
         ]
+        if with_ctc:
+            val_bucket_ofs = [
+                lift_buckets_for_ctc(
+                    vs, vb, charset, max_len, width_buckets,
+                    time_downsample=TIME_DOWNSAMPLE,
+                )
+                for vs, vb in zip(val_sets, val_bucket_ofs)
+            ]
         hist = {w: flat_buckets.count(w) for w in sorted(set(flat_buckets))}
         logger.info(f"Width buckets {width_buckets}: train histogram {hist}")
 

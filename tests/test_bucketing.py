@@ -423,3 +423,34 @@ def test_training_proportional_with_width_buckets(tmp_path, tiny_charset):
     m = re.search(r"train_step compilations: (\d+)", log)
     assert m is not None
     assert int(m.group(1)) <= 2  # ≤ one compile per bucket
+
+
+def test_lift_buckets_for_ctc(tiny_charset):
+    """Dense labels are lifted into buckets whose T = W/8 fits the CTC
+    alignment; short labels keep their geometric bucket."""
+    from rcnn_ocr_tpu.data.loader import lift_buckets_for_ctc
+
+    class _DS:
+        def __init__(self, labels):
+            self._labels = labels
+
+        def __len__(self):
+            return len(self._labels)
+
+        def sample_label(self, i):
+            return self._labels[i]
+
+    buckets = [64, 128]
+    # T=8 at W=64, T=16 at W=128
+    ds = _DS([
+        "abc",          # 3 frames -> stays at 64
+        "abcdefghij",   # 10 frames -> needs W>=80 -> 128
+        "aabb",         # 4 + 2 repeats = 6 frames -> stays at 64
+        "aabbccddee",   # 10 + 5 repeats = 15 frames -> 128
+    ])
+    geo = [64, 64, 64, 64]
+    lifted = lift_buckets_for_ctc(ds, geo, tiny_charset, max_len=25, buckets=buckets)
+    assert lifted == [64, 128, 64, 128]
+    # an already-wide geometric bucket is never lowered
+    assert lift_buckets_for_ctc(ds, [128, 128, 128, 128], tiny_charset,
+                                max_len=25, buckets=buckets) == [128] * 4

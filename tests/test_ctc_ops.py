@@ -196,3 +196,40 @@ def test_ctc_beam_search_jax_lengths_and_jit():
             continue
         ref, _ = _ctc_beam_py(dense[b, : lengths[b]], 0, W)
         assert labels[b, : lens[b]].tolist() == ref, b
+
+
+def test_ctc_loss_masks_infeasible_rows(tiny_charset):
+    """A label needing more time steps than the logits provide (dense line
+    in a short width bucket) is excluded from the mean — optax would charge
+    it ~1e5 otherwise and one such row dominates the whole batch loss."""
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.ops.ctc import ctc_loss
+    from rcnn_ocr_tpu.vocab.charset import pack_ctc_targets
+
+    cs = tiny_charset
+    rng = np.random.default_rng(0)
+    T = 4
+    logits = jnp.asarray(rng.normal(size=(3, T, len(cs))).astype(np.float32))
+    lp = jnp.zeros((3, T))
+    blank = cs.ctc_blank_id
+    # row 0/1 feasible (2 <= 4); row 2 needs 5 frames ("aabcd": len 5... )
+    labels, paddings = pack_ctc_targets(["ab", "cd", "aabcd"], cs, max_len=6)
+
+    full = float(ctc_loss(logits, lp, jnp.asarray(labels), jnp.asarray(paddings), blank))
+    only_feasible = float(
+        ctc_loss(logits[:2], lp[:2], jnp.asarray(labels[:2]),
+                 jnp.asarray(paddings[:2]), blank)
+    )
+    assert full == pytest.approx(only_feasible, rel=1e-5)
+    assert full < 1e3  # nowhere near the 1e5 impossible-alignment penalty
+
+    # adjacent repeats consume an extra frame: "aa" needs 3 frames, so at
+    # T=2 it is infeasible while plain "ab" is not
+    labels2, paddings2 = pack_ctc_targets(["ab", "aa"], cs, max_len=4)
+    lp2 = jnp.zeros((2, 2))
+    l2 = float(ctc_loss(jnp.asarray(np.asarray(logits)[:2, :2]), lp2,
+                        jnp.asarray(labels2), jnp.asarray(paddings2), blank))
+    l2_ref = float(ctc_loss(jnp.asarray(np.asarray(logits)[:1, :2]), lp2[:1],
+                            jnp.asarray(labels2[:1]), jnp.asarray(paddings2[:1]), blank))
+    assert l2 == pytest.approx(l2_ref, rel=1e-5)

@@ -73,14 +73,17 @@ def test_ids_to_tokens_str():
     assert ids_to_tokens_str([7], itos) == "<UNK:7>"
 
 
-def test_serving_rejects_beam_decode():
-    """--serving only routes attention/ctc_greedy; ctc_beam must error
-    rather than silently evaluating the wrong decode path."""
+def test_serving_accepts_beam_decode():
+    """--serving routes attention/ctc_greedy AND ctc_beam (the on-device
+    prefix beam fused into the serving kernel) — the combination must pass
+    argument validation (it proceeds to dataset loading)."""
     import pytest
 
     from evaluate_dataset import evaluate_model
 
-    with pytest.raises(ValueError, match="serving"):
+    # fake paths: reaching the CSV check proves the decode/serving combo
+    # was accepted
+    with pytest.raises(FileNotFoundError, match="CSV"):
         evaluate_model(
             model_path="x", charset_path="y", csv_path="z", root_path="r",
             decode="ctc_beam", serving=True,
