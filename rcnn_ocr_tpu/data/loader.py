@@ -27,6 +27,35 @@ import numpy as np
 from rcnn_ocr_tpu.vocab.charset import Charset, pack_attention_targets, pack_ctc_targets
 
 
+class BucketBatch:
+    """A batch index list tagged with its static padded width.
+
+    Bucketed samplers yield these so every consumer — including a
+    process-sharded slice of the batch on a multi-host run, which may not
+    hold the batch's first global row — knows the batch's width without
+    inferring it from any particular member row.
+    """
+
+    __slots__ = ("width", "indices")
+
+    def __init__(self, width: int, indices: List):
+        self.width = int(width)
+        self.indices = list(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __iter__(self):
+        return iter(self.indices)
+
+    def __getitem__(self, key):
+        # slicing keeps the width tag (ProcessShardedBatchSampler carves
+        # per-process row blocks out of a global batch)
+        if isinstance(key, slice):
+            return BucketBatch(self.width, self.indices[key])
+        return self.indices[key]
+
+
 def collate_batch(
     items: Sequence,
     charset: Charset,
@@ -100,10 +129,9 @@ class DataLoader:
         self.with_ctc = with_ctc
         self.prefetch = max(1, prefetch)
         self.drop_invalid = drop_invalid
-        # width bucketing: bucket_of[i] = padded width for dataset index i
-        # (a sequence for flat int indices, or a mapping for MultiDataset's
-        # (ds, idx) tuple indices — samplers guarantee the FIRST index of
-        # every batch is native to the batch's bucket);
+        # width bucketing: bucketed samplers yield BucketBatch (explicit
+        # width per batch); bucket_of[i] = padded width for dataset index i
+        # remains the fallback for plain index-list batches;
         # transform_for_width(w) builds the per-bucket resize transform
         # (memoized — one transform object per distinct bucket width)
         self.bucket_of = bucket_of
@@ -134,8 +162,12 @@ class DataLoader:
 
     def _make_batch(self, indices, pool: Optional[ThreadPoolExecutor]):
         transform = None
-        if self.bucket_of is not None:
-            # the sampler guarantees single-bucket batches
+        if isinstance(indices, BucketBatch):
+            # bucketed samplers tag each batch with its width explicitly
+            transform = self._bucket_transform(indices.width)
+            indices = indices.indices
+        elif self.bucket_of is not None:
+            # legacy single-bucket batches: width from the first member row
             width = self.bucket_of[indices[0]]
             transform = self._bucket_transform(width)
         if pool is not None:
@@ -373,10 +405,10 @@ class ProcessShardedBatchSampler:
     ``[p*B/P, (p+1)*B/P)`` of each global batch).  Feed the local rows
     through :func:`rcnn_ocr_tpu.parallel.mesh.make_process_local_batch`.
 
-    Width-bucketed samplers are not composable with this wrapper (the
-    loader reads the batch width from the batch's first index, which a
-    non-lead slice does not control) — ``run_training`` rejects that
-    combination explicitly.
+    Width-bucketed samplers compose transparently: they yield
+    :class:`BucketBatch` objects whose slice operator preserves the width
+    tag, so every process's row block carries the batch's static padded
+    width regardless of which global rows it holds.
     """
 
     def __init__(self, sampler, process_index: int, process_count: int):
@@ -423,9 +455,9 @@ class BucketedProportionalBatchSampler:
       filled from ``d``'s nearest non-empty bucket (the per-batch transform
       resizes them to the batch width — same geometry any fixed-width run
       applies to every sample);
-    * yielded batches lead with a native-bucket sample: the loader reads the
-      batch width from ``bucket_of[indices[0]]`` (see :class:`DataLoader`),
-      so substitutes never define the batch shape.
+    * every yield is a :class:`BucketBatch` carrying its padded width
+      explicitly, so any slice of the batch (e.g. a non-lead process's row
+      block under multi-host sharding) still knows the batch shape.
 
     Epoch length matches :class:`ProportionalBatchSampler` (min full passes
     over any proportioned dataset).
@@ -498,22 +530,20 @@ class BucketedProportionalBatchSampler:
             bucket = int(
                 self._rng.choice(np.asarray(self.buckets), p=self._bucket_p)
             )
-            native: List[Tuple[int, int]] = []
-            borrowed: List[Tuple[int, int]] = []
+            rows: List[Tuple[int, int]] = []
             for d, quota in enumerate(self._quotas):
                 if quota <= 0:
                     continue
-                if bucket in self._streams[d]:
-                    stream = self._streams[d][bucket]
-                    native.extend((d, next(stream)) for _ in range(quota))
-                else:
-                    stream = self._streams[d][self._nearest_pool(d, bucket)]
-                    borrowed.extend((d, next(stream)) for _ in range(quota))
-            # mass[b] > 0 guarantees at least one dataset has a native pool
-            head = native[int(self._rng.integers(len(native)))]
-            rest = [s for s in native if s is not head] + borrowed
-            order = self._rng.permutation(len(rest))
-            yield [head] + [rest[i] for i in order]
+                # quota fills from d's native pool in the drawn bucket, or
+                # d's nearest non-empty bucket when it has none there (the
+                # per-batch transform resizes borrowed rows to the batch
+                # width — same geometry any fixed-width run applies)
+                stream = self._streams[d].get(bucket) or self._streams[d][
+                    self._nearest_pool(d, bucket)
+                ]
+                rows.extend((d, next(stream)) for _ in range(quota))
+            order = self._rng.permutation(len(rows))
+            yield BucketBatch(bucket, [rows[i] for i in order])
 
     def __len__(self) -> int:
         return min(
@@ -549,13 +579,15 @@ class BucketedBatchSampler:
             members = [i for i, w in enumerate(self.bucket_of) if w == width]
             self._groups[width] = np.asarray(members, dtype=np.int64)
 
-    def __iter__(self) -> Iterator[List[int]]:
-        batches: List[List[int]] = []
-        for members in self._groups.values():
+    def __iter__(self) -> Iterator[BucketBatch]:
+        batches: List[BucketBatch] = []
+        for width, members in self._groups.items():
             order = self._rng.permutation(len(members)) if self.shuffle else np.arange(len(members))
             shuffled = members[order]
             for i in range(0, len(shuffled), self.batch_size):
-                batches.append([int(j) for j in shuffled[i : i + self.batch_size]])
+                batches.append(
+                    BucketBatch(width, [int(j) for j in shuffled[i : i + self.batch_size]])
+                )
         if self.shuffle:
             batches = [batches[i] for i in self._rng.permutation(len(batches))]
         return iter(batches)

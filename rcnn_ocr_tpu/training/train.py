@@ -443,13 +443,9 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
     pcount = jax.process_count()
     local_static_bs = static_bs
     if pcount > 1:
-        if width_buckets:
-            raise NotImplementedError(
-                "width_buckets + multi-process training is unsupported: the "
-                "per-batch width is chosen from the batch's first global row, "
-                "which non-lead processes do not hold — run multi-host jobs "
-                "with a fixed img_w"
-            )
+        # width_buckets compose: bucketed samplers are seed-replicated so
+        # every process draws the same batch sequence, and each batch is a
+        # BucketBatch whose width tag survives the per-process row slice
         if static_bs % pcount:
             raise ValueError(
                 f"batch_size (static {static_bs}) must divide evenly across "

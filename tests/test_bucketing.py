@@ -58,6 +58,7 @@ def test_bucketed_sampler_single_bucket_batches():
     for batch in sampler:
         widths = {bucket_of[i] for i in batch}
         assert len(widths) == 1  # never mixes buckets
+        assert batch.width == widths.pop()  # explicit tag matches members
         seen.extend(batch)
     assert sorted(seen) == list(range(18))  # full coverage, no repeats
     assert len(sampler) == 3 + 2 + 1
@@ -281,22 +282,21 @@ def test_bucketed_proportional_sampler_quotas():
     )
     assert len(sampler) == min(40 // 4, 20 // 4)
     lookup = sampler.bucket_of
-    head_buckets = set()
+    widths_seen = set()
     for _ in range(10):  # several epochs so both buckets get drawn
         for batch in sampler:
             assert len(batch) == 8
             counts = Counter(d for d, _ in batch)
             assert counts[0] == 4 and counts[1] == 4  # exact quotas
-            head_bucket = lookup[batch[0]]
-            head_buckets.add(head_bucket)
+            widths_seen.add(batch.width)
             for d, i in batch:
                 native = lookup[(d, i)]
-                if native != head_bucket:
+                if native != batch.width:
                     # borrowed fill-in is only legal when that dataset has
                     # no native pool in the batch's bucket
                     pool = [bucket_a, bucket_b][d]
-                    assert head_bucket not in set(pool)
-    assert head_buckets == {64, 128}  # bucket mass visits every bucket
+                    assert batch.width not in set(pool)
+    assert widths_seen == {64, 128}  # bucket mass visits every bucket
 
 
 def test_bucketed_proportional_sampler_pass_fairness():
@@ -454,3 +454,41 @@ def test_lift_buckets_for_ctc(tiny_charset):
     # an already-wide geometric bucket is never lowered
     assert lift_buckets_for_ctc(ds, [128, 128, 128, 128], tiny_charset,
                                 max_len=25, buckets=buckets) == [128] * 4
+
+
+def test_bucket_batch_slices_keep_width(variable_width_ds):
+    """Multi-host composition (VERDICT r2 #7 x #2): a process's row slice of
+    a bucketed batch keeps the batch's width tag, so a non-lead process —
+    whose first local row may be a borrowed sample native to ANOTHER bucket
+    — still pads to the batch's static width."""
+    from rcnn_ocr_tpu.data.loader import BucketBatch, ProcessShardedBatchSampler
+
+    ds, charset = variable_width_ds
+    buckets = [64, 128, 256]
+    bucket_of = probe_dataset_buckets(ds, img_h=32, buckets=buckets)
+    # widths [40,90,90,200,200,200,40,90] -> buckets [64,128,128,256,256,256,64,128]
+    assert bucket_of[2] == 128 and bucket_of[0] == 64
+
+    # a 64-wide batch whose process-1 slice LEADS with a 128-native row
+    global_batch = BucketBatch(64, [0, 6, 2, 1])
+
+    class _OneBatch:
+        def __iter__(self):
+            return iter([global_batch])
+
+        def __len__(self):
+            return 1
+
+    for p in range(2):
+        sliced = list(ProcessShardedBatchSampler(_OneBatch(), p, 2))
+        assert len(sliced) == 1 and isinstance(sliced[0], BucketBatch)
+        assert sliced[0].width == 64
+        loader = DataLoader(
+            ds, [sliced[0]], charset, max_len=6, num_workers=0,
+            static_batch_size=2, bucket_of=bucket_of,
+            transform_for_width=lambda w: get_val_transform(32, w),
+        )
+        (batch,) = list(loader)
+        # process 1's slice is [2, 1] (both 128-native); first-row width
+        # inference would pad to 128 — the explicit tag keeps it at 64
+        assert batch["image"].shape[1:3] == (32, 64)
