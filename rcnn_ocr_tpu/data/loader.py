@@ -438,12 +438,28 @@ class BucketedProportionalBatchSampler:
 
     Composes the two sequence-scaling features the reference keeps separate
     (`/root/reference/data/dataset.py:299-334` fixed-width proportional
-    sampler; SURVEY.md §5.7 width bucketing): each batch holds exactly
-    ``round(batch_size * prop_d)`` samples from dataset ``d`` (the reference
-    sampler's contract) while ALL samples in a batch share one static padded
-    width, so XLA still compiles at most ``len(buckets)`` train-step shapes.
+    sampler; SURVEY.md §5.7 width bucketing): every batch's samples ALL
+    share one static padded width (XLA compiles at most ``len(buckets)``
+    train-step shapes) while dataset mixing follows ``proportions`` under
+    one of two quota modes:
 
-    Mechanics:
+    * ``quota_mode="expected"`` (default): each batch's per-dataset counts
+      are apportioned by that dataset's mass IN THE DRAWN BUCKET
+      (``count_d ∝ prop_d · |pool[d][b]| / |dataset_d|``), so no sample is
+      ever resized across buckets, and over the epoch
+      ``E[samples from d] = batch_size · prop_d`` exactly (the bucket draw
+      ``P(b) ∝ Σ_d prop_d · m_db`` makes the per-bucket weights telescope).
+      Measured the better trainer: the per-batch-exact mode squashes
+      borrowed wide lines into narrow buckets — scale = min of both axis
+      ratios, so they lose vertical resolution too — which costs real
+      training loss (PERF.md round 3).
+    * ``quota_mode="batch"``: the reference sampler's per-batch contract —
+      exactly ``round(batch_size * prop_d)`` samples from dataset ``d`` in
+      EVERY batch; a dataset with no samples in the drawn bucket fills its
+      quota from its nearest non-empty bucket (the per-batch transform
+      resizes those rows to the batch width).
+
+    Mechanics shared by both modes:
 
     * one endless shuffled index stream per non-empty ``(dataset, bucket)``
       pool — every sample of a pool is seen once per pass before reshuffle;
@@ -451,10 +467,6 @@ class BucketedProportionalBatchSampler:
       ``P(b) ∝ Σ_d prop_d · |pool[d][b]| / |dataset_d|`` — in expectation
       each dataset's internal width distribution is followed as closely as
       the single-bucket constraint allows;
-    * when dataset ``d`` has no samples in the drawn bucket, its quota is
-      filled from ``d``'s nearest non-empty bucket (the per-batch transform
-      resizes them to the batch width — same geometry any fixed-width run
-      applies to every sample);
     * every yield is a :class:`BucketBatch` carrying its padded width
       explicitly, so any slice of the batch (e.g. a non-lead process's row
       block under multi-host sharding) still knows the batch shape.
@@ -470,7 +482,10 @@ class BucketedProportionalBatchSampler:
         proportions,
         bucket_ofs: Sequence[Sequence[int]],  # per dataset: bucket width per sample
         seed: Optional[int] = None,
+        quota_mode: str = "expected",
     ):
+        if quota_mode not in ("expected", "batch"):
+            raise ValueError(f"quota_mode must be 'expected' or 'batch', got {quota_mode!r}")
         if abs(sum(proportions) - 1.0) >= 1e-6:
             raise ValueError("proportions must sum to 1")
         if len(bucket_ofs) != len(datasets):
@@ -478,6 +493,7 @@ class BucketedProportionalBatchSampler:
         self.datasets = list(datasets)
         self.batch_size = batch_size
         self.proportions = list(proportions)
+        self.quota_mode = quota_mode
         self._rng = np.random.default_rng(seed)
         self._quotas = [int(round(batch_size * p)) for p in proportions]
         self.buckets = sorted({int(b) for bo in bucket_ofs for b in bo})
@@ -508,6 +524,23 @@ class BucketedProportionalBatchSampler:
             {b: self._endless_shuffle(members) for b, members in pools.items()}
             for pools in self._pools
         ]
+        # expected mode: per-bucket real-valued dataset counts
+        # (``batch_size * prop_d * m_db / Σ_d' prop_d' * m_d'b``); each
+        # batch rounds them stochastically (`_systematic_round`) so
+        # E[count_d | bucket] is EXACT and the epoch-level dataset mix
+        # telescopes to ``prop_d`` with no apportionment bias
+        self._bucket_raw: Dict[int, np.ndarray] = {}
+        if quota_mode == "expected":
+            for b in self.buckets:
+                weights = np.array([
+                    p * len(pools.get(b, ())) / max(1, len(ds))
+                    for p, pools, ds in zip(
+                        self.proportions, self._pools, self.datasets
+                    )
+                ])
+                if weights.sum() <= 0:
+                    continue
+                self._bucket_raw[b] = weights / weights.sum() * batch_size
         # natural bucket of every (ds, idx) — the loader's width lookup
         self.bucket_of: Dict[Tuple[int, int], int] = {
             (d, int(i)): int(b)
@@ -525,19 +558,44 @@ class BucketedProportionalBatchSampler:
         have = sorted(self._pools[d])
         return min(have, key=lambda b: (abs(b - bucket), b))
 
+    def _systematic_round(self, raw: np.ndarray) -> np.ndarray:
+        """Unbiased integer rounding of ``raw`` preserving its sum.
+
+        floor() everything, then hand out the remaining slots by systematic
+        sampling on the fractional parts (one uniform offset, points spaced
+        1 apart over the cumulative remainders) — each dataset's inclusion
+        probability is exactly its fractional part, so
+        ``E[result] == raw`` element-wise.
+        """
+        base = np.floor(raw)
+        rem = raw - base
+        short = int(round(raw.sum() - base.sum()))
+        if short > 0:
+            pts = self._rng.uniform() + np.arange(short)
+            hit = np.searchsorted(np.cumsum(rem), pts, side="right")
+            base[np.minimum(hit, len(base) - 1)] += 1
+        return base.astype(int)
+
     def __iter__(self):
         for _ in range(len(self)):
             bucket = int(
                 self._rng.choice(np.asarray(self.buckets), p=self._bucket_p)
             )
             rows: List[Tuple[int, int]] = []
-            for d, quota in enumerate(self._quotas):
+            quotas = (
+                self._systematic_round(self._bucket_raw[bucket])
+                if self.quota_mode == "expected"
+                else self._quotas
+            )
+            for d, quota in enumerate(quotas):
                 if quota <= 0:
                     continue
-                # quota fills from d's native pool in the drawn bucket, or
-                # d's nearest non-empty bucket when it has none there (the
-                # per-batch transform resizes borrowed rows to the batch
-                # width — same geometry any fixed-width run applies)
+                # expected mode: counts are bucket-native by construction.
+                # batch mode: quota fills from d's native pool in the drawn
+                # bucket, or d's nearest non-empty bucket when it has none
+                # there (the per-batch transform resizes borrowed rows to
+                # the batch width — same geometry any fixed-width run
+                # applies)
                 stream = self._streams[d].get(bucket) or self._streams[d][
                     self._nearest_pool(d, bucket)
                 ]

@@ -67,6 +67,12 @@ DEFAULTS: Dict[str, Any] = {
     # e.g. [64, 128, 192, 256]; an int K derives the K waste-minimizing
     # widths from the training data (multiples of 8); None = single img_w
     "width_buckets": None,
+    # width_buckets x train_proportions quota mode: "expected" keeps every
+    # sample in its native bucket (proportions hold in expectation across
+    # the epoch — measured the better trainer, PERF.md round 3); "batch"
+    # enforces the reference's exact per-batch quotas (borrowed rows are
+    # resized to the batch bucket)
+    "proportional_quotas": "expected",
     "use_pallas": False,  # XLA fusion currently beats the pallas kernels at these shapes
     "device_augment": False,  # run train augmentation on-device (ops/augment.py)
     "log_every": 50,  # per-step TB scalars every N steps (device fetch cadence)

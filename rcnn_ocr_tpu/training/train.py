@@ -405,12 +405,16 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
                 )
             per_ds_bucket_of = lifted
         if train_proportions is not None:
-            # bucket-aware quota sampler: per-batch dataset proportions hold
-            # while every batch stays single-bucket (SURVEY.md §5.7 +
-            # the reference's proportional mixing, composed)
+            # bucket-aware quota sampler: dataset proportions hold (per
+            # batch or in expectation per `proportional_quotas`) while
+            # every batch stays single-bucket (SURVEY.md §5.7 + the
+            # reference's proportional mixing, composed)
+            quota_mode = str(cfg.get("proportional_quotas", "expected"))
             train_sampler = BucketedProportionalBatchSampler(
-                train_sets, batch_size, proportions, per_ds_bucket_of, seed=seed
+                train_sets, batch_size, proportions, per_ds_bucket_of,
+                seed=seed, quota_mode=quota_mode,
             )
+            logger.info(f"Proportional bucketing quota mode: {quota_mode}")
             train_bucket_of = train_sampler.bucket_of
             flat_buckets = [b for bo in per_ds_bucket_of for b in bo]
         else:

@@ -265,8 +265,9 @@ class _LenOnly:
 
 
 def test_bucketed_proportional_sampler_quotas():
-    """Per-batch dataset quotas hold exactly while every batch is
-    single-bucket (VERDICT r2 #2: buckets + proportional mixing compose)."""
+    """quota_mode="batch": per-batch dataset quotas hold exactly while every
+    batch is single-bucket (VERDICT r2 #2: buckets + proportional mixing
+    compose, reference per-batch contract)."""
     from collections import Counter
 
     from rcnn_ocr_tpu.data.loader import BucketedProportionalBatchSampler
@@ -279,6 +280,7 @@ def test_bucketed_proportional_sampler_quotas():
         proportions=[0.5, 0.5],
         bucket_ofs=[bucket_a, bucket_b],
         seed=0,
+        quota_mode="batch",
     )
     assert len(sampler) == min(40 // 4, 20 // 4)
     lookup = sampler.bucket_of
@@ -297,6 +299,42 @@ def test_bucketed_proportional_sampler_quotas():
                     pool = [bucket_a, bucket_b][d]
                     assert batch.width not in set(pool)
     assert widths_seen == {64, 128}  # bucket mass visits every bucket
+
+
+def test_bucketed_proportional_sampler_expected_mode():
+    """quota_mode="expected" (default): no sample is EVER resized across
+    buckets — every row is native to its batch's bucket — and the dataset
+    mix converges to the requested proportions across the epoch."""
+    from collections import Counter
+
+    from rcnn_ocr_tpu.data.loader import BucketedProportionalBatchSampler
+
+    bucket_a = [64] * 30 + [128] * 10  # ds0: mostly short lines
+    bucket_b = [128] * 20  # ds1: long lines only — no 64 pool
+    sampler = BucketedProportionalBatchSampler(
+        [_LenOnly(40), _LenOnly(20)],
+        batch_size=8,
+        proportions=[0.5, 0.5],
+        bucket_ofs=[bucket_a, bucket_b],
+        seed=0,
+    )
+    assert sampler.quota_mode == "expected"
+    lookup = sampler.bucket_of
+    totals = Counter()
+    n_rows = 0
+    for _ in range(40):  # many epochs: law of large numbers on the mix
+        for batch in sampler:
+            assert len(batch) == 8
+            for d, i in batch:
+                # bucket-native ALWAYS: the whole point of expected mode
+                assert lookup[(d, i)] == batch.width
+                totals[d] += 1
+                n_rows += 1
+    # E[share of ds0] = 0.5 by the telescoping bucket-draw construction
+    assert abs(totals[0] / n_rows - 0.5) < 0.05
+    # the narrow bucket is served entirely by ds0 (ds1 has no 64 pool)
+    only64 = [b for b in sampler if b.width == 64]
+    assert only64 and all(d == 0 for batch in only64 for d, _ in batch)
 
 
 def test_bucketed_proportional_sampler_pass_fairness():
