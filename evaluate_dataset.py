@@ -114,13 +114,11 @@ def evaluate_model(
         # "auto" / "auto:K": derive the K waste-minimizing widths from the
         # eval data itself (same DP the training loop uses)
         k = int(width_buckets.split(":")[1]) if ":" in width_buckets else 4
-        from rcnn_ocr_tpu.data.loader import optimal_width_buckets
+        from rcnn_ocr_tpu.data.loader import optimal_width_buckets, scaled_width
         from rcnn_ocr_tpu.data.transforms import image_size
 
         sizes = [image_size(p) for p in image_paths]
-        scaled = [
-            max(1, int(round(w * (img_h / max(h, 1))))) for h, w in sizes
-        ]
+        scaled = [scaled_width(h, w, img_h) for h, w in sizes]
         width_buckets = optimal_width_buckets(
             scaled, k, multiple=8, max_width=img_w
         )
@@ -150,6 +148,7 @@ def evaluate_model(
                 max_length=max_length,
                 batch_size=batch_size,
                 method=decode if decode.startswith("ctc_") else "attention",
+                beam_width=beam_width,
             )
             predicted.extend(out if isinstance(out, list) else [out])
         elif decode == "attention":

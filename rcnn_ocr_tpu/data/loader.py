@@ -235,6 +235,16 @@ def bucket_for_width(width: int, buckets: Sequence[int]) -> int:
     return int(max(buckets))
 
 
+def scaled_width(h: int, w: int, img_h: int) -> int:
+    """Width of an (h, w) image after height-normalizing to ``img_h``.
+
+    THE bucketing width formula: every bucket-assignment site (training
+    samplers, eval CLI, inference engine) must round identically, or the
+    same image can land in different buckets on different paths.
+    """
+    return max(1, int(round(w * (img_h / max(h, 1)))))
+
+
 def assign_width_buckets(
     sizes: Sequence,  # (h, w) per image
     img_h: int,
@@ -246,11 +256,7 @@ def assign_width_buckets(
     (SURVEY.md §5.7): a handful of static widths means XLA compiles once
     per bucket and right-pad waste shrinks versus one global ``img_w``.
     """
-    out = []
-    for h, w in sizes:
-        scaled_w = max(1, int(round(w * (img_h / max(h, 1)))))
-        out.append(bucket_for_width(scaled_w, buckets))
-    return out
+    return [bucket_for_width(scaled_width(h, w, img_h), buckets) for h, w in sizes]
 
 
 def optimal_width_buckets(
@@ -334,9 +340,7 @@ def probe_scaled_widths(dataset, img_h: int, num_workers: int = 8) -> List[int]:
     paths = [dataset.sample_path(i) for i in range(len(dataset))]
     with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
         sizes = list(pool.map(image_size, paths))
-    return [
-        max(1, int(round(w * (img_h / max(h, 1))))) for h, w in sizes
-    ]
+    return [scaled_width(h, w, img_h) for h, w in sizes]
 
 
 def lift_buckets_for_ctc(

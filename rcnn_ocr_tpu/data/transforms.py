@@ -114,6 +114,31 @@ def ensure_rgb(img: np.ndarray) -> np.ndarray:
     return img
 
 
+def load_rgb_uint8(image) -> np.ndarray:
+    """Any accepted inference input -> RGB uint8 HWC.
+
+    THE input-canonicalization policy shared by every serving surface
+    (`OCRInference`, exported artifacts): path -> unicode-safe read; PIL ->
+    RGB convert; ndarray -> gray/RGBA to RGB, with non-uint8 pixel values
+    treated as 0..255-scaled (the reference's A.Normalize
+    ``max_pixel_value=255`` contract, `/root/reference/data/transforms.py:
+    185-193`) and quantized so all inputs ride the uint8 feed + exact
+    device-normalize LUT.
+    """
+    if isinstance(image, str):
+        if not os.path.exists(image):
+            raise FileNotFoundError(f"Image file not found: {image}")
+        return imread_cv2(image)
+    if isinstance(image, np.ndarray):
+        if image.dtype != np.uint8:
+            image = np.clip(np.rint(image), 0, 255).astype(np.uint8)
+            return ensure_rgb(image)
+        return ensure_rgb(image.copy())
+    if hasattr(image, "convert"):  # PIL, duck-typed to avoid the import
+        return np.array(image.convert("RGB"))
+    raise ValueError(f"Unsupported image type: {type(image)}")
+
+
 class ResizeAndPad:
     """Aspect-preserving resize pasted onto a white canvas.
 

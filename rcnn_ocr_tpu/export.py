@@ -1,0 +1,256 @@
+"""Ahead-of-time serving artifacts via `jax.export` (StableHLO).
+
+A TPU-native deployment path with no reference counterpart (the reference
+serves from a live torch process rebuilding the model from Python classes,
+`/root/reference/inference.py:12-91`): the full serving kernel — on-device
+resize-pad-normalize, encoder, decode — is lowered ONCE to versioned
+StableHLO and written to disk next to the weights and the charset.  A
+serving host then *deserializes and runs* the artifact:
+
+* no model code at serve time — the artifact directory is the complete
+  deployment unit (kernel bytes + params + manifest), immune to framework
+  code drift between the training and the serving fleet;
+* cold start is deserialize + XLA compile — no Python re-trace of the
+  network;
+* `platforms=("tpu", "cpu")` lowers one artifact for both backends, so the
+  same directory serves on a TPU pod and on a CPU canary.
+
+Artifact directory layout::
+
+    manifest.json           shapes, decode method, charset, token ids
+    params.msgpack          flax-serialized inference variables
+    serving_w<W>.stablehlo  exported kernel bytes, one per decode width
+
+Width bucketing is preserved: one exported kernel per static width, and
+:class:`ServingArtifact.predict` routes each image to its bucket exactly
+like ``OCRInference.predict_serving`` (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+MANIFEST_VERSION = 1
+
+
+def export_serving_artifact(
+    ocr,  # OCRInference
+    out_dir: str,
+    method: str = "ctc_greedy",
+    batch_size: int = 256,
+    canvas: Tuple[int, int] = (64, 512),
+    max_length: int = 25,
+    beam_width: int = 16,
+    prune_k: int = 16,
+    width_buckets: Optional[Sequence[int]] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Export an :class:`OCRInference` serving configuration to disk.
+
+    ``width_buckets`` defaults to the engine's own buckets (or its single
+    ``img_w``); every width becomes one exported kernel.  ``platforms``
+    (e.g. ``("tpu", "cpu")``) requests multi-platform lowering — default is
+    the exporting process's backend.  Returns ``out_dir``.
+    """
+    import jax
+    from flax import serialization
+
+    if getattr(ocr, "_mesh", None) is not None:
+        raise ValueError(
+            "export requires a single-device OCRInference (mesh=None); "
+            "shard the exported artifact at load time instead"
+        )
+    widths = [int(w) for w in (width_buckets or ocr.width_buckets or [ocr.img_w])]
+    canvas_h, canvas_w = int(canvas[0]), int(canvas[1])
+    os.makedirs(out_dir, exist_ok=True)
+
+    var_specs = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), ocr.variables
+    )
+    raw_spec = jax.ShapeDtypeStruct(
+        (batch_size, canvas_h, canvas_w, 3), np.uint8
+    )
+    # [h, w] + host float64 placed-rect geometry [dst_h, dst_w, y0]
+    sizes_spec = jax.ShapeDtypeStruct((batch_size, 5), np.int32)
+
+    files: Dict[str, str] = {}
+    for w in widths:
+        kernel = ocr.serving_kernel(
+            method=method,
+            max_length=max_length,
+            target_w=w,
+            beam_width=beam_width,
+            prune_k=prune_k,
+        )
+        exported = jax.export.export(
+            kernel, platforms=list(platforms) if platforms else None
+        )(var_specs, raw_spec, sizes_spec)
+        fname = f"serving_w{w}.stablehlo"
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(bytes(exported.serialize()))
+        files[str(w)] = fname
+
+    host_vars = jax.tree_util.tree_map(np.asarray, ocr.variables)
+    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
+        f.write(
+            serialization.msgpack_serialize(
+                serialization.to_state_dict(host_vars)
+            )
+        )
+
+    cs = ocr.charset
+    manifest = {
+        "format_version": MANIFEST_VERSION,
+        "method": method,
+        "max_length": max_length,
+        "batch_size": batch_size,
+        "canvas": [canvas_h, canvas_w],
+        "img_h": ocr.img_h,
+        "widths": widths,
+        "beam_width": beam_width,
+        "prune_k": prune_k,
+        "itos": list(cs.itos),
+        "ids": {
+            "pad": cs.pad_id,
+            "sos": cs.sos_id,
+            "eos": cs.eos_id,
+            "blank": cs.blank_id,
+            "ctc_blank": cs.ctc_blank_id,
+        },
+        "platforms": list(platforms) if platforms else None,
+        "jax_version": jax.__version__,
+        "files": files,
+    }
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, ensure_ascii=False, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return out_dir
+
+
+class ServingArtifact:
+    """Serve from an exported artifact directory — no model code needed.
+
+    Mirrors ``OCRInference.predict_serving`` host-side semantics (letterbox
+    canvas, bucket routing, pad-to-static-batch, decode rules) while the
+    device side runs the deserialized StableHLO kernel.
+    """
+
+    def __init__(self, base_dir: str):
+        import jax
+        from flax import serialization
+
+        self.base_dir = base_dir
+        with open(os.path.join(base_dir, "manifest.json"), encoding="utf-8") as f:
+            m = self.manifest = json.load(f)
+        if m["format_version"] > MANIFEST_VERSION:
+            raise ValueError(
+                f"artifact format {m['format_version']} is newer than this "
+                f"loader ({MANIFEST_VERSION})"
+            )
+        with open(os.path.join(base_dir, "params.msgpack"), "rb") as f:
+            self.variables = serialization.msgpack_restore(f.read())
+        self._itos: List[str] = list(m["itos"])
+        self._ids = m["ids"]
+        self.method: str = m["method"]
+        self.batch_size: int = int(m["batch_size"])
+        self.canvas: Tuple[int, int] = (int(m["canvas"][0]), int(m["canvas"][1]))
+        self.img_h: int = int(m["img_h"])
+        self.widths: List[int] = [int(w) for w in m["widths"]]
+        self._calls: Dict[int, Any] = {}
+        for w_str, fname in m["files"].items():
+            with open(os.path.join(base_dir, fname), "rb") as f:
+                exported = jax.export.deserialize(bytearray(f.read()))
+            self._calls[int(w_str)] = jax.jit(exported.call)
+
+    @classmethod
+    def load(cls, base_dir: str) -> "ServingArtifact":
+        return cls(base_dir)
+
+    # -- host pipeline (predict_serving parity) -----------------------------
+    def _decode_rows(self, pred, aux, n_real: int, return_confidence: bool):
+        from rcnn_ocr_tpu.ops.ctc import ids_to_text
+        from rcnn_ocr_tpu.vocab.charset import decode_tokens
+
+        ids = self._ids
+        pred = np.asarray(pred)
+        if self.method != "attention":
+            skip = {
+                v
+                for v in (ids["pad"], ids["sos"], ids["eos"], ids["ctc_blank"])
+                if v is not None
+            }
+            valid = np.asarray(aux)
+            rows = [pred[j, : valid[j]].tolist() for j in range(n_real)]
+            return ids_to_text(rows, self._itos, skip_ids=skip)
+        maxp = np.asarray(aux)
+        out = []
+        for j in range(n_real):
+            text = decode_tokens(
+                pred[j],
+                self._itos,
+                pad_id=ids["pad"],
+                eos_id=ids["eos"],
+                blank_id=ids["blank"],
+            )
+            if return_confidence:
+                mask = (pred[j] != ids["pad"]) & (pred[j] != ids["eos"])
+                conf = float(maxp[j][mask].mean()) if mask.sum() > 0 else 0.0
+                out.append((text, conf))
+            else:
+                out.append(text)
+        return out
+
+    def predict(
+        self,
+        images: Union[Any, List[Any]],
+        return_confidence: bool = False,
+    ):
+        """Decode image paths / arrays / PIL images to strings.
+
+        Single image in -> single result out (``OCRInference`` parity).
+        """
+        from rcnn_ocr_tpu.data.loader import bucket_for_width, scaled_width
+        from rcnn_ocr_tpu.data.transforms import load_rgb_uint8
+        from rcnn_ocr_tpu.ops.preprocess import (
+            host_letterbox,
+            host_resize_geometry,
+        )
+
+        if return_confidence and self.method != "attention":
+            raise ValueError("return_confidence requires an attention artifact")
+        is_single = not isinstance(images, list)
+        images_list = [images] if is_single else list(images)
+        if not images_list:
+            return []
+
+        rgb = [load_rgb_uint8(img) for img in images_list]
+        groups: Dict[int, List[int]] = {}
+        for i, arr in enumerate(rgb):
+            w = bucket_for_width(
+                scaled_width(arr.shape[0], arr.shape[1], self.img_h), self.widths
+            )
+            groups.setdefault(w, []).append(i)
+
+        canvas_h, canvas_w = self.canvas
+        results: List[Any] = [None] * len(images_list)
+        for w, indices in groups.items():
+            call = self._calls[w]
+            for i in range(0, len(indices), self.batch_size):
+                idxs = indices[i : i + self.batch_size]
+                chunk = [rgb[j] for j in idxs]
+                n_real = len(chunk)
+                if n_real < self.batch_size:
+                    chunk += [chunk[-1]] * (self.batch_size - n_real)
+                raw, sizes = host_letterbox(chunk, canvas_h, canvas_w)
+                geom = host_resize_geometry(sizes, self.img_h, w)
+                sizes = np.concatenate([sizes, geom], axis=1)
+                pred, aux = call(self.variables, raw, sizes)
+                texts = self._decode_rows(pred, aux, n_real, return_confidence)
+                for j, out_idx in enumerate(idxs):
+                    results[out_idx] = texts[j]
+        return results[0] if is_single else results

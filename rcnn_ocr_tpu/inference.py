@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rcnn_ocr_tpu.data.transforms import ResizeAndPad, ensure_rgb, imread_cv2
+from rcnn_ocr_tpu.data.transforms import ResizeAndPad, load_rgb_uint8
 from rcnn_ocr_tpu.models import RCNN
 from rcnn_ocr_tpu.ops.augment import device_normalize
 from rcnn_ocr_tpu.ops.ctc import ctc_beam_search, ctc_greedy_decode_jnp, ids_to_text
@@ -212,16 +212,9 @@ class OCRInference:
 
     # -- preprocessing -----------------------------------------------------
     def _to_rgb(self, image: ImageLike) -> np.ndarray:
-        if isinstance(image, str):
-            if not os.path.exists(image):
-                raise FileNotFoundError(f"Image file not found: {image}")
-            return imread_cv2(image)
-        if isinstance(image, np.ndarray):
-            return ensure_rgb(image.copy())
-        # PIL image (duck-typed to avoid importing PIL when unused)
-        if hasattr(image, "convert"):
-            return np.array(image.convert("RGB"))
-        raise ValueError(f"Unsupported image type: {type(image)}")
+        # shared canonicalization (incl. the 0..255-scaled-float contract
+        # for non-uint8 ndarrays) — see data.transforms.load_rgb_uint8
+        return load_rgb_uint8(image)
 
     def _preprocess(self, image: ImageLike, width: Optional[int] = None) -> np.ndarray:
         rgb = self._to_rgb(image)
@@ -394,9 +387,9 @@ class OCRInference:
         variables = {**self.variables, "quant_stats": zero_stats}
         for i in range(0, len(images_list), batch_size):
             chunk = images_list[i : i + batch_size]
-            arrays = [self._preprocess(img) for img in chunk]
-            if len(arrays) < batch_size:
-                arrays += [arrays[-1]] * (batch_size - len(arrays))
+            arrays, _ = self._pad_rows(
+                [self._preprocess(img) for img in chunk], batch_size
+            )
             stats = record(variables, self._device_batch(np.stack(arrays)))
             variables = {**variables, "quant_stats": stats}
 
@@ -474,14 +467,41 @@ class OCRInference:
         self._resolve_auto_buckets(images_list)
         if not self.width_buckets:
             return [(i, None) for i in range(len(images_list))]
-        from rcnn_ocr_tpu.data.loader import bucket_for_width
+        from rcnn_ocr_tpu.data.loader import bucket_for_width, scaled_width
 
         out = []
         for i, img in enumerate(images_list):
             h, w = self._probe_hw(img)
-            scaled_w = max(1, int(round(w * (self.img_h / max(h, 1)))))
-            out.append((i, bucket_for_width(scaled_w, self.width_buckets)))
+            out.append(
+                (i, bucket_for_width(scaled_width(h, w, self.img_h), self.width_buckets))
+            )
         return out
+
+    def _bucket_chunks(
+        self, images_list: List[ImageLike], batch_size: int
+    ) -> List[Tuple[Optional[int], List[int]]]:
+        """Bucketize, then split each bucket's image indices into chunks.
+
+        The one grouping/chunking policy shared by ``predict``,
+        ``predict_ctc`` and ``predict_serving`` — each chunk decodes at its
+        bucket's static width, so the jit cache holds at most
+        ``len(width_buckets)`` shapes per kernel."""
+        groups: Dict[Optional[int], List[int]] = {}
+        for idx, bucket in self._bucketize(images_list):
+            groups.setdefault(bucket, []).append(idx)
+        return [
+            (bucket, indices[i : i + batch_size])
+            for bucket, indices in groups.items()
+            for i in range(0, len(indices), batch_size)
+        ]
+
+    @staticmethod
+    def _pad_rows(rows: List[Any], batch_size: int) -> Tuple[List[Any], int]:
+        """Pad a short chunk to the static batch by repeating the last row."""
+        n_real = len(rows)
+        if n_real < batch_size:
+            rows = rows + [rows[-1]] * (batch_size - n_real)
+        return rows, n_real
 
     def _probe_hw(self, img: ImageLike) -> Tuple[int, int]:
         """(h, w) of an input without decoding it — header-probe for paths
@@ -504,14 +524,14 @@ class OCRInference:
     def _resolve_auto_buckets(self, images_list: List[ImageLike]) -> None:
         """First call with data resolves ``width_buckets="auto:K"`` (the
         training loop's waste-minimizing DP over this batch's widths)."""
-        if not self._auto_bucket_k or self.width_buckets:
+        if not self._auto_bucket_k or self.width_buckets or not images_list:
             return
-        from rcnn_ocr_tpu.data.loader import optimal_width_buckets
+        from rcnn_ocr_tpu.data.loader import optimal_width_buckets, scaled_width
 
         scaled = []
         for img in images_list:
             h, w = self._probe_hw(img)
-            scaled.append(max(1, int(round(w * (self.img_h / max(h, 1))))))
+            scaled.append(scaled_width(h, w, self.img_h))
         self.width_buckets = optimal_width_buckets(
             scaled, self._auto_bucket_k, multiple=8, max_width=self.img_w
         )
@@ -538,34 +558,27 @@ class OCRInference:
             )
         is_single = not isinstance(images, list)
         images_list: List[ImageLike] = [images] if is_single else list(images)
+        if not images_list:
+            return []
         steps = max_length + 1
         batch_size = self._round_batch(batch_size)
         run = self._greedy_fn(steps)
 
         results: List[Any] = [None] * len(images_list)
-        # group by width bucket; each bucket keeps its own static shape
-        groups: Dict[Optional[int], List[int]] = {}
-        for idx, bucket in self._bucketize(images_list):
-            groups.setdefault(bucket, []).append(idx)
+        for bucket, chunk_idx in self._bucket_chunks(images_list, batch_size):
+            arrays = [
+                self._preprocess(images_list[j], width=bucket) for j in chunk_idx
+            ]
+            arrays, n_real = self._pad_rows(arrays, batch_size)  # static shape
+            batch = self._device_batch(np.stack(arrays))
+            pred, maxp = run(self.variables, batch)
+            pred = np.asarray(pred)[:n_real]
+            maxp = np.asarray(maxp)[:n_real]
 
-        for bucket, indices in groups.items():
-            for i in range(0, len(indices), batch_size):
-                chunk_idx = indices[i : i + batch_size]
-                arrays = [
-                    self._preprocess(images_list[j], width=bucket) for j in chunk_idx
-                ]
-                n_real = len(arrays)
-                if n_real < batch_size:
-                    arrays += [arrays[-1]] * (batch_size - n_real)  # static shape
-                batch = self._device_batch(np.stack(arrays))
-                pred, maxp = run(self.variables, batch)
-                pred = np.asarray(pred)[:n_real]
-                maxp = np.asarray(maxp)[:n_real]
-
-                for j, out_idx in enumerate(chunk_idx):
-                    results[out_idx] = self._decode_attention_row(
-                        pred[j], maxp[j], return_confidence
-                    )
+            for j, out_idx in enumerate(chunk_idx):
+                results[out_idx] = self._decode_attention_row(
+                    pred[j], maxp[j], return_confidence
+                )
 
         return results[0] if is_single else results
 
@@ -613,6 +626,35 @@ class OCRInference:
         key_steps = 0 if ctc else steps
         return self._cached(
             ("serving", key_steps, target_w, ctc, beam_width, prune_k), build
+        )
+
+    def serving_kernel(
+        self,
+        method: str = "attention",
+        max_length: int = 25,
+        target_w: Optional[int] = None,
+        beam_width: int = 16,
+        prune_k: int = 16,
+    ):
+        """The jitted serving decode kernel for one static configuration.
+
+        Public accessor for ahead-of-time export (`rcnn_ocr_tpu.export`):
+        ``kernel(variables, raw_uint8 [B, Hc, Wc, 3], sizes [B, 5])`` —
+        exactly the function ``predict_serving`` dispatches per chunk.
+        """
+        ctc = method in ("ctc", "ctc_greedy", "ctc_beam")
+        if not ctc and method != "attention":
+            raise ValueError(f"Unsupported serving decode method: {method}")
+        if ctc and not self.model.with_ctc_head:
+            raise ValueError("this checkpoint has no CTC head")
+        if not ctc and not self.model.with_attention_head:
+            raise ValueError("this checkpoint has no attention head")
+        return self._serving_fn(
+            max_length + 1,
+            target_w or self.img_w,
+            ctc=ctc,
+            beam_width=beam_width if method == "ctc_beam" else 0,
+            prune_k=prune_k,
         )
 
     def predict_serving(
@@ -669,6 +711,8 @@ class OCRInference:
 
         is_single = not isinstance(images, list)
         images_list: List[ImageLike] = [images] if is_single else list(images)
+        if not images_list:
+            return []
         steps = max_length + 1
         batch_size = self._round_batch(batch_size)
         if isinstance(canvas, str):
@@ -682,23 +726,14 @@ class OCRInference:
                 print(f"Auto serving canvas: {canvas[0]}x{canvas[1]}")
         canvas_h, canvas_w = canvas
 
-        groups: Dict[Optional[int], List[int]] = {}
-        for idx, bucket in self._bucketize(images_list):
-            groups.setdefault(bucket, []).append(idx)
-        chunks: List[Tuple[Optional[int], List[int]]] = [
-            (bucket, indices[i : i + batch_size])
-            for bucket, indices in groups.items()
-            for i in range(0, len(indices), batch_size)
-        ]
+        chunks = self._bucket_chunks(images_list, batch_size)
 
         from rcnn_ocr_tpu.ops.preprocess import host_resize_geometry
 
         def letterbox_chunk(chunk):
             bucket, idxs = chunk
             rgb = [self._to_rgb(images_list[j]) for j in idxs]
-            n_real = len(rgb)
-            if n_real < batch_size:
-                rgb += [rgb[-1]] * (batch_size - n_real)
+            rgb, n_real = self._pad_rows(rgb, batch_size)
             raw, sizes = host_letterbox(rgb, canvas_h, canvas_w)
             # host-float64 placed-rect geometry rides along with the sizes
             # so the device resize is bit-identical to the host transform
@@ -774,28 +809,18 @@ class OCRInference:
             raise ValueError("this checkpoint has no CTC head")
         is_single = not isinstance(images, list)
         images_list: List[ImageLike] = [images] if is_single else list(images)
+        if not images_list:
+            return []
         batch_size = self._round_batch(batch_size)
 
         skip = {self.charset.pad_id, self.charset.sos_id, self.charset.eos_id}
         skip.add(self.charset.ctc_blank_id)
         results: List[Optional[str]] = [None] * len(images_list)
-        # group by width bucket (predict()/predict_serving() parity): each
-        # bucket keeps its own static shape, one compile per bucket
-        groups: Dict[Optional[int], List[int]] = {}
-        for idx0, bucket in self._bucketize(images_list):
-            groups.setdefault(bucket, []).append(idx0)
-        chunks = [
-            (bucket, indices[i : i + batch_size])
-            for bucket, indices in groups.items()
-            for i in range(0, len(indices), batch_size)
-        ]
-        for bucket, chunk_idx in chunks:
+        for bucket, chunk_idx in self._bucket_chunks(images_list, batch_size):
             arrays = [
                 self._preprocess(images_list[j], width=bucket) for j in chunk_idx
             ]
-            n_real = len(arrays)
-            if n_real < batch_size:
-                arrays += [arrays[-1]] * (batch_size - n_real)
+            arrays, n_real = self._pad_rows(arrays, batch_size)
             batch = self._device_batch(np.stack(arrays))
             if method == "greedy":
                 tokens, valid = self._ctc_fn(True)(self.variables, batch)

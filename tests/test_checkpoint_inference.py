@@ -353,3 +353,63 @@ def test_width_buckets_auto_and_canvas_auto(tiny_state, tmp_path):
         OCRInference(
             ckpt_path, str(charset_path), width_buckets="bogus", verbose=False
         )
+
+
+def test_float_ndarray_inputs_are_normalized(tiny_state, tmp_path):
+    """Non-uint8 ndarray inputs (0..255-scaled, the reference's A.Normalize
+    contract) must decode exactly like their uint8 twins — regression for
+    the uint8-feed rewrite, where a float row skipped device_normalize and
+    promoted the whole stacked chunk to float32."""
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    model, state, _ = tiny_state
+    charset_path = tmp_path / "cs.txt"
+    charset_path.write_text("\n".join(TOKENS) + "\n", encoding="utf-8")
+    ckpt_path = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(ckpt_path, state)
+    ocr = OCRInference(
+        ckpt_path, str(charset_path), img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (20, 50, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32)  # 0..255-scaled floats
+    f64_gray = u8[..., 0].astype(np.float64)  # 2-D float64 (cvtColor-hostile)
+
+    ref = ocr.predict(u8, max_length=4, batch_size=2)
+    assert ocr.predict(f32, max_length=4, batch_size=2) == ref
+    # a float row mixed into a uint8 chunk must not corrupt either decode
+    mixed = ocr.predict([u8, f32], max_length=4, batch_size=2)
+    assert mixed == [ref, ref]
+    out_gray = ocr.predict(f64_gray, max_length=4, batch_size=2)
+    assert isinstance(out_gray, str)
+    # the CTC path rides the same _preprocess
+    assert ocr.predict_ctc(f32, method="greedy") == ocr.predict_ctc(
+        u8, method="greedy"
+    )
+
+
+def test_empty_input_lists_return_empty(tiny_state, tmp_path):
+    """Every predict* path returns [] for an empty list — including the
+    width_buckets='auto' and canvas='auto' modes, which previously crashed
+    in max()/optimal_width_buckets before reaching the chunk loop."""
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    model, state, _ = tiny_state
+    charset_path = tmp_path / "cs.txt"
+    charset_path.write_text("\n".join(TOKENS) + "\n", encoding="utf-8")
+    ckpt_path = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(ckpt_path, state)
+    ocr = OCRInference(
+        ckpt_path, str(charset_path), img_h=32, img_w=64,
+        width_buckets="auto:2", dtype=jnp.float32, verbose=False,
+    )
+    assert ocr.predict([]) == []
+    assert ocr.predict_ctc([]) == []
+    assert ocr.predict_serving([], canvas="auto") == []
+    assert ocr.width_buckets is None  # auto resolution still deferred

@@ -1,0 +1,168 @@
+"""AOT serving artifacts (jax.export): export -> load -> decode parity.
+
+The artifact must reproduce ``predict_serving`` exactly: same kernel, same
+host pipeline, the weights riding along as msgpack — so every test here
+asserts string equality against the live engine.
+"""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rcnn_ocr_tpu.export import ServingArtifact, export_serving_artifact
+from rcnn_ocr_tpu.inference import OCRInference
+from rcnn_ocr_tpu.models import RCNN
+from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+from rcnn_ocr_tpu.training.optim import build_optimizer
+from rcnn_ocr_tpu.training.train_step import create_train_state
+
+TOKENS = ["<PAD>", "<SOS>", "<EOS>", " "] + list("abcdefghij")
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    import jax
+
+    model = RCNN(
+        num_classes=len(TOKENS), hidden_size=16, width_mult=0.0625,
+        lstm_layers=1, with_ctc_head=True, dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(3)
+    variables = model.init(
+        {"params": rng}, jnp.zeros((1, 32, 64, 3)),
+        text=jnp.zeros((1, 5), jnp.int32), batch_max_length=4,
+        method=model.init_all,
+    )
+    state = create_train_state(model, variables, build_optimizer("Adam", 1e-3))
+    d = tmp_path_factory.mktemp("export_ckpt")
+    charset_path = d / "cs.txt"
+    charset_path.write_text("\n".join(TOKENS) + "\n", encoding="utf-8")
+    ckpt_path = str(d / "w.msgpack")
+    ckpt_io.save_weights(ckpt_path, state)
+    return ckpt_path, str(charset_path)
+
+
+def _images(seed=0, n=3):
+    rng = np.random.default_rng(seed)
+    return [
+        rng.integers(0, 256, (24, 30 + 17 * i, 3)).astype(np.uint8)
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("method", ["ctc_greedy", "attention", "ctc_beam"])
+def test_artifact_matches_predict_serving(tiny_ckpt, tmp_path, method):
+    ckpt_path, charset_path = tiny_ckpt
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    out_dir = str(tmp_path / f"artifact_{method}")
+    export_serving_artifact(
+        ocr, out_dir, method=method, batch_size=2, canvas=(32, 64),
+        max_length=4, beam_width=4,
+    )
+    art = ServingArtifact.load(out_dir)
+    imgs = _images()
+    live = ocr.predict_serving(
+        imgs, max_length=4, batch_size=2, canvas=(32, 64), method=method,
+        beam_width=4,
+    )
+    exported = art.predict(imgs)
+    assert exported == live
+    # single-image polymorphism + empty-list contract
+    assert art.predict(imgs[0]) == live[0]
+    assert art.predict([]) == []
+
+
+def test_artifact_is_standalone(tiny_ckpt, tmp_path):
+    """Loading needs only the artifact directory: manifest carries the
+    charset + ids, params ride as msgpack — no checkpoint, no charset file,
+    no OCRInference."""
+    ckpt_path, charset_path = tiny_ckpt
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    out_dir = str(tmp_path / "artifact")
+    export_serving_artifact(
+        ocr, out_dir, method="ctc_greedy", batch_size=2, canvas=(32, 64),
+    )
+    with open(os.path.join(out_dir, "manifest.json"), encoding="utf-8") as f:
+        manifest = json.load(f)
+    assert manifest["itos"] == TOKENS
+    assert manifest["ids"]["pad"] == 0 and manifest["ids"]["eos"] == 2
+    assert manifest["widths"] == [64]
+    assert set(manifest["files"]) == {"64"}
+    for fname in manifest["files"].values():
+        assert os.path.getsize(os.path.join(out_dir, fname)) > 0
+    assert os.path.getsize(os.path.join(out_dir, "params.msgpack")) > 0
+
+    art = ServingArtifact.load(out_dir)
+    out = art.predict(_images(seed=5, n=2))
+    assert len(out) == 2 and all(isinstance(t, str) for t in out)
+
+
+def test_artifact_width_buckets(tiny_ckpt, tmp_path):
+    """One exported kernel per width; images route to their bucket and the
+    decode equals the live bucketed serving path."""
+    ckpt_path, charset_path = tiny_ckpt
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, width_buckets=[32, 64],
+        dtype=jnp.float32, verbose=False,
+    )
+    out_dir = str(tmp_path / "artifact_buckets")
+    export_serving_artifact(
+        ocr, out_dir, method="ctc_greedy", batch_size=2, canvas=(32, 64),
+    )
+    art = ServingArtifact.load(out_dir)
+    assert art.widths == [32, 64]
+    assert set(art._calls) == {32, 64}
+    imgs = [
+        np.full((32, 20, 3), 200, np.uint8),  # narrow -> w32
+        np.full((32, 60, 3), 90, np.uint8),  # wide -> w64
+        np.full((32, 18, 3), 40, np.uint8),
+    ]
+    live = ocr.predict_serving(imgs, batch_size=2, canvas=(32, 64), method="ctc_greedy")
+    assert art.predict(imgs) == live
+
+
+def test_artifact_confidence_and_mesh_guard(tiny_ckpt, tmp_path):
+    ckpt_path, charset_path = tiny_ckpt
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    out_dir = str(tmp_path / "artifact_attn")
+    export_serving_artifact(
+        ocr, out_dir, method="attention", batch_size=2, canvas=(32, 64),
+        max_length=4,
+    )
+    art = ServingArtifact.load(out_dir)
+    outs = art.predict(_images(n=2), return_confidence=True)
+    for text, conf in outs:
+        assert isinstance(text, str) and 0.0 <= conf <= 1.0
+    live = ocr.predict_serving(
+        _images(n=2), max_length=4, batch_size=2, canvas=(32, 64),
+        return_confidence=True,
+    )
+    assert outs == live
+
+    # confidence is an attention-only contract (predict_serving parity)
+    ctc_dir = str(tmp_path / "artifact_ctc2")
+    export_serving_artifact(
+        ocr, ctc_dir, method="ctc_greedy", batch_size=2, canvas=(32, 64)
+    )
+    with pytest.raises(ValueError):
+        ServingArtifact.load(ctc_dir).predict(_images(n=1), return_confidence=True)
+
+    # mesh-backed engines must be exported unsharded
+    mesh_ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        mesh=True, verbose=False,
+    )
+    with pytest.raises(ValueError):
+        export_serving_artifact(mesh_ocr, str(tmp_path / "nope"))

@@ -1,0 +1,92 @@
+"""Export a serving artifact (StableHLO + params + manifest) from a checkpoint.
+
+Example:
+    python tools/export_serving.py \
+        --model exp1/best_acc_weights.msgpack --charset configs/charset.txt \
+        --out exp1/artifact --method ctc_greedy --img-h 32 --img-w 128 \
+        --canvas 64,512 --batch-size 256 --width-buckets 64,128 \
+        --platforms tpu,cpu
+
+Serve it back with::
+
+    from rcnn_ocr_tpu.export import ServingArtifact
+    art = ServingArtifact.load("exp1/artifact")
+    print(art.predict(["line1.png", "line2.png"]))
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True, help="checkpoint (.msgpack or .pth)")
+    p.add_argument("--charset", required=True, help="charset file")
+    p.add_argument("--out", required=True, help="artifact output directory")
+    p.add_argument(
+        "--method",
+        default="ctc_greedy",
+        choices=["attention", "ctc_greedy", "ctc_beam"],
+    )
+    p.add_argument("--img-h", type=int, default=None)
+    p.add_argument("--img-w", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--canvas", default="64,512", help="letterbox canvas H,W")
+    p.add_argument("--max-length", type=int, default=25)
+    p.add_argument("--beam-width", type=int, default=16)
+    p.add_argument("--prune-k", type=int, default=16)
+    p.add_argument(
+        "--width-buckets",
+        default=None,
+        help="comma-separated static decode widths (default: the model img_w)",
+    )
+    p.add_argument(
+        "--platforms",
+        default=None,
+        help="comma-separated lowering targets, e.g. tpu,cpu "
+        "(default: this process's backend)",
+    )
+    p.add_argument(
+        "--quantize",
+        action="store_true",
+        help="int8 path (static scales when the checkpoint carries them)",
+    )
+    args = p.parse_args()
+
+    from rcnn_ocr_tpu.export import export_serving_artifact
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    canvas = tuple(int(v) for v in args.canvas.split(","))
+    buckets = (
+        [int(v) for v in args.width_buckets.split(",")]
+        if args.width_buckets
+        else None
+    )
+    platforms = args.platforms.split(",") if args.platforms else None
+
+    ocr = OCRInference(
+        args.model,
+        args.charset,
+        img_h=args.img_h,
+        img_w=args.img_w,
+        quantize=args.quantize,
+        width_buckets=buckets,
+    )
+    out = export_serving_artifact(
+        ocr,
+        args.out,
+        method=args.method,
+        batch_size=args.batch_size,
+        canvas=canvas,
+        max_length=args.max_length,
+        beam_width=args.beam_width,
+        prune_k=args.prune_k,
+        width_buckets=buckets,
+        platforms=platforms,
+    )
+    print(f"Artifact written to: {out}")
+
+
+if __name__ == "__main__":
+    main()
