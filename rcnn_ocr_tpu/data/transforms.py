@@ -55,6 +55,19 @@ def build_file_index(roots, exts=IMG_EXTS) -> Dict[str, List[str]]:
     return index
 
 
+def imdecode_cv2(data) -> np.ndarray:
+    """Encoded image bytes (PNG/JPEG/...) -> RGB uint8 HWC.
+
+    The wire-input twin of :func:`imread_cv2`, shared by the serving
+    daemon (`rcnn_ocr_tpu/serving.py`) and any bytes-borne input path.
+    """
+    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else data
+    img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("Failed to decode image bytes")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
 def imread_cv2(path: str) -> np.ndarray:
     """Unicode-safe image read -> RGB uint8 HWC.
 

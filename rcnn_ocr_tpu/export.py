@@ -121,6 +121,10 @@ def export_serving_artifact(
             "blank": cs.blank_id,
             "ctc_blank": cs.ctc_blank_id,
         },
+        # provenance: the int8 story rides along transparently (the kernels
+        # are traced from the engine's model, quant_stats ship in params)
+        "quantize": bool(getattr(ocr.model, "quantize", False)),
+        "act_quant": getattr(ocr.model, "act_quant", None),
         "platforms": list(platforms) if platforms else None,
         "jax_version": jax.__version__,
         "files": files,

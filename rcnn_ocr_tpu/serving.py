@@ -1,0 +1,326 @@
+"""Micro-batching OCR serving daemon (stdlib HTTP, zero extra deps).
+
+Production front-end over any batch decode engine — a live
+:class:`~rcnn_ocr_tpu.inference.OCRInference` or an ahead-of-time
+:class:`~rcnn_ocr_tpu.export.ServingArtifact` — with cross-request
+micro-batching.  No reference counterpart: the reference serves only from
+an in-process Python object (`/root/reference/inference.py:12-91`).
+
+Why micro-batching matters on TPU: the MXU is utilized by LARGE batches,
+and this platform's per-dispatch floor (~4.3 ms measured, PERF.md) makes
+one-image-per-request dispatch ruinous.  Handler threads enqueue decoded
+images and block; ONE dispatcher thread drains the queue into batches of
+up to ``max_batch`` (waiting at most ``max_wait_ms`` after the first
+queued item) and runs the engine once per batch — many concurrent HTTP
+clients share one JAX dispatch, and the device always sees the biggest
+batch available.  The engine itself is single-threaded by construction,
+which also respects this host's one-JAX-process rule.
+
+HTTP API::
+
+    GET  /healthz   -> {"status": "ok", "pending": N, "served": M}
+    POST /predict   body = raw encoded image bytes (PNG/JPEG/BMP/...)
+                    or JSON {"images": ["<base64>", ...]}
+                    -> {"texts": ["...", ...]}   (raw body -> one entry)
+
+Run it: ``python tools/serve.py --artifact <dir> --port 8000`` (or
+``--model + --charset`` for a live engine).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, List, Optional, Sequence
+
+
+class _Pending:
+    """One request's images waiting for a dispatcher slot."""
+
+    __slots__ = ("images", "done", "texts", "error")
+
+    def __init__(self, images: List[Any]):
+        self.images = images
+        self.done = threading.Event()
+        self.texts: Optional[List[str]] = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Cross-request batcher: many submitters, one engine thread.
+
+    ``predict_fn(list_of_images) -> list_of_texts`` is only ever called
+    from the dispatcher thread, serially, with up to ``max_batch`` images
+    merged across requests.  ``max_wait_ms`` bounds added latency: the
+    dispatcher ships a partial batch once the oldest queued image has
+    waited that long (0 ships immediately — pure request coalescing).
+    """
+
+    def __init__(
+        self,
+        predict_fn: Callable[[List[Any]], List[str]],
+        max_batch: int = 256,
+        max_wait_ms: float = 5.0,
+    ):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._predict = predict_fn
+        self.max_batch = int(max_batch)
+        self.max_wait_s = max(0.0, float(max_wait_ms)) / 1000.0
+        self._queue: deque = deque()  # (_Pending, lo, hi) image spans
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._stop = False
+        self.served = 0  # images decoded since start
+        self._thread = threading.Thread(
+            target=self._run, name="ocr-microbatcher", daemon=True
+        )
+        self._thread.start()
+
+    # -- submitter side ------------------------------------------------------
+    def submit(self, images: List[Any], timeout: Optional[float] = None) -> List[str]:
+        """Block until this request's images are decoded; returns texts.
+
+        Oversized requests are fine — the dispatcher slices them into
+        ``max_batch`` spans and reassembles the result.
+        """
+        if not images:
+            return []
+        pending = _Pending(list(images))
+        with self._wake:
+            if self._stop:
+                raise RuntimeError("server is shutting down")
+            for lo in range(0, len(pending.images), self.max_batch):
+                hi = min(lo + self.max_batch, len(pending.images))
+                self._queue.append((pending, lo, hi, time.monotonic()))
+            self._wake.notify()
+        if not pending.done.wait(timeout):
+            raise TimeoutError("decode did not complete in time")
+        if pending.error is not None:
+            raise pending.error
+        assert pending.texts is not None
+        return pending.texts
+
+    def pending(self) -> int:
+        with self._lock:
+            return sum(hi - lo for _, lo, hi, _ in self._queue)
+
+    def close(self) -> None:
+        with self._wake:
+            self._stop = True
+            self._wake.notify()
+        self._thread.join(timeout=30)
+        # fail anything still queued so submitters don't hang
+        with self._lock:
+            leftovers = list(self._queue)
+            self._queue.clear()
+        for pending, _, _, _ in leftovers:
+            pending.error = RuntimeError("server is shutting down")
+            pending.done.set()
+
+    # -- dispatcher side -----------------------------------------------------
+    def _take_batch(self) -> List[tuple]:
+        """Wait for work, then cut one <= max_batch slice of the queue."""
+        with self._wake:
+            while not self._queue and not self._stop:
+                self._wake.wait()
+            if self._stop and not self._queue:
+                return []
+            # coalesce: once anything is queued, give followers max_wait
+            # to pile on (skip the nap when the batch is already full)
+            deadline = self._queue[0][3] + self.max_wait_s
+            while (
+                not self._stop
+                and sum(hi - lo for _, lo, hi, _ in self._queue) < self.max_batch
+            ):
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._wake.wait(timeout=remaining)
+            batch, n = [], 0
+            while self._queue and n < self.max_batch:
+                pending, lo, hi, t0 = self._queue[0]
+                take = min(hi - lo, self.max_batch - n)
+                batch.append((pending, lo, lo + take))
+                n += take
+                if take == hi - lo:
+                    self._queue.popleft()
+                else:
+                    self._queue[0] = (pending, lo + take, hi, t0)
+            return batch
+
+    def _run(self) -> None:
+        inflight: dict = {}  # pending -> [spans done? via counter]
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                return
+            images = [
+                img
+                for pending, lo, hi in batch
+                for img in pending.images[lo:hi]
+            ]
+            try:
+                texts = self._predict(images)
+                if len(texts) != len(images):
+                    raise RuntimeError(
+                        f"engine returned {len(texts)} results for "
+                        f"{len(images)} images"
+                    )
+            except BaseException as e:  # deliver, don't kill the loop
+                for pending, _, _ in batch:
+                    pending.error = e
+                    inflight.pop(pending, None)
+                    pending.done.set()
+                continue
+            self.served += len(images)
+            pos = 0
+            for pending, lo, hi in batch:
+                span = texts[pos : pos + (hi - lo)]
+                pos += hi - lo
+                if pending.done.is_set():
+                    continue  # an earlier span already failed this request
+                if pending.texts is None:
+                    pending.texts = [""] * len(pending.images)
+                    inflight[pending] = 0
+                pending.texts[lo:hi] = span
+                inflight[pending] += hi - lo
+                if inflight[pending] == len(pending.images):
+                    del inflight[pending]
+                    pending.done.set()
+
+
+def _make_handler(batcher: MicroBatcher, timeout_s: float):
+    from rcnn_ocr_tpu.data.transforms import imdecode_cv2
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._reply(404, {"error": "unknown path"})
+            self._reply(
+                200,
+                {
+                    "status": "ok",
+                    "pending": batcher.pending(),
+                    "served": batcher.served,
+                },
+            )
+
+        def do_POST(self):
+            if self.path != "/predict":
+                return self._reply(404, {"error": "unknown path"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                ctype = (self.headers.get("Content-Type") or "").lower()
+                single = not ctype.startswith("application/json")
+                if single:
+                    images = [imdecode_cv2(body)]
+                else:
+                    req = json.loads(body)
+                    images = [
+                        imdecode_cv2(base64.b64decode(b64))
+                        for b64 in req.get("images", [])
+                    ]
+            except Exception as e:
+                return self._reply(400, {"error": f"bad request: {e}"})
+            try:
+                texts = batcher.submit(images, timeout=timeout_s)
+            except TimeoutError:
+                return self._reply(504, {"error": "decode timed out"})
+            except Exception as e:
+                return self._reply(500, {"error": str(e)})
+            self._reply(200, {"texts": texts})
+
+    return Handler
+
+
+class OCRServer:
+    """HTTP front-end: ``OCRServer(engine).serve_forever()``.
+
+    ``engine`` is anything with ``predict(list) -> list`` returning
+    strings — ``ServingArtifact`` as exported, or ``OCRInference`` wrapped
+    via :func:`serving_predict_fn` to pin the serving-path kwargs.
+    """
+
+    def __init__(
+        self,
+        predict_fn: Callable[[List[Any]], List[str]],
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        max_batch: int = 256,
+        max_wait_ms: float = 5.0,
+        request_timeout_s: float = 120.0,
+    ):
+        self.batcher = MicroBatcher(
+            predict_fn, max_batch=max_batch, max_wait_ms=max_wait_ms
+        )
+        self.httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(self.batcher, request_timeout_s)
+        )
+        self.httpd.daemon_threads = True
+
+    @property
+    def address(self) -> tuple:
+        return self.httpd.server_address
+
+    def serve_forever(self) -> None:
+        try:
+            self.httpd.serve_forever()
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.close()
+
+
+def serving_predict_fn(
+    engine,
+    method: str = "ctc_greedy",
+    batch_size: int = 256,
+    canvas=(64, 512),
+    max_length: int = 25,
+    beam_width: int = 16,
+) -> Callable[[List[Any]], List[str]]:
+    """Adapt an engine to the batcher's ``list -> list[str]`` contract.
+
+    ``ServingArtifact`` already matches; ``OCRInference`` gets its
+    ``predict_serving`` kwargs pinned here so every dispatched batch rides
+    the same jitted kernels.
+    """
+    from rcnn_ocr_tpu.export import ServingArtifact
+
+    if isinstance(engine, ServingArtifact):
+        return engine.predict
+
+    def fn(images: List[Any]) -> List[str]:
+        out = engine.predict_serving(
+            images,
+            method=method,
+            batch_size=batch_size,
+            canvas=canvas,
+            max_length=max_length,
+            beam_width=beam_width,
+        )
+        return out if isinstance(out, list) else [out]
+
+    return fn

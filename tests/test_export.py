@@ -130,6 +130,45 @@ def test_artifact_width_buckets(tiny_ckpt, tmp_path):
     assert art.predict(imgs) == live
 
 
+def test_artifact_int8_dynamic_and_static(tiny_ckpt, tmp_path):
+    """The headline int8 serving modes export transparently: the kernels
+    trace the engine's quantized model, and calibrated static scales ride
+    along inside params.msgpack (manifest records the mode)."""
+    ckpt_path, charset_path = tiny_ckpt
+    imgs = _images(seed=9, n=4)
+
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, quantize=True,
+        verbose=False,
+    )
+    dyn_dir = str(tmp_path / "artifact_int8_dyn")
+    export_serving_artifact(
+        ocr, dyn_dir, method="ctc_greedy", batch_size=2, canvas=(32, 64),
+    )
+    art = ServingArtifact.load(dyn_dir)
+    assert art.manifest["quantize"] is True
+    assert art.manifest["act_quant"] == "dynamic"
+    live = ocr.predict_serving(
+        imgs, batch_size=2, canvas=(32, 64), method="ctc_greedy"
+    )
+    assert art.predict(imgs) == live
+
+    # calibrate -> static scales; the exported kernel must carry them
+    ocr.calibrate(imgs, batch_size=2)
+    assert "quant_stats" in ocr.variables
+    st_dir = str(tmp_path / "artifact_int8_static")
+    export_serving_artifact(
+        ocr, st_dir, method="ctc_greedy", batch_size=2, canvas=(32, 64),
+    )
+    art_st = ServingArtifact.load(st_dir)
+    assert art_st.manifest["act_quant"] == "static"
+    assert "quant_stats" in art_st.variables
+    live_st = ocr.predict_serving(
+        imgs, batch_size=2, canvas=(32, 64), method="ctc_greedy"
+    )
+    assert art_st.predict(imgs) == live_st
+
+
 def test_artifact_confidence_and_mesh_guard(tiny_ckpt, tmp_path):
     ckpt_path, charset_path = tiny_ckpt
     ocr = OCRInference(

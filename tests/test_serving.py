@@ -1,0 +1,240 @@
+"""Micro-batching HTTP serving daemon: batcher semantics + HTTP contract.
+
+The batcher is engine-agnostic, so most tests drive it with a recording
+fake; one end-to-end case runs a real tiny OCRInference behind the server
+and asserts the HTTP decode equals the direct predict_serving call.
+"""
+
+import base64
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from rcnn_ocr_tpu.serving import MicroBatcher, OCRServer, serving_predict_fn
+
+
+class RecordingEngine:
+    """predict(list)->list echoing a per-image tag; records batch sizes."""
+
+    def __init__(self, delay_s: float = 0.0, fail_on=None):
+        self.batches = []
+        self.delay_s = delay_s
+        self.fail_on = fail_on or set()
+
+    def predict(self, images):
+        self.batches.append(len(images))
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        out = []
+        for img in images:
+            tag = int(np.asarray(img).ravel()[0])
+            if tag in self.fail_on:
+                raise ValueError(f"bad image {tag}")
+            out.append(f"t{tag}")
+        return out
+
+
+def _imgs(tags):
+    return [np.full((4, 4, 3), t, np.uint8) for t in tags]
+
+
+def test_batcher_roundtrip_and_order():
+    eng = RecordingEngine()
+    b = MicroBatcher(eng.predict, max_batch=8, max_wait_ms=0)
+    try:
+        assert b.submit(_imgs([3, 1, 2])) == ["t3", "t1", "t2"]
+        assert b.submit([]) == []
+        assert b.served == 3
+    finally:
+        b.close()
+
+
+def test_batcher_coalesces_across_requests():
+    """Concurrent submitters share one engine call when the window allows."""
+    eng = RecordingEngine(delay_s=0.02)
+    b = MicroBatcher(eng.predict, max_batch=64, max_wait_ms=200)
+    results = {}
+
+    def worker(tag):
+        results[tag] = b.submit(_imgs([tag]))[0]
+
+    try:
+        threads = [threading.Thread(target=worker, args=(t,)) for t in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results == {t: f"t{t}" for t in range(6)}
+        # 6 one-image requests must NOT have become 6 engine calls
+        assert len(eng.batches) < 6
+        assert sum(eng.batches) == 6
+    finally:
+        b.close()
+
+
+def test_batcher_slices_oversized_requests():
+    eng = RecordingEngine()
+    b = MicroBatcher(eng.predict, max_batch=4, max_wait_ms=0)
+    try:
+        tags = list(range(10))
+        assert b.submit(_imgs(tags)) == [f"t{t}" for t in tags]
+        assert max(eng.batches) <= 4
+        assert sum(eng.batches) == 10
+    finally:
+        b.close()
+
+
+def test_batcher_delivers_engine_errors():
+    eng = RecordingEngine(fail_on={7})
+    b = MicroBatcher(eng.predict, max_batch=8, max_wait_ms=0)
+    try:
+        with pytest.raises(ValueError, match="bad image 7"):
+            b.submit(_imgs([7]))
+        # the dispatcher survives the failure
+        assert b.submit(_imgs([1])) == ["t1"]
+    finally:
+        b.close()
+
+
+def test_batcher_close_unblocks_submitters():
+    eng = RecordingEngine()
+    b = MicroBatcher(eng.predict, max_batch=8, max_wait_ms=0)
+    b.close()
+    with pytest.raises(RuntimeError):
+        b.submit(_imgs([1]))
+
+
+def _post(url, data, ctype):
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": ctype}, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _png_bytes(img):
+    import cv2
+
+    ok, buf = cv2.imencode(".png", cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    assert ok
+    return buf.tobytes()
+
+
+@pytest.fixture()
+def http_server():
+    """Server over a fake engine on an ephemeral port."""
+    eng = RecordingEngine()
+    server = OCRServer(
+        eng.predict, host="127.0.0.1", port=0, max_batch=8, max_wait_ms=0
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.address[:2]
+    yield f"http://{host}:{port}", eng
+    server.close()
+    thread.join(timeout=10)
+
+
+def test_http_contract(http_server):
+    base, eng = http_server
+    # healthz
+    with urllib.request.urlopen(base + "/healthz", timeout=10) as resp:
+        health = json.loads(resp.read())
+    assert health["status"] == "ok"
+
+    # raw-bytes body -> one text
+    img = np.full((6, 9, 3), 42, np.uint8)
+    status, out = _post(base + "/predict", _png_bytes(img), "image/png")
+    assert status == 200 and out == {"texts": ["t42"]}
+
+    # JSON base64 batch
+    imgs = [np.full((5, 7, 3), t, np.uint8) for t in (9, 11)]
+    payload = json.dumps(
+        {"images": [base64.b64encode(_png_bytes(i)).decode() for i in imgs]}
+    ).encode()
+    status, out = _post(base + "/predict", payload, "application/json")
+    assert status == 200 and out == {"texts": ["t9", "t11"]}
+
+    # bad image bytes -> 400, not a crash
+    try:
+        _post(base + "/predict", b"not an image", "image/png")
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+    # unknown path -> 404
+    try:
+        _post(base + "/nope", b"", "image/png")
+        raise AssertionError("expected HTTP 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_http_end_to_end_real_engine(tmp_path):
+    """Tiny real OCRInference behind the daemon: HTTP decode == direct
+    predict_serving on the same images."""
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.inference import OCRInference
+    from rcnn_ocr_tpu.models import RCNN
+    from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+    from rcnn_ocr_tpu.training.optim import build_optimizer
+    from rcnn_ocr_tpu.training.train_step import create_train_state
+
+    import jax
+
+    tokens = ["<PAD>", "<SOS>", "<EOS>", " "] + list("abc")
+    model = RCNN(
+        num_classes=len(tokens), hidden_size=16, width_mult=0.0625,
+        lstm_layers=1, with_ctc_head=True, dtype=jnp.float32,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 64, 3)),
+        text=jnp.zeros((1, 5), jnp.int32), batch_max_length=4,
+        method=model.init_all,
+    )
+    state = create_train_state(model, variables, build_optimizer("Adam", 1e-3))
+    charset_path = tmp_path / "cs.txt"
+    charset_path.write_text("\n".join(tokens) + "\n", encoding="utf-8")
+    ckpt = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(ckpt, state)
+
+    ocr = OCRInference(
+        ckpt, str(charset_path), img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    predict = serving_predict_fn(
+        ocr, method="ctc_greedy", batch_size=2, canvas=(32, 64), max_length=4
+    )
+    server = OCRServer(
+        predict, host="127.0.0.1", port=0, max_batch=2, max_wait_ms=0
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.address[:2]
+        base = f"http://{host}:{port}"
+        rng = np.random.default_rng(4)
+        imgs = [
+            rng.integers(0, 256, (24, 30 + 11 * i, 3)).astype(np.uint8)
+            for i in range(3)
+        ]
+        expect = ocr.predict_serving(
+            imgs, method="ctc_greedy", batch_size=2, canvas=(32, 64),
+            max_length=4,
+        )
+        payload = json.dumps(
+            {"images": [base64.b64encode(_png_bytes(i)).decode() for i in imgs]}
+        ).encode()
+        status, out = _post(base + "/predict", payload, "application/json")
+        assert status == 200
+        # PNG encode/decode is lossless -> exact decode parity
+        assert out["texts"] == expect
+    finally:
+        server.close()
+        thread.join(timeout=10)

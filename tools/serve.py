@@ -1,0 +1,104 @@
+"""Run the micro-batching OCR HTTP server.
+
+From an exported artifact (no model code, cold start = deserialize+compile):
+
+    python tools/serve.py --artifact exp1/artifact --port 8000
+
+or from a live checkpoint (full engine; pass the serving knobs):
+
+    python tools/serve.py --model exp1/best_acc_weights.msgpack \
+        --charset configs/charset.txt --img-h 32 --img-w 128 \
+        --method ctc_greedy --canvas 64,512 --batch-size 256 --port 8000
+
+Query it:
+
+    curl -s -X POST --data-binary @line.png http://127.0.0.1:8000/predict
+    curl -s http://127.0.0.1:8000/healthz
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--artifact", help="exported artifact directory")
+    src.add_argument("--model", help="checkpoint (.msgpack or .pth)")
+    p.add_argument("--charset", help="charset file (with --model)")
+    p.add_argument("--img-h", type=int, default=None)
+    p.add_argument("--img-w", type=int, default=None)
+    p.add_argument("--quantize", action="store_true")
+    p.add_argument("--width-buckets", default=None)
+    p.add_argument(
+        "--method",
+        default="ctc_greedy",
+        choices=["attention", "ctc_greedy", "ctc_beam"],
+    )
+    p.add_argument("--canvas", default="64,512")
+    p.add_argument("--max-length", type=int, default=25)
+    p.add_argument("--beam-width", type=int, default=16)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument(
+        "--max-wait-ms",
+        type=float,
+        default=5.0,
+        help="micro-batch coalescing window after the first queued image",
+    )
+    args = p.parse_args()
+
+    from rcnn_ocr_tpu.serving import OCRServer, serving_predict_fn
+
+    if args.artifact:
+        from rcnn_ocr_tpu.export import ServingArtifact
+
+        engine = ServingArtifact.load(args.artifact)
+        predict = serving_predict_fn(engine)
+        max_batch = engine.batch_size
+    else:
+        from rcnn_ocr_tpu.inference import OCRInference
+
+        buckets = (
+            [int(v) for v in args.width_buckets.split(",")]
+            if args.width_buckets
+            else None
+        )
+        engine = OCRInference(
+            args.model,
+            args.charset,
+            img_h=args.img_h,
+            img_w=args.img_w,
+            quantize=args.quantize,
+            width_buckets=buckets,
+        )
+        canvas = tuple(int(v) for v in args.canvas.split(","))
+        predict = serving_predict_fn(
+            engine,
+            method=args.method,
+            batch_size=args.batch_size,
+            canvas=canvas,
+            max_length=args.max_length,
+            beam_width=args.beam_width,
+        )
+        max_batch = args.batch_size
+
+    server = OCRServer(
+        predict,
+        host=args.host,
+        port=args.port,
+        max_batch=max_batch,
+        max_wait_ms=args.max_wait_ms,
+    )
+    host, port = server.address[:2]
+    print(f"Serving on http://{host}:{port}  (POST /predict, GET /healthz)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()
