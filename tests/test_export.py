@@ -130,6 +130,29 @@ def test_artifact_width_buckets(tiny_ckpt, tmp_path):
     assert art.predict(imgs) == live
 
 
+def test_artifact_multi_platform_lowering(tiny_ckpt, tmp_path):
+    """`platforms=("cpu", "tpu")` lowers ONE artifact for both backends
+    (multi-platform StableHLO); it must load and decode on the CPU backend
+    with exact live parity, and the manifest must record the platforms."""
+    ckpt_path, charset_path = tiny_ckpt
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    out_dir = str(tmp_path / "artifact_multi")
+    export_serving_artifact(
+        ocr, out_dir, method="ctc_greedy", batch_size=2, canvas=(32, 64),
+        platforms=("cpu", "tpu"),
+    )
+    art = ServingArtifact.load(out_dir)
+    assert art.manifest["platforms"] == ["cpu", "tpu"]
+    imgs = _images(seed=3, n=3)
+    live = ocr.predict_serving(
+        imgs, batch_size=2, canvas=(32, 64), method="ctc_greedy"
+    )
+    assert art.predict(imgs) == live
+
+
 def test_artifact_int8_dynamic_and_static(tiny_ckpt, tmp_path):
     """The headline int8 serving modes export transparently: the kernels
     trace the engine's quantized model, and calibrated static scales ride
