@@ -67,6 +67,11 @@ def export_serving_artifact(
     widths = [int(w) for w in (width_buckets or ocr.width_buckets or [ocr.img_w])]
     canvas_h, canvas_w = int(canvas[0]), int(canvas[1])
     os.makedirs(out_dir, exist_ok=True)
+    # re-export into the same directory must not leave dead kernels from a
+    # previous width set — the directory IS the deployment unit
+    for fname in os.listdir(out_dir):
+        if fname.startswith("serving_w") and fname.endswith(".stablehlo"):
+            os.remove(os.path.join(out_dir, fname))
 
     var_specs = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), ocr.variables
@@ -182,37 +187,41 @@ class ServingArtifact:
 
     # -- host pipeline (predict_serving parity) -----------------------------
     def _decode_rows(self, pred, aux, n_real: int, return_confidence: bool):
-        from rcnn_ocr_tpu.ops.ctc import ids_to_text
-        from rcnn_ocr_tpu.vocab.charset import decode_tokens
+        """Token rows -> texts via the SHARED contracts in
+        `rcnn_ocr_tpu.postprocess` — the same functions the live engine's
+        `predict_serving` runs, so artifact and live decodes cannot
+        diverge."""
+        from rcnn_ocr_tpu.postprocess import (
+            ctc_skip_ids,
+            decode_attention_row,
+            decode_ctc_batch,
+        )
 
         ids = self._ids
         pred = np.asarray(pred)
         if self.method != "attention":
-            skip = {
-                v
-                for v in (ids["pad"], ids["sos"], ids["eos"], ids["ctc_blank"])
-                if v is not None
-            }
-            valid = np.asarray(aux)
-            rows = [pred[j, : valid[j]].tolist() for j in range(n_real)]
-            return ids_to_text(rows, self._itos, skip_ids=skip)
+            return decode_ctc_batch(
+                pred,
+                aux,
+                n_real,
+                self._itos,
+                ctc_skip_ids(
+                    ids["pad"], ids["sos"], ids["eos"], ids["ctc_blank"]
+                ),
+            )
         maxp = np.asarray(aux)
-        out = []
-        for j in range(n_real):
-            text = decode_tokens(
+        return [
+            decode_attention_row(
                 pred[j],
+                maxp[j],
                 self._itos,
                 pad_id=ids["pad"],
                 eos_id=ids["eos"],
                 blank_id=ids["blank"],
+                return_confidence=return_confidence,
             )
-            if return_confidence:
-                mask = (pred[j] != ids["pad"]) & (pred[j] != ids["eos"])
-                conf = float(maxp[j][mask].mean()) if mask.sum() > 0 else 0.0
-                out.append((text, conf))
-            else:
-                out.append(text)
-        return out
+            for j in range(n_real)
+        ]
 
     def predict(
         self,
@@ -244,20 +253,15 @@ class ServingArtifact:
                 scaled_width(arr.shape[0], arr.shape[1], self.img_h), self.widths
             )
             groups.setdefault(w, []).append(i)
-        chunks = [
-            (w, indices[i : i + self.batch_size])
-            for w, indices in groups.items()
-            for i in range(0, len(indices), self.batch_size)
-        ]
+        from rcnn_ocr_tpu.postprocess import chunk_indices, pad_rows
+
+        chunks = chunk_indices(groups, self.batch_size)
 
         canvas_h, canvas_w = self.canvas
 
         def letterbox_chunk(chunk):
             w, idxs = chunk
-            rows = [rgb[j] for j in idxs]
-            n_real = len(rows)
-            if n_real < self.batch_size:
-                rows += [rows[-1]] * (self.batch_size - n_real)
+            rows, n_real = pad_rows([rgb[j] for j in idxs], self.batch_size)
             raw, sizes = host_letterbox(rows, canvas_h, canvas_w)
             geom = host_resize_geometry(sizes, self.img_h, w)
             return w, idxs, n_real, raw, np.concatenate([sizes, geom], axis=1)

@@ -39,7 +39,7 @@ from rcnn_ocr_tpu.data.transforms import ResizeAndPad, load_rgb_uint8
 from rcnn_ocr_tpu.models import RCNN
 from rcnn_ocr_tpu.ops.augment import device_normalize
 from rcnn_ocr_tpu.ops.ctc import ctc_beam_search, ctc_greedy_decode_jnp, ids_to_text
-from rcnn_ocr_tpu.vocab.charset import Charset, decode_tokens
+from rcnn_ocr_tpu.vocab.charset import Charset
 
 ImageLike = Union[np.ndarray, str, "Any"]
 
@@ -439,23 +439,21 @@ class OCRInference:
     ):
         """One attention-decoded row -> text (or (text, confidence)).
 
-        Single definition shared by ``predict`` and ``predict_serving`` so
-        the confidence contract (mean max-softmax over non-PAD/EOS steps)
-        cannot diverge between the two paths."""
-        text = decode_tokens(
+        Thin binding over :func:`rcnn_ocr_tpu.postprocess.decode_attention_row`
+        — the ONE definition shared by ``predict``, ``predict_serving`` and
+        exported artifacts, so the confidence contract (mean max-softmax
+        over non-PAD/EOS steps) cannot diverge."""
+        from rcnn_ocr_tpu.postprocess import decode_attention_row
+
+        return decode_attention_row(
             pred_row,
+            maxp_row,
             self._itos,
             pad_id=self.charset.pad_id,
             eos_id=self.charset.eos_id,
             blank_id=self.charset.blank_id,
+            return_confidence=return_confidence,
         )
-        if not return_confidence:
-            return text
-        mask = (pred_row != self.charset.pad_id) & (
-            pred_row != self.charset.eos_id
-        )
-        conf = float(maxp_row[mask].mean()) if mask.sum() > 0 else 0.0
-        return (text, conf)
 
     def _bucketize(self, images_list: List[ImageLike]) -> List[Tuple[int, Optional[int]]]:
         """Assign each image its width bucket (None = single fixed width).
@@ -483,25 +481,24 @@ class OCRInference:
         """Bucketize, then split each bucket's image indices into chunks.
 
         The one grouping/chunking policy shared by ``predict``,
-        ``predict_ctc`` and ``predict_serving`` — each chunk decodes at its
-        bucket's static width, so the jit cache holds at most
+        ``predict_ctc``, ``predict_serving`` and exported artifacts
+        (`rcnn_ocr_tpu.postprocess.chunk_indices`) — each chunk decodes at
+        its bucket's static width, so the jit cache holds at most
         ``len(width_buckets)`` shapes per kernel."""
+        from rcnn_ocr_tpu.postprocess import chunk_indices
+
         groups: Dict[Optional[int], List[int]] = {}
         for idx, bucket in self._bucketize(images_list):
             groups.setdefault(bucket, []).append(idx)
-        return [
-            (bucket, indices[i : i + batch_size])
-            for bucket, indices in groups.items()
-            for i in range(0, len(indices), batch_size)
-        ]
+        return chunk_indices(groups, batch_size)
 
     @staticmethod
     def _pad_rows(rows: List[Any], batch_size: int) -> Tuple[List[Any], int]:
-        """Pad a short chunk to the static batch by repeating the last row."""
-        n_real = len(rows)
-        if n_real < batch_size:
-            rows = rows + [rows[-1]] * (batch_size - n_real)
-        return rows, n_real
+        """Pad a short chunk to the static batch by repeating the last row
+        (shared contract: `rcnn_ocr_tpu.postprocess.pad_rows`)."""
+        from rcnn_ocr_tpu.postprocess import pad_rows
+
+        return pad_rows(rows, batch_size)
 
     def _probe_hw(self, img: ImageLike) -> Tuple[int, int]:
         """(h, w) of an input without decoding it — header-probe for paths
@@ -761,19 +758,22 @@ class OCRInference:
                 # letterboxes in the worker thread (overlap)
                 pred_rows = np.asarray(pred)
                 if ctc:
-                    skip = {
-                        self.charset.pad_id,
-                        self.charset.sos_id,
-                        self.charset.eos_id,
-                        self.charset.ctc_blank_id,
-                    }
-                    valid = np.asarray(aux)
-                    rows = [
-                        pred_rows[j, : valid[j]].tolist()
-                        for j in range(len(idxs))
-                    ]
-                    texts = ids_to_text(
-                        rows, self._itos, skip_ids=skip
+                    from rcnn_ocr_tpu.postprocess import (
+                        ctc_skip_ids,
+                        decode_ctc_batch,
+                    )
+
+                    texts = decode_ctc_batch(
+                        pred_rows,
+                        aux,
+                        len(idxs),
+                        self._itos,
+                        ctc_skip_ids(
+                            self.charset.pad_id,
+                            self.charset.sos_id,
+                            self.charset.eos_id,
+                            self.charset.ctc_blank_id,
+                        ),
                     )
                     for j, out_idx in enumerate(idxs):
                         results[out_idx] = texts[j]
@@ -813,8 +813,14 @@ class OCRInference:
             return []
         batch_size = self._round_batch(batch_size)
 
-        skip = {self.charset.pad_id, self.charset.sos_id, self.charset.eos_id}
-        skip.add(self.charset.ctc_blank_id)
+        from rcnn_ocr_tpu.postprocess import ctc_skip_ids
+
+        skip = ctc_skip_ids(
+            self.charset.pad_id,
+            self.charset.sos_id,
+            self.charset.eos_id,
+            self.charset.ctc_blank_id,
+        )
         results: List[Optional[str]] = [None] * len(images_list)
         for bucket, chunk_idx in self._bucket_chunks(images_list, batch_size):
             arrays = [

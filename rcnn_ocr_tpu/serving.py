@@ -41,13 +41,18 @@ from typing import Any, Callable, List, Optional, Sequence
 class _Pending:
     """One request's images waiting for a dispatcher slot."""
 
-    __slots__ = ("images", "done", "texts", "error")
+    __slots__ = ("images", "done", "texts", "error", "abandoned")
 
     def __init__(self, images: List[Any]):
         self.images = images
         self.done = threading.Event()
         self.texts: Optional[List[str]] = None
         self.error: Optional[BaseException] = None
+        self.abandoned = False  # timed-out submitter left; skip its spans
+
+
+class QueueFullError(RuntimeError):
+    """Backpressure: the batcher's queue is at max_queued images."""
 
 
 class MicroBatcher:
@@ -58,6 +63,9 @@ class MicroBatcher:
     merged across requests.  ``max_wait_ms`` bounds added latency: the
     dispatcher ships a partial batch once the oldest queued image has
     waited that long (0 ships immediately — pure request coalescing).
+    ``max_queued`` bounds queue depth (decoded images are ~100 KB each);
+    beyond it :meth:`submit` raises :class:`QueueFullError` so the HTTP
+    layer can shed load with a 503 instead of accumulating work.
     """
 
     def __init__(
@@ -65,11 +73,13 @@ class MicroBatcher:
         predict_fn: Callable[[List[Any]], List[str]],
         max_batch: int = 256,
         max_wait_ms: float = 5.0,
+        max_queued: Optional[int] = None,
     ):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._predict = predict_fn
         self.max_batch = int(max_batch)
+        self.max_queued = int(max_queued) if max_queued else 16 * self.max_batch
         self.max_wait_s = max(0.0, float(max_wait_ms)) / 1000.0
         self._queue: deque = deque()  # (_Pending, lo, hi) image spans
         self._lock = threading.Lock()
@@ -94,11 +104,20 @@ class MicroBatcher:
         with self._wake:
             if self._stop:
                 raise RuntimeError("server is shutting down")
+            queued = sum(hi - lo for _, lo, hi, _ in self._queue)
+            if queued + len(pending.images) > self.max_queued:
+                raise QueueFullError(
+                    f"queue full ({queued} images pending, "
+                    f"max_queued={self.max_queued})"
+                )
             for lo in range(0, len(pending.images), self.max_batch):
                 hi = min(lo + self.max_batch, len(pending.images))
                 self._queue.append((pending, lo, hi, time.monotonic()))
             self._wake.notify()
         if not pending.done.wait(timeout):
+            # mark abandoned so the dispatcher drops still-queued spans
+            # instead of decoding for a client that already got its 504
+            pending.abandoned = True
             raise TimeoutError("decode did not complete in time")
         if pending.error is not None:
             raise pending.error
@@ -109,12 +128,23 @@ class MicroBatcher:
         with self._lock:
             return sum(hi - lo for _, lo, hi, _ in self._queue)
 
-    def close(self) -> None:
+    def close(self, timeout: Optional[float] = None) -> None:
+        """Stop accepting work, drain what's queued, join the dispatcher.
+
+        With ``timeout=None`` (default) this waits for the drain — the
+        dispatcher keeps cutting batches until the queue is empty, then
+        exits.  Pass a timeout to bound the wait; queued requests are
+        failed only if the dispatcher actually died (otherwise they are
+        left to complete — killing them while the engine still runs
+        would strand submitters that a later batch WOULD have served)."""
         with self._wake:
             self._stop = True
             self._wake.notify()
-        self._thread.join(timeout=30)
-        # fail anything still queued so submitters don't hang
+        self._thread.join(timeout=timeout)
+        if self._thread.is_alive():
+            return  # still draining; submitters keep their spans
+        # dispatcher is gone: fail anything still queued so submitters
+        # don't hang forever
         with self._lock:
             leftovers = list(self._queue)
             self._queue.clear()
@@ -124,34 +154,44 @@ class MicroBatcher:
 
     # -- dispatcher side -----------------------------------------------------
     def _take_batch(self) -> List[tuple]:
-        """Wait for work, then cut one <= max_batch slice of the queue."""
+        """Wait for work, then cut one <= max_batch slice of the queue.
+
+        Spans whose submitter timed out (``abandoned``) are dropped here,
+        not decoded.  Returns ``[]`` only on stop-and-drained."""
         with self._wake:
-            while not self._queue and not self._stop:
-                self._wake.wait()
-            if self._stop and not self._queue:
-                return []
-            # coalesce: once anything is queued, give followers max_wait
-            # to pile on (skip the nap when the batch is already full)
-            deadline = self._queue[0][3] + self.max_wait_s
-            while (
-                not self._stop
-                and sum(hi - lo for _, lo, hi, _ in self._queue) < self.max_batch
-            ):
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                self._wake.wait(timeout=remaining)
-            batch, n = [], 0
-            while self._queue and n < self.max_batch:
-                pending, lo, hi, t0 = self._queue[0]
-                take = min(hi - lo, self.max_batch - n)
-                batch.append((pending, lo, lo + take))
-                n += take
-                if take == hi - lo:
-                    self._queue.popleft()
-                else:
-                    self._queue[0] = (pending, lo + take, hi, t0)
-            return batch
+            while True:
+                while not self._queue and not self._stop:
+                    self._wake.wait()
+                if self._stop and not self._queue:
+                    return []
+                # coalesce: once anything is queued, give followers
+                # max_wait to pile on (skip the nap when already full)
+                deadline = self._queue[0][3] + self.max_wait_s
+                while (
+                    not self._stop
+                    and sum(hi - lo for _, lo, hi, _ in self._queue)
+                    < self.max_batch
+                ):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._wake.wait(timeout=remaining)
+                batch, n = [], 0
+                while self._queue and n < self.max_batch:
+                    pending, lo, hi, t0 = self._queue[0]
+                    if pending.abandoned:
+                        self._queue.popleft()
+                        continue
+                    take = min(hi - lo, self.max_batch - n)
+                    batch.append((pending, lo, lo + take))
+                    n += take
+                    if take == hi - lo:
+                        self._queue.popleft()
+                    else:
+                        self._queue[0] = (pending, lo + take, hi, t0)
+                if batch:
+                    return batch
+                # everything cut was abandoned — wait for real work
 
     def _run(self) -> None:
         inflight: dict = {}  # pending -> [spans done? via counter]
@@ -194,7 +234,7 @@ class MicroBatcher:
                     pending.done.set()
 
 
-def _make_handler(batcher: MicroBatcher, timeout_s: float):
+def _make_handler(batcher: MicroBatcher, timeout_s: float, max_body_bytes: int):
     from rcnn_ocr_tpu.data.transforms import imdecode_cv2
 
     class Handler(BaseHTTPRequestHandler):
@@ -211,6 +251,19 @@ def _make_handler(batcher: MicroBatcher, timeout_s: float):
             self.end_headers()
             self.wfile.write(body)
 
+        def _drain_body(self) -> Optional[bytes]:
+            """Read the request body (keep-alive requires consuming it
+            even on error paths — an unread body desyncs the connection:
+            the bytes get parsed as the NEXT request's request line).
+            Returns None when Content-Length exceeds ``max_body_bytes``;
+            the oversized body is then unread, so the connection is also
+            marked close-after-response."""
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            if length > max_body_bytes:
+                self.close_connection = True
+                return None
+            return self.rfile.read(length)
+
         def do_GET(self):
             if self.path != "/healthz":
                 return self._reply(404, {"error": "unknown path"})
@@ -224,11 +277,14 @@ def _make_handler(batcher: MicroBatcher, timeout_s: float):
             )
 
         def do_POST(self):
+            body = self._drain_body()
+            if body is None:
+                return self._reply(
+                    413, {"error": f"body exceeds {max_body_bytes} bytes"}
+                )
             if self.path != "/predict":
                 return self._reply(404, {"error": "unknown path"})
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(length)
                 ctype = (self.headers.get("Content-Type") or "").lower()
                 single = not ctype.startswith("application/json")
                 if single:
@@ -243,6 +299,8 @@ def _make_handler(batcher: MicroBatcher, timeout_s: float):
                 return self._reply(400, {"error": f"bad request: {e}"})
             try:
                 texts = batcher.submit(images, timeout=timeout_s)
+            except QueueFullError as e:
+                return self._reply(503, {"error": str(e)})
             except TimeoutError:
                 return self._reply(504, {"error": "decode timed out"})
             except Exception as e:
@@ -268,27 +326,39 @@ class OCRServer:
         max_batch: int = 256,
         max_wait_ms: float = 5.0,
         request_timeout_s: float = 120.0,
+        max_queued: Optional[int] = None,
+        max_body_bytes: int = 64 * 1024 * 1024,
     ):
         self.batcher = MicroBatcher(
-            predict_fn, max_batch=max_batch, max_wait_ms=max_wait_ms
+            predict_fn,
+            max_batch=max_batch,
+            max_wait_ms=max_wait_ms,
+            max_queued=max_queued,
         )
         self.httpd = ThreadingHTTPServer(
-            (host, port), _make_handler(self.batcher, request_timeout_s)
+            (host, port),
+            _make_handler(self.batcher, request_timeout_s, max_body_bytes),
         )
         self.httpd.daemon_threads = True
+        self._serving = False
 
     @property
     def address(self) -> tuple:
         return self.httpd.server_address
 
     def serve_forever(self) -> None:
+        self._serving = True
         try:
             self.httpd.serve_forever()
         finally:
+            self._serving = False
             self.close()
 
     def close(self) -> None:
-        self.httpd.shutdown()
+        # httpd.shutdown() waits on an event that only serve_forever()
+        # sets — calling it on a never-started server deadlocks forever
+        if self._serving:
+            self.httpd.shutdown()
         self.httpd.server_close()
         self.batcher.close()
 

@@ -15,24 +15,32 @@ import urllib.request
 import numpy as np
 import pytest
 
-from rcnn_ocr_tpu.serving import MicroBatcher, OCRServer, serving_predict_fn
+from rcnn_ocr_tpu.serving import (
+    MicroBatcher,
+    OCRServer,
+    QueueFullError,
+    serving_predict_fn,
+)
 
 
 class RecordingEngine:
-    """predict(list)->list echoing a per-image tag; records batch sizes."""
+    """predict(list)->list echoing a per-image tag; records batch tags."""
 
-    def __init__(self, delay_s: float = 0.0, fail_on=None):
-        self.batches = []
+    def __init__(self, delay_s: float = 0.0, fail_on=None, gate=None):
+        self.batches = []  # list of tag-lists, one per engine call
         self.delay_s = delay_s
         self.fail_on = fail_on or set()
+        self.gate = gate  # threading.Event: block until set
 
     def predict(self, images):
-        self.batches.append(len(images))
+        tags = [int(np.asarray(img).ravel()[0]) for img in images]
+        self.batches.append(tags)
+        if self.gate is not None:
+            assert self.gate.wait(30)
         if self.delay_s:
             time.sleep(self.delay_s)
         out = []
-        for img in images:
-            tag = int(np.asarray(img).ravel()[0])
+        for tag in tags:
             if tag in self.fail_on:
                 raise ValueError(f"bad image {tag}")
             out.append(f"t{tag}")
@@ -72,7 +80,7 @@ def test_batcher_coalesces_across_requests():
         assert results == {t: f"t{t}" for t in range(6)}
         # 6 one-image requests must NOT have become 6 engine calls
         assert len(eng.batches) < 6
-        assert sum(eng.batches) == 6
+        assert sum(len(b) for b in eng.batches) == 6
     finally:
         b.close()
 
@@ -83,8 +91,8 @@ def test_batcher_slices_oversized_requests():
     try:
         tags = list(range(10))
         assert b.submit(_imgs(tags)) == [f"t{t}" for t in tags]
-        assert max(eng.batches) <= 4
-        assert sum(eng.batches) == 10
+        assert max(len(b) for b in eng.batches) <= 4
+        assert sum(len(b) for b in eng.batches) == 10
     finally:
         b.close()
 
@@ -235,6 +243,121 @@ def test_http_end_to_end_real_engine(tmp_path):
         assert status == 200
         # PNG encode/decode is lossless -> exact decode parity
         assert out["texts"] == expect
+    finally:
+        server.close()
+        thread.join(timeout=10)
+
+
+def test_batcher_queue_full_backpressure():
+    """Beyond max_queued the batcher sheds load instead of accumulating."""
+    gate = threading.Event()
+    eng = RecordingEngine(gate=gate)
+    b = MicroBatcher(eng.predict, max_batch=2, max_wait_ms=0, max_queued=4)
+    try:
+        t1 = threading.Thread(target=lambda: b.submit(_imgs([1, 2])))
+        t1.start()
+        # wait until the first batch is in-flight (inside the gated engine)
+        deadline = time.monotonic() + 10
+        while not eng.batches and time.monotonic() < deadline:
+            time.sleep(0.005)
+        assert eng.batches, "first batch never reached the engine"
+        t2 = threading.Thread(target=lambda: b.submit(_imgs([3, 4, 5, 6])))
+        t2.start()
+        deadline = time.monotonic() + 10
+        while b.pending() < 4 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        with pytest.raises(QueueFullError):
+            b.submit(_imgs([7]))
+        gate.set()
+        t1.join(10)
+        t2.join(10)
+        assert not t1.is_alive() and not t2.is_alive()
+    finally:
+        gate.set()
+        b.close()
+
+
+def test_batcher_timeout_abandons_queued_spans():
+    """A submitter that timed out must not have its spans decoded later."""
+    gate = threading.Event()
+    eng = RecordingEngine(gate=gate)
+    b = MicroBatcher(eng.predict, max_batch=2, max_wait_ms=0)
+    try:
+        t1 = threading.Thread(target=lambda: b.submit(_imgs([1])))
+        t1.start()
+        deadline = time.monotonic() + 10
+        while not eng.batches and time.monotonic() < deadline:
+            time.sleep(0.005)
+        # queued behind the gated batch; times out and is abandoned
+        with pytest.raises(TimeoutError):
+            b.submit(_imgs([9]), timeout=0.05)
+        gate.set()
+        t1.join(10)
+        assert b.submit(_imgs([2])) == ["t2"]
+        decoded = [t for tags in eng.batches for t in tags]
+        assert 9 not in decoded  # the abandoned span was dropped, not run
+    finally:
+        gate.set()
+        b.close()
+
+
+def test_server_close_without_serve_does_not_deadlock():
+    eng = RecordingEngine()
+    server = OCRServer(eng.predict, host="127.0.0.1", port=0)
+    done = threading.Event()
+
+    def closer():
+        server.close()
+        done.set()
+
+    t = threading.Thread(target=closer, daemon=True)
+    t.start()
+    assert done.wait(10), "close() deadlocked on a never-started server"
+
+
+def test_http_keepalive_survives_404_with_body(http_server):
+    """An error reply must still drain the request body, or the unread
+    bytes desync the persistent connection (the next request's parser
+    reads them as a request line)."""
+    import http.client
+
+    base, _ = http_server
+    host, port = base.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=10)
+    try:
+        conn.request(
+            "POST", "/nope", body=b"X" * 4096,
+            headers={"Content-Type": "image/png"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        # same socket must still speak HTTP
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())["status"] == "ok"
+    finally:
+        conn.close()
+
+
+def test_http_body_size_cap():
+    eng = RecordingEngine()
+    server = OCRServer(
+        eng.predict, host="127.0.0.1", port=0, max_body_bytes=1024
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.address[:2]
+        try:
+            _post(
+                f"http://{host}:{port}/predict", b"Y" * 2048, "image/png"
+            )
+            raise AssertionError("expected HTTP 413")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+        assert eng.batches == []  # nothing reached the engine
     finally:
         server.close()
         thread.join(timeout=10)

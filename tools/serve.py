@@ -55,6 +55,22 @@ def main() -> None:
     if args.artifact:
         from rcnn_ocr_tpu.export import ServingArtifact
 
+        # an artifact bakes these in at export time — flags can't change it
+        baked = {
+            "--method": args.method != p.get_default("method"),
+            "--canvas": args.canvas != p.get_default("canvas"),
+            "--max-length": args.max_length != p.get_default("max_length"),
+            "--beam-width": args.beam_width != p.get_default("beam_width"),
+            "--batch-size": args.batch_size != p.get_default("batch_size"),
+            "--quantize": args.quantize,
+            "--width-buckets": args.width_buckets is not None,
+        }
+        overridden = [flag for flag, changed in baked.items() if changed]
+        if overridden:
+            print(
+                f"WARNING: {', '.join(overridden)} ignored with --artifact "
+                "(baked in at export time; re-export to change them)"
+            )
         engine = ServingArtifact.load(args.artifact)
         predict = serving_predict_fn(engine)
         max_batch = engine.batch_size
