@@ -168,7 +168,9 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return out
 
 
-def make_process_local_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+def make_process_local_batch(
+    batch: Dict[str, Any], mesh: Mesh, microbatch: Optional[int] = None
+) -> Dict[str, Any]:
     """Per-process batch rows -> globally sharded ``jax.Array``s (SURVEY §5.8).
 
     The multi-host-ready input feed: every process passes ONLY the rows its
@@ -179,9 +181,35 @@ def make_process_local_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any
     one process this is exactly ``device_put(v, batch_sharding(mesh))``
     (equivalence asserted in ``tests/test_parallel.py``), so training always
     runs through this path.
+
+    ``microbatch=A`` builds the gradient-accumulation layout instead: each
+    local array ``[B_local, ...]`` is viewed as ``[A, B_local/A, ...]`` and
+    the global array is sharded ``P(None, data)`` — microbatch ``a`` of the
+    scan in ``make_train_step(grad_accum=A)`` is then already resident,
+    evenly spread over the data axis, with no in-program reshuffle.  (Under
+    multi-host this assigns each process's a-th local slice to global
+    microbatch ``a`` — a fixed permutation of the sampler's row order,
+    which is itself arbitrary.)
     """
-    bs = batch_sharding(mesh)
     pcount = jax.process_count()
+    if microbatch and microbatch > 1:
+        a = int(microbatch)
+        sharding = NamedSharding(mesh, P(None, data_axis(mesh)))
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            if v.shape[0] % a != 0:
+                raise ValueError(
+                    f"batch dim {v.shape[0]} of {k!r} is not divisible by "
+                    f"grad_accum={a}"
+                )
+            v = v.reshape((a, v.shape[0] // a) + v.shape[1:])
+            global_shape = (a, v.shape[1] * pcount) + v.shape[2:]
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, v, global_shape
+            )
+        return out
+    bs = batch_sharding(mesh)
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)

@@ -73,6 +73,10 @@ DEFAULTS: Dict[str, Any] = {
     # enforces the reference's exact per-batch quotas (borrowed rows are
     # resized to the batch bucket)
     "proportional_quotas": "expected",
+    # >1: accumulate gradients over N sequential microbatches inside ONE
+    # jitted step (lax.scan; peak activation memory = one microbatch) —
+    # scales the effective batch past activation-memory limits
+    "grad_accum": 1,
     "use_pallas": False,  # XLA fusion currently beats the pallas kernels at these shapes
     "device_augment": False,  # run train augmentation on-device (ops/augment.py)
     "log_every": 50,  # per-step TB scalars every N steps (device fetch cadence)

@@ -138,6 +138,7 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
     head = cfg.get("head", "attention")
     compute_dtype = _dtype_from_name(cfg.get("compute_dtype", "bfloat16"))
     log_every = max(1, int(cfg.get("log_every", 50)))
+    grad_accum = max(1, int(cfg.get("grad_accum", 1)))
     profile_steps = int(cfg.get("profile_steps", 0))
     profile_dir = cfg.get("profile_dir") or os.path.join(exp_dir, "profile")
     profile_warmup = 5  # skip compile + cold-cache steps before tracing
@@ -147,8 +148,11 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
     mesh_axes = tuple(cfg.get("mesh_axes") or ("data",))
     mesh = make_mesh(mesh_shape, mesh_axes)
     n_data = mesh.shape.get("data", 1)
-    # static per-step batch: pad up to a multiple of the data-axis size
-    static_bs = ((batch_size + n_data - 1) // n_data) * n_data
+    # static per-step batch: pad up to a multiple of the data-axis size —
+    # and of grad_accum, so every microbatch of the accumulation scan
+    # shards evenly over the data axis too
+    bs_mult = n_data * grad_accum
+    static_bs = ((batch_size + bs_mult - 1) // bs_mult) * bs_mult
     logger.info(
         f"Devices: {len(jax.devices())} ({jax.devices()[0].platform}); "
         f"mesh={dict(mesh.shape)}; static_batch={static_bs}"
@@ -236,6 +240,7 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         head=head,
         ctc_blank_id=charset.ctc_blank_id,
         ctc_loss_weight=cfg.get("ctc_loss_weight", 1.0),
+        grad_accum=grad_accum,
         augment=(
             {
                 k: cfg.get(k)
@@ -564,15 +569,18 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
             f"Resumed from: {resume_path} (epoch={start_epoch - 1}, step={global_step})"
         )
 
-    def to_device(batch):
+    def to_device(batch, accum: bool = False):
         arrays = {
             k: v
             for k, v in batch.items()
             if isinstance(v, np.ndarray) and k != "lengths"
         }
         # multi-host-ready feed: this process's rows -> the global sharded
-        # array (single-process: identical to device_put on the data axis)
-        return make_process_local_batch(arrays, mesh)
+        # array (single-process: identical to device_put on the data axis);
+        # the train step's grad-accum scan wants [A, B/A, ...] stacking
+        return make_process_local_batch(
+            arrays, mesh, microbatch=grad_accum if accum else None
+        )
 
     # async: device->host gather is synchronous (the train step donates its
     # buffers) but serialization + disk writes run off the training path
@@ -631,7 +639,9 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
                     profile_scope.enter_context(trace(profile_dir))
                 step_timer.start()
                 step_rng = jax.random.fold_in(train_rng, global_step)
-                state, metrics = train_step(state, to_device(batch), step_rng)
+                state, metrics = train_step(
+                    state, to_device(batch, accum=grad_accum > 1), step_rng
+                )
                 loss_accum = (
                     metrics["loss"]
                     if loss_accum is None

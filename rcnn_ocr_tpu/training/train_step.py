@@ -67,6 +67,7 @@ def make_train_step(
     ctc_loss_weight: float = 1.0,
     donate: bool = True,
     augment: Optional[Dict] = None,
+    grad_accum: int = 1,
 ) -> Callable:
     """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
 
@@ -76,6 +77,19 @@ def make_train_step(
     invert, normalize) runs ON DEVICE inside the step
     (:mod:`rcnn_ocr_tpu.ops.augment`) — fused by XLA, and host->device
     image traffic drops 4x (uint8 vs float32).
+
+    ``grad_accum=A > 1``: gradient accumulation as ONE jitted step — batch
+    arrays arrive stacked ``[A, B/A, ...]`` (see
+    :func:`rcnn_ocr_tpu.parallel.mesh.make_process_local_batch`) and a
+    ``lax.scan`` runs the A microbatches sequentially, summing fp32
+    gradients in a carry before a single optimizer update.  Peak activation
+    memory is that of ONE microbatch, so the effective batch (and the
+    per-update MXU work) scales past what activations allow — the
+    TPU-idiomatic equivalent of the torch ``loss.backward()``-N-times
+    idiom, with no per-microbatch dispatch or host sync.  Semantics:
+    microbatch losses are equally weighted (mean of token-mean CEs), and
+    BatchNorm running stats update sequentially through the scan at fixed
+    params — exactly what N sequential small batches would do.
     """
 
     def loss_fn(params, batch_stats, batch, rng):
@@ -157,7 +171,47 @@ def make_train_step(
         metrics = {"loss": total, **losses}
         return new_state, metrics
 
-    return train_step
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step_accum(
+        state: TrainState, batch: Dict[str, jnp.ndarray], rng
+    ) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def micro(carry, xs):
+            stats, grad_sum = carry
+            mb, r = xs
+            (total, (losses, new_stats)), grads = grad_fn(
+                state.params, stats, mb, r
+            )
+            grad_sum = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32), grad_sum, grads
+            )
+            return (new_stats, grad_sum), {"loss": total, **losses}
+
+        rngs = jax.random.split(rng, grad_accum)
+        grad_zero = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+        (new_stats, grad_sum), stacked = jax.lax.scan(
+            micro, (state.batch_stats, grad_zero), (batch, rngs)
+        )
+        grads = jax.tree_util.tree_map(
+            lambda g, p: (g / grad_accum).astype(p.dtype),
+            grad_sum,
+            state.params,
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {k: jnp.mean(v) for k, v in stacked.items()}
+        return new_state, metrics
+
+    return train_step_accum if grad_accum > 1 else train_step
 
 
 def make_eval_step(

@@ -267,3 +267,120 @@ def test_process_sharded_batch_sampler_partitions():
 
     with pytest.raises(ValueError):
         ProcessShardedBatchSampler(_S(), 4, 4)
+
+
+def _tiny_setup(batch: int = 8):
+    """Tiny RCNN + SGD + an un-tiled batch for grad-accum equivalence."""
+    import optax
+
+    from rcnn_ocr_tpu.models import RCNN
+    from rcnn_ocr_tpu.training.train_step import create_train_state
+
+    model = RCNN(
+        num_classes=8, hidden_size=16, width_mult=0.0625, enc_dropout_p=0.0,
+        dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((batch, 32, 32, 3))
+    text = jnp.zeros((batch, 4), jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, x, text=text, batch_max_length=3,
+        method=model.init_all,
+    )
+    tx = optax.sgd(1e-2)  # plain SGD: param delta == -lr * grad, exactly
+    state = create_train_state(model, variables, tx)
+    gen = np.random.default_rng(3)
+    batch_np = {
+        "image": gen.normal(size=(batch, 32, 32, 3)).astype(np.float32),
+        "text_in": np.tile(np.array([[1, 3, 4, 0]], np.int32), (batch, 1)),
+        "target_y": gen.integers(2, 8, size=(batch, 4)).astype(np.int32),
+        "valid": np.ones((batch,), np.bool_),
+    }
+    return model, tx, state, batch_np
+
+
+def test_grad_accum_matches_averaged_single_step_grads():
+    """grad_accum=A applies exactly the mean of the A microbatch gradients.
+
+    With plain SGD each single step's param delta is -lr * g_i (BatchNorm
+    normalizes with BATCH statistics in train mode, so each microbatch's
+    gradient is independent of the carried running stats) — the accumulated
+    step's delta must equal the average of the two deltas.
+    """
+    from rcnn_ocr_tpu.training.train_step import create_train_state, make_train_step
+
+    model, tx, state0, batch_np = _tiny_setup(batch=8)
+    step_rng = jax.random.PRNGKey(7)
+
+    mb = {k: v.reshape((2, 4) + v.shape[1:]) for k, v in batch_np.items()}
+    accum_step = make_train_step(model, tx, 3, pad_id=0, donate=False, grad_accum=2)
+    state_a, metrics_a = accum_step(state0, jax.device_put(mb), step_rng)
+
+    single_step = make_train_step(model, tx, 3, pad_id=0, donate=False)
+    deltas = []
+    totals = []
+    micro_rngs = jax.random.split(step_rng, 2)  # the accum scan's per-mb rngs
+    for i in range(2):
+        one = {k: v[i] for k, v in mb.items()}
+        st, m = single_step(state0, jax.device_put(one), micro_rngs[i])
+        deltas.append(
+            jax.tree_util.tree_map(lambda n, o: n - o, st.params, state0.params)
+        )
+        totals.append(float(m["loss"]))
+
+    expected = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *deltas)
+    got = jax.tree_util.tree_map(lambda n, o: n - o, state_a.params, state0.params)
+    for g, e in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=1e-6, rtol=0)
+    # metrics: equally weighted mean of the microbatch losses
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), (totals[0] + totals[1]) / 2, rtol=1e-5
+    )
+    assert int(state_a.step) == 1  # one optimizer update, not A
+
+
+def test_grad_accum_feed_layout_and_mesh_equivalence():
+    """make_process_local_batch(microbatch=A) builds the [A, B/A] layout
+    sharded P(None, data); the mesh-sharded accum step matches the
+    single-device accum numerics."""
+    from jax.sharding import PartitionSpec as P
+
+    from rcnn_ocr_tpu.parallel.mesh import (
+        make_mesh,
+        make_process_local_batch,
+        replicated_sharding,
+    )
+    from rcnn_ocr_tpu.training.train_step import make_train_step
+
+    model, tx, state0, batch_np = _tiny_setup(batch=16)
+    step_rng = jax.random.PRNGKey(7)
+    mesh = make_mesh()  # 8 virtual devices, pure DP
+
+    fed = make_process_local_batch(batch_np, mesh, microbatch=2)
+    assert fed["image"].shape == (2, 8, 32, 32, 3)
+    assert fed["image"].sharding.spec == P(None, "data")
+    np.testing.assert_array_equal(
+        np.asarray(fed["image"]), batch_np["image"].reshape(2, 8, 32, 32, 3)
+    )
+
+    accum_step = make_train_step(model, tx, 3, pad_id=0, donate=False, grad_accum=2)
+    mb = {k: v.reshape((2, 8) + v.shape[1:]) for k, v in batch_np.items()}
+    state1, m1 = accum_step(state0, jax.device_put(mb), step_rng)
+
+    state8 = state0.replace(
+        params=jax.device_put(state0.params, replicated_sharding(mesh)),
+        batch_stats=jax.device_put(state0.batch_stats, replicated_sharding(mesh)),
+        opt_state=jax.device_put(state0.opt_state, replicated_sharding(mesh)),
+    )
+    with mesh:
+        state8, m8 = accum_step(state8, fed, step_rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state8.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=0)
+
+    with pytest.raises(ValueError):
+        make_process_local_batch(batch_np, mesh, microbatch=3)  # 8 % 3 != 0

@@ -170,3 +170,21 @@ def test_training_device_augment(tiny_env):
     rows = open(os.path.join(exp_dir, "metrics_epoch.csv"), encoding="utf-8").read().strip().splitlines()
     parsed = list(csv_mod.DictReader(rows))
     assert float(parsed[-1]["train_loss"]) < float(parsed[0]["train_loss"])
+
+
+@pytest.mark.slow
+def test_training_grad_accum(tiny_env):
+    """grad_accum=2: one optimizer update per loader batch, microbatches
+    scanned inside the jitted step; loss stays finite and decreases."""
+    exp_dir = str(tiny_env["tmp"] / "exp_gaccum")
+    cfg = _base_cfg(
+        tiny_env, exp_dir, epochs=2, grad_accum=2, device_augment=True,
+        progress=False,
+    )
+    result = run_training(cfg)
+    assert np.isfinite(result["val_loss"])
+    import csv as csv_mod
+
+    rows = open(os.path.join(exp_dir, "metrics_epoch.csv"), encoding="utf-8").read().strip().splitlines()
+    parsed = list(csv_mod.DictReader(rows))
+    assert float(parsed[-1]["train_loss"]) < float(parsed[0]["train_loss"])
