@@ -8,8 +8,10 @@ never committed (`/root/reference/README.md:11-12`: optuna_ocr.db,
 Each trial trains with sampled hyperparameters (lr, weight decay,
 augmentation magnitudes, LSTM depth/width, optimizer/scheduler — the axes
 visible in the reference's tuned config) over the full device mesh,
-sequentially.  Uses Optuna + sqlite when installed, otherwise the built-in
-searcher; results land in <storage-dir>/<study>_results.json.
+sequentially — or, with --parallel-trials N, N trials at a time, each on
+its own 1/N submesh of the slice.  Uses Optuna + sqlite when installed,
+otherwise the built-in searcher; results land in
+<storage-dir>/<study>_results.json.
 """
 
 import argparse
@@ -29,6 +31,11 @@ def main() -> int:
         help="override epochs for each trial (default: config value)",
     )
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--parallel-trials", type=int, default=1,
+        help="run N trials concurrently, each on its own 1/N submesh of the "
+        "slice (default 1: sequential trials over the full mesh)",
+    )
     args = ap.parse_args()
 
     with open(args.config, "r", encoding="utf-8") as f:
@@ -45,6 +52,7 @@ def main() -> int:
         storage_dir=args.storage_dir,
         space=DEFAULT_SPACE,
         seed=args.seed,
+        parallel_trials=args.parallel_trials,
     )
     print(f"best value: {out['best_value']}")
     print(f"best params: {json.dumps(out['best_params'], indent=2)}")

@@ -12,9 +12,17 @@ capability first-class:
 * **Backend**: Optuna with sqlite storage when installed; otherwise a
   built-in quasi-random (scrambled-Sobol-ish latin hypercube) searcher with
   the same API and a JSON results log — no external dependency required.
-* **Mesh strategy**: trials run sequentially, each over the *full* device
-  mesh (the simplest correct design for a single-slice TPU: no contention,
-  no partial-mesh fragmentation; trial throughput scales with the mesh).
+* **Mesh strategy**: by default trials run sequentially, each over the
+  *full* device mesh (the simplest correct design for a single-slice TPU:
+  no contention, no partial-mesh fragmentation; trial throughput scales
+  with the mesh).  ``parallel_trials=K`` instead partitions the slice into
+  K equal submeshes and runs K trials concurrently, one per submesh
+  (`jax.devices()` split into contiguous groups, each trial's
+  ``run_training`` pinned via
+  :func:`rcnn_ocr_tpu.parallel.mesh.device_scope`) — the right trade when
+  a trial's batch can't feed the whole slice.  One process, K dispatch
+  threads: JAX interleaves the dispatches while each group's compute runs
+  on its own chips.
 
 Usage::
 
@@ -106,6 +114,33 @@ def _default_objective(base_config: Dict[str, Any], params: Dict[str, Any], tria
     return float(result["val_acc"])
 
 
+def _device_groups(parallel_trials: int) -> List[list]:
+    """Partition the slice into equal contiguous submeshes, one per trial.
+
+    Caps at the device count; leftover devices (when the count is not
+    divisible) idle for the study's duration, with a warning."""
+    import warnings
+
+    import jax
+
+    devs = jax.devices()
+    k = max(1, min(int(parallel_trials), len(devs)))
+    if k < parallel_trials:
+        warnings.warn(
+            f"parallel_trials={parallel_trials} > {len(devs)} devices; "
+            f"running {k} concurrent trials",
+            stacklevel=3,
+        )
+    per = len(devs) // k
+    if per * k < len(devs):
+        warnings.warn(
+            f"{len(devs)} devices do not split into {k} equal submeshes; "
+            f"{len(devs) - per * k} device(s) will idle",
+            stacklevel=3,
+        )
+    return [devs[i * per : (i + 1) * per] for i in range(k)]
+
+
 def run_hpo(
     base_config: Dict[str, Any],
     n_trials: int = 20,
@@ -114,12 +149,36 @@ def run_hpo(
     space: Optional[SearchSpace] = None,
     objective: Optional[Callable[[Dict[str, Any], Dict[str, Any], str], float]] = None,
     seed: int = 0,
+    parallel_trials: int = 1,
 ) -> Dict[str, Any]:
-    """Run the study; returns {"best_value", "best_params", "trials"}."""
+    """Run the study; returns {"best_value", "best_params", "trials"}.
+
+    ``parallel_trials=K > 1`` runs K trials concurrently, each pinned to
+    its own ``len(devices)/K``-chip submesh (see module docstring)."""
     space = space or DEFAULT_SPACE
     objective = objective or _default_objective
     os.makedirs(storage_dir, exist_ok=True)
     results_path = os.path.join(storage_dir, f"{study_name}_results.json")
+
+    run_objective = objective
+    if parallel_trials > 1:
+        import queue as queue_mod
+
+        from rcnn_ocr_tpu.parallel.mesh import device_scope
+
+        groups = _device_groups(parallel_trials)
+        parallel_trials = len(groups)
+        group_pool: "queue_mod.Queue" = queue_mod.Queue()
+        for g in groups:
+            group_pool.put(g)
+
+        def run_objective(base, params, trial_dir):  # noqa: F811
+            group = group_pool.get()
+            try:
+                with device_scope(group):
+                    return objective(base, params, trial_dir)
+            finally:
+                group_pool.put(group)
 
     try:
         import optuna  # optional
@@ -143,9 +202,9 @@ def run_hpo(
         def opt_objective(trial):
             params = sample_params(trial, space)
             trial_dir = os.path.join(storage_dir, f"{study_name}_trial{trial.number}")
-            return objective(base_config, params, trial_dir)
+            return run_objective(base_config, params, trial_dir)
 
-        study.optimize(opt_objective, n_trials=n_trials)
+        study.optimize(opt_objective, n_trials=n_trials, n_jobs=parallel_trials)
         best = {"best_value": study.best_value, "best_params": study.best_params}
         trials_log = [
             {"number": t.number, "value": t.value, "params": t.params}
@@ -155,29 +214,49 @@ def run_hpo(
         import numpy as np
 
         rng = np.random.default_rng(seed)
-        best = {"best_value": -math.inf, "best_params": None}
+        # params sampled up-front on one thread: the schedule is
+        # deterministic in `seed` regardless of parallel completion order
+        sampled = []
         for i in range(n_trials):
             trial = _BuiltinTrial(i, rng)
-            params = sample_params(trial, space)
+            sampled.append(sample_params(trial, space))
+
+        best = {"best_value": -math.inf, "best_params": None}
+        log_lock = __import__("threading").Lock()
+
+        def run_one(i: int) -> None:
+            nonlocal best
+            params = sampled[i]
             trial_dir = os.path.join(storage_dir, f"{study_name}_trial{i}")
             t0 = time.time()
             try:
-                value = objective(base_config, params, trial_dir)
+                value = run_objective(base_config, params, trial_dir)
             except Exception as e:  # a diverged trial must not kill the study
                 print(f"[hpo] trial {i} failed: {e}")
                 value = -math.inf
-            trials_log.append(
-                {
-                    "number": i,
-                    "value": value,
-                    "params": params,
-                    "seconds": round(time.time() - t0, 1),
-                }
-            )
-            if value > best["best_value"]:
-                best = {"best_value": value, "best_params": params}
-            with open(results_path, "w", encoding="utf-8") as f:
-                json.dump({"best": best, "trials": trials_log}, f, indent=2)
+            with log_lock:
+                trials_log.append(
+                    {
+                        "number": i,
+                        "value": value,
+                        "params": params,
+                        "seconds": round(time.time() - t0, 1),
+                    }
+                )
+                if value > best["best_value"]:
+                    best = {"best_value": value, "best_params": params}
+                with open(results_path, "w", encoding="utf-8") as f:
+                    json.dump({"best": best, "trials": trials_log}, f, indent=2)
+
+        if parallel_trials > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=parallel_trials) as ex:
+                list(ex.map(run_one, range(n_trials)))
+            trials_log.sort(key=lambda t: t["number"])
+        else:
+            for i in range(n_trials):
+                run_one(i)
 
     out = {**best, "trials": trials_log}
     with open(results_path, "w", encoding="utf-8") as f:

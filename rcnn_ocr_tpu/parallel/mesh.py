@@ -21,13 +21,38 @@ nothing here ever touches DCN.
 
 from __future__ import annotations
 
+import contextlib
 import re
+import threading
 import warnings
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_DEVICE_SCOPE = threading.local()
+
+
+@contextlib.contextmanager
+def device_scope(devices: Sequence[Any]):
+    """Pin :func:`make_mesh` (and everything built on it) to a device subset.
+
+    Thread-local, so concurrent workloads in one process — e.g. parallel
+    HPO trials (:mod:`rcnn_ocr_tpu.hpo.driver`) — each claim their own
+    submesh of the slice without passing device lists through configs.
+    """
+    prev = getattr(_DEVICE_SCOPE, "devices", None)
+    _DEVICE_SCOPE.devices = list(devices)
+    try:
+        yield
+    finally:
+        _DEVICE_SCOPE.devices = prev
+
+
+def scoped_devices() -> Optional[list]:
+    """The device subset pinned by :func:`device_scope` (None = all)."""
+    return getattr(_DEVICE_SCOPE, "devices", None)
 
 
 def make_mesh(
@@ -40,7 +65,10 @@ def make_mesh(
     ``shape=None`` uses every device on the first axis (pure DP).  A shape
     whose product does not equal the device count falls back to pure DP over
     ALL devices (with a warning) — never raises, never silently drops chips.
+    ``devices=None`` honors an enclosing :func:`device_scope`.
     """
+    if devices is None:
+        devices = scoped_devices()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     dp_shape = (n,) + (1,) * (len(axis_names) - 1)

@@ -144,3 +144,76 @@ def test_hpo_over_real_training(tmp_path):
     assert os.path.exists(tmp_path / "hpo" / "mini_results.json")
     # each trial produced its own experiment dir with a checkpoint
     assert os.path.exists(tmp_path / "hpo" / "mini_trial0" / "last_ckpt.msgpack")
+
+
+def test_hpo_parallel_trials_partition_the_mesh(tmp_path):
+    """parallel_trials=2 on 8 virtual devices: every trial runs on its own
+    4-device submesh (device_scope -> make_mesh), both submeshes get used,
+    and the study log covers all trials."""
+    import threading
+    import time as time_mod
+
+    from rcnn_ocr_tpu.hpo.driver import run_hpo
+    from rcnn_ocr_tpu.parallel.mesh import make_mesh
+
+    seen = []
+    lock = threading.Lock()
+
+    def objective(base, params, trial_dir):
+        mesh = make_mesh()  # must honor the trial's device_scope
+        devs = tuple(int(d.id) for d in mesh.devices.flat)
+        with lock:
+            seen.append(devs)
+        time_mod.sleep(0.2)  # force trial overlap so both groups are held
+        return float(params["lr"])
+
+    out = run_hpo(
+        {}, n_trials=4, study_name="par", storage_dir=str(tmp_path / "hpo"),
+        space={"lr": ("float", 0.0, 1.0)}, seed=0, objective=objective,
+        parallel_trials=2,
+    )
+    assert len(out["trials"]) == 4
+    assert [t["number"] for t in out["trials"]] == [0, 1, 2, 3]
+    assert all(len(d) == 4 for d in seen)
+    groups = set(seen)
+    assert len(groups) == 2  # two distinct submeshes
+    a, b = groups
+    assert not set(a) & set(b)  # disjoint chips
+
+
+@pytest.mark.slow
+def test_hpo_parallel_real_training(tmp_path):
+    """Two REAL run_training trials concurrently, one per 4-device submesh."""
+    from rcnn_ocr_tpu.hpo.driver import run_hpo
+
+    charset = _write_charset(tmp_path / "cs.txt", CHARSET_TOKENS)
+    train = make_synthetic_dataset(str(tmp_path / "tr"), tiny_labels(14))
+    base = {
+        "train_csvs": [train[0]],
+        "train_roots": [train[1]],
+        "charset_path": charset,
+        "img_h": 32,
+        "img_w": 64,
+        "max_len": 6,
+        "width_mult": 0.125,
+        "batch_size": 8,
+        "epochs": 1,
+        "val_size": 4,
+        "seed": 0,
+        "compute_dtype": "float32",
+        "use_pallas": False,
+        "num_workers": 2,
+        "progress": False,
+    }
+    space = {
+        "lr": ("log", 1e-4, 1e-2),
+        "hidden_size": ("cat", (16,)),
+        "lstm_layers": ("cat", (1,)),
+    }
+    out = run_hpo(
+        base, n_trials=2, study_name="minipar",
+        storage_dir=str(tmp_path / "hpo"), space=space, seed=0,
+        parallel_trials=2,
+    )
+    assert len(out["trials"]) == 2
+    assert all(np.isfinite(t["value"]) for t in out["trials"])
