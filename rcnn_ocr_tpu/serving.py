@@ -18,7 +18,9 @@ which also respects this host's one-JAX-process rule.
 
 HTTP API::
 
-    GET  /healthz   -> {"status": "ok", "pending": N, "served": M}
+    GET  /healthz   -> {"status": "ok", "pending": N, "served": M,
+                        "uptime_s": S, "latency_ms": {p50/p95/p99},
+                        "batch_size": {mean/max/batches}}  (rolling stats)
     POST /predict   body = raw encoded image bytes (PNG/JPEG/BMP/...)
                     or JSON {"images": ["<base64>", ...]}
                     -> {"texts": ["...", ...]}   (raw body -> one entry)
@@ -86,6 +88,11 @@ class MicroBatcher:
         self._wake = threading.Condition(self._lock)
         self._stop = False
         self.served = 0  # images decoded since start
+        self.started = time.monotonic()
+        # rolling observability windows (lock-protected): request latencies
+        # (enqueue -> done, seconds) and dispatched batch sizes
+        self._latencies: deque = deque(maxlen=1024)
+        self._batch_sizes: deque = deque(maxlen=1024)
         self._thread = threading.Thread(
             target=self._run, name="ocr-microbatcher", daemon=True
         )
@@ -100,6 +107,7 @@ class MicroBatcher:
         """
         if not images:
             return []
+        t0 = time.monotonic()
         pending = _Pending(list(images))
         with self._wake:
             if self._stop:
@@ -122,11 +130,36 @@ class MicroBatcher:
         if pending.error is not None:
             raise pending.error
         assert pending.texts is not None
+        with self._lock:
+            self._latencies.append(time.monotonic() - t0)
         return pending.texts
 
     def pending(self) -> int:
         with self._lock:
             return sum(hi - lo for _, lo, hi, _ in self._queue)
+
+    def stats(self) -> dict:
+        """Rolling serving stats for /healthz (last <=1024 requests/batches).
+
+        Request latency = submit entry -> decode delivered, so it includes
+        queueing and the coalescing wait — what a client actually sees."""
+        with self._lock:
+            lats = sorted(self._latencies)
+            sizes = list(self._batch_sizes)
+        out = {
+            "served": self.served,
+            "uptime_s": round(time.monotonic() - self.started, 1),
+        }
+        if lats:
+            pick = lambda q: round(lats[min(len(lats) - 1, int(q * len(lats)))] * 1e3, 2)
+            out["latency_ms"] = {"p50": pick(0.50), "p95": pick(0.95), "p99": pick(0.99)}
+        if sizes:
+            out["batch_size"] = {
+                "mean": round(sum(sizes) / len(sizes), 1),
+                "max": max(sizes),
+                "batches": len(sizes),
+            }
+        return out
 
     def close(self, timeout: Optional[float] = None) -> None:
         """Stop accepting work, drain what's queued, join the dispatcher.
@@ -218,6 +251,8 @@ class MicroBatcher:
                     pending.done.set()
                 continue
             self.served += len(images)
+            with self._lock:
+                self._batch_sizes.append(len(images))
             pos = 0
             for pending, lo, hi in batch:
                 span = texts[pos : pos + (hi - lo)]
@@ -272,7 +307,7 @@ def _make_handler(batcher: MicroBatcher, timeout_s: float, max_body_bytes: int):
                 {
                     "status": "ok",
                     "pending": batcher.pending(),
-                    "served": batcher.served,
+                    **batcher.stats(),
                 },
             )
 

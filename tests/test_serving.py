@@ -182,6 +182,15 @@ def test_http_contract(http_server):
     except urllib.error.HTTPError as e:
         assert e.code == 404
 
+    # rolling serving stats appear once requests have been served
+    with urllib.request.urlopen(base + "/healthz", timeout=10) as resp:
+        health = json.loads(resp.read())
+    assert health["served"] == 3 and health["uptime_s"] >= 0
+    assert set(health["latency_ms"]) == {"p50", "p95", "p99"}
+    assert health["latency_ms"]["p99"] >= health["latency_ms"]["p50"] >= 0
+    assert health["batch_size"]["batches"] >= 1
+    assert 1 <= health["batch_size"]["mean"] <= health["batch_size"]["max"] <= 8
+
 
 def test_http_end_to_end_real_engine(tmp_path):
     """Tiny real OCRInference behind the daemon: HTTP decode == direct
