@@ -36,19 +36,18 @@ def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
-def save_checkpoint(
-    path: str,
-    state,  # TrainState
-    scheduler_state: Optional[Dict[str, Any]],
-    epoch: int,
-    global_step: int,
-    best_val_loss: float,
-    best_val_acc: float,
-    itos: List[str],
-    stoi: Dict[str, int],
-    config: Dict[str, Any],
-    log_dir: str,
-) -> None:
+def _ckpt_blob(
+    state,
+    scheduler_state,
+    epoch,
+    global_step,
+    best_val_loss,
+    best_val_acc,
+    itos,
+    stoi,
+    config,
+    log_dir,
+) -> Dict[str, Any]:
     blob = {
         "epoch": int(epoch),
         "global_step": int(global_step),
@@ -63,6 +62,28 @@ def save_checkpoint(
         "config": config,
         "log_dir": log_dir,
     }
+    if getattr(state, "ema_params", None) is not None:
+        blob["ema_params"] = serialization.to_state_dict(_to_host(state.ema_params))
+    return blob
+
+
+def save_checkpoint(
+    path: str,
+    state,  # TrainState
+    scheduler_state: Optional[Dict[str, Any]],
+    epoch: int,
+    global_step: int,
+    best_val_loss: float,
+    best_val_acc: float,
+    itos: List[str],
+    stoi: Dict[str, int],
+    config: Dict[str, Any],
+    log_dir: str,
+) -> None:
+    blob = _ckpt_blob(
+        state, scheduler_state, epoch, global_step, best_val_loss,
+        best_val_acc, itos, stoi, config, log_dir,
+    )
     data = serialization.msgpack_serialize(blob)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -70,11 +91,21 @@ def save_checkpoint(
     os.replace(tmp, path)  # atomic: a preemption never corrupts a slot
 
 
-def save_weights(path: str, state) -> None:
-    blob = {
-        "params": serialization.to_state_dict(_to_host(state.params)),
+def _weights_blob(state) -> Dict[str, Any]:
+    # EMA runs deploy the EMA weights: they are what validation measured
+    # (make_eval_step(use_ema=True)), so the weights slots must hold them —
+    # the raw params stay in the full checkpoint for resume
+    params = getattr(state, "ema_params", None)
+    if params is None:
+        params = state.params
+    return {
+        "params": serialization.to_state_dict(_to_host(params)),
         "batch_stats": serialization.to_state_dict(_to_host(state.batch_stats)),
     }
+
+
+def save_weights(path: str, state) -> None:
+    blob = _weights_blob(state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(blob))
@@ -118,28 +149,14 @@ class AsyncCheckpointer:
 
     def save_checkpoint(self, path: str, state, scheduler_state, epoch, global_step,
                         best_val_loss, best_val_acc, itos, stoi, config, log_dir):
-        blob = {
-            "epoch": int(epoch),
-            "global_step": int(global_step),
-            "params": serialization.to_state_dict(_to_host(state.params)),
-            "batch_stats": serialization.to_state_dict(_to_host(state.batch_stats)),
-            "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
-            "scheduler_state": scheduler_state or {},
-            "best_val_loss": float(best_val_loss),
-            "best_val_acc": float(best_val_acc),
-            "itos": list(itos),
-            "stoi": {str(k): int(v) for k, v in stoi.items()},
-            "config": config,
-            "log_dir": log_dir,
-        }
+        blob = _ckpt_blob(
+            state, scheduler_state, epoch, global_step, best_val_loss,
+            best_val_acc, itos, stoi, config, log_dir,
+        )
         self._q.put((path, blob))
 
     def save_weights(self, path: str, state):
-        blob = {
-            "params": serialization.to_state_dict(_to_host(state.params)),
-            "batch_stats": serialization.to_state_dict(_to_host(state.batch_stats)),
-        }
-        self._q.put((path, blob))
+        self._q.put((path, _weights_blob(state)))
 
     def wait(self):
         """Block until all queued writes hit disk; raise the first error."""
@@ -161,17 +178,29 @@ def load_checkpoint_blob(path: str) -> Dict[str, Any]:
 
 
 def restore_train_state(blob: Dict[str, Any], template_state):
-    """Restore a TrainState from a checkpoint blob using a template's treedef."""
+    """Restore a TrainState from a checkpoint blob using a template's treedef.
+
+    EMA: restored when both the blob and the template carry it; a template
+    with EMA restoring a pre-EMA blob warm-starts the average from the
+    restored params (resuming with ``ema_decay`` newly enabled)."""
     params = serialization.from_state_dict(template_state.params, blob["params"])
     batch_stats = serialization.from_state_dict(
         template_state.batch_stats, blob["batch_stats"]
     )
     opt_state = serialization.from_state_dict(template_state.opt_state, blob["opt_state"])
+    ema = template_state.ema_params
+    if ema is not None:
+        ema = (
+            serialization.from_state_dict(ema, blob["ema_params"])
+            if blob.get("ema_params")
+            else params
+        )
     return template_state.replace(
         step=np.asarray(blob.get("global_step", 0), np.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=opt_state,
+        ema_params=ema,
     )
 
 

@@ -77,6 +77,10 @@ DEFAULTS: Dict[str, Any] = {
     # jitted step (lax.scan; peak activation memory = one microbatch) —
     # scales the effective batch past activation-memory limits
     "grad_accum": 1,
+    # >0 (e.g. 0.999): keep an exponential moving average of the params,
+    # evaluate with it, and deploy it in the *_weights checkpoint slots
+    # (raw params stay in the full checkpoints for resume)
+    "ema_decay": 0.0,
     "use_pallas": False,  # XLA fusion currently beats the pallas kernels at these shapes
     "device_augment": False,  # run train augmentation on-device (ops/augment.py)
     "log_every": 50,  # per-step TB scalars every N steps (device fetch cadence)

@@ -139,6 +139,9 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
     compute_dtype = _dtype_from_name(cfg.get("compute_dtype", "bfloat16"))
     log_every = max(1, int(cfg.get("log_every", 50)))
     grad_accum = max(1, int(cfg.get("grad_accum", 1)))
+    ema_decay = float(cfg.get("ema_decay", 0.0))
+    if not 0.0 <= ema_decay < 1.0:
+        raise ValueError("ema_decay must be in [0, 1)")
     profile_steps = int(cfg.get("profile_steps", 0))
     profile_dir = cfg.get("profile_dir") or os.path.join(exp_dir, "profile")
     profile_warmup = 5  # skip compile + cold-cache steps before tracing
@@ -219,7 +222,7 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
     # --- optimizer / scheduler ---
     tx = build_optimizer(optimizer_name, lr, weight_decay, momentum)
     scheduler = build_scheduler(scheduler_name, lr, epochs)
-    state = create_train_state(model, variables, tx)
+    state = create_train_state(model, variables, tx, ema=ema_decay > 0)
     # replicate (or TP-shard) the state over the mesh — INCLUDING the step
     # counter: leaving any leaf on the default device makes the first jit
     # call's input sharding differ from its output's, silently doubling
@@ -230,6 +233,11 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         params=jax.tree_util.tree_map(jax.device_put, state.params, p_shard),
         batch_stats=jax.device_put(state.batch_stats, replicated_sharding(mesh)),
         opt_state=jax.device_put(state.opt_state, replicated_sharding(mesh)),
+        ema_params=(
+            jax.tree_util.tree_map(jax.device_put, state.ema_params, p_shard)
+            if state.ema_params is not None
+            else None
+        ),
     )
 
     train_step = make_train_step(
@@ -241,6 +249,7 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         ctc_blank_id=charset.ctc_blank_id,
         ctc_loss_weight=cfg.get("ctc_loss_weight", 1.0),
         grad_accum=grad_accum,
+        ema_decay=ema_decay,
         augment=(
             {
                 k: cfg.get(k)
@@ -255,7 +264,8 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         ),
     )
     eval_step = make_eval_step(
-        model, max_len, charset.pad_id, head=head, ctc_blank_id=charset.ctc_blank_id
+        model, max_len, charset.pad_id, head=head,
+        ctc_blank_id=charset.ctc_blank_id, use_ema=ema_decay > 0,
     )
 
     # --- transforms / datasets ---

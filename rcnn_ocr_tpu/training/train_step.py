@@ -30,15 +30,19 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # exponential moving average of params (None unless ema_decay > 0);
+    # the evaluated/deployed weights of an EMA run
+    ema_params: Any = None
 
 
-def create_train_state(model, variables, tx) -> TrainState:
+def create_train_state(model, variables, tx, ema: bool = False) -> TrainState:
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.array, params) if ema else None,
     )
 
 
@@ -68,6 +72,7 @@ def make_train_step(
     donate: bool = True,
     augment: Optional[Dict] = None,
     grad_accum: int = 1,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
 
@@ -90,7 +95,21 @@ def make_train_step(
     microbatch losses are equally weighted (mean of token-mean CEs), and
     BatchNorm running stats update sequentially through the scan at fixed
     params — exactly what N sequential small batches would do.
+
+    ``ema_decay=d > 0``: after each optimizer update the step also advances
+    ``state.ema_params <- d * ema + (1-d) * params`` (one fused elementwise
+    pass; requires a state built with ``create_train_state(..., ema=True)``).
     """
+
+    def _advance_ema(ema, new_params):
+        if ema_decay <= 0.0 or ema is None:
+            return ema
+        d = jnp.float32(ema_decay)
+        return jax.tree_util.tree_map(
+            lambda e, p: (e * d + p.astype(jnp.float32) * (1.0 - d)).astype(e.dtype),
+            ema,
+            new_params,
+        )
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -167,6 +186,7 @@ def make_train_step(
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
+            ema_params=_advance_ema(state.ema_params, new_params),
         )
         metrics = {"loss": total, **losses}
         return new_state, metrics
@@ -207,6 +227,7 @@ def make_train_step(
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
+            ema_params=_advance_ema(state.ema_params, new_params),
         )
         metrics = {k: jnp.mean(v) for k, v in stacked.items()}
         return new_state, metrics
@@ -215,7 +236,8 @@ def make_train_step(
 
 
 def make_eval_step(
-    model, max_len: int, pad_id: int, head: str = "attention", ctc_blank_id: int = 0
+    model, max_len: int, pad_id: int, head: str = "attention", ctc_blank_id: int = 0,
+    use_ema: bool = False,
 ) -> Callable:
     """Jitted eval: teacher-forced loss + greedy prediction ids.
 
@@ -224,13 +246,17 @@ def make_eval_step(
     for the val loss, one greedy pass for the decoded metrics — but the
     encoder can be shared per pass here only at the cost of parity, so both
     passes run the full model exactly like the reference.
+
+    ``use_ema=True`` evaluates ``state.ema_params`` (the weights the
+    checkpoint slots deploy for an EMA run) instead of the raw params.
     """
 
     @jax.jit
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         from rcnn_ocr_tpu.ops.augment import device_normalize
 
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        eval_params = state.ema_params if use_ema else state.params
+        variables = {"params": eval_params, "batch_stats": state.batch_stats}
         # val batches arrive as resize-padded uint8 (4x less host->device
         # traffic); normalize fuses into the stem here
         batch = {**batch, "image": device_normalize(batch["image"])}

@@ -384,3 +384,71 @@ def test_grad_accum_feed_layout_and_mesh_equivalence():
 
     with pytest.raises(ValueError):
         make_process_local_batch(batch_np, mesh, microbatch=3)  # 8 % 3 != 0
+
+
+def test_ema_advances_and_round_trips_checkpoints(tmp_path):
+    """ema_decay: the step advances d*ema + (1-d)*params; checkpoints
+    persist/restore it; weights blobs deploy the EMA params."""
+    from flax import serialization
+
+    from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+    from rcnn_ocr_tpu.training.train_step import create_train_state, make_train_step
+
+    model, tx, _, batch_np = _tiny_setup(batch=8)
+    # rebuild a state WITH ema from the same variables
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((8, 32, 32, 3))
+    text = jnp.zeros((8, 4), jnp.int32)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, x, text=text, batch_max_length=3,
+        method=model.init_all,
+    )
+    state0 = create_train_state(model, variables, tx, ema=True)
+    assert state0.ema_params is not None
+
+    step = make_train_step(model, tx, 3, pad_id=0, donate=False, ema_decay=0.5)
+    state1, _ = step(state0, jax.device_put(batch_np), jax.random.PRNGKey(7))
+
+    expected = jax.tree_util.tree_map(
+        lambda e, p: 0.5 * e + 0.5 * p, state0.params, state1.params
+    )
+    for g, e in zip(
+        jax.tree_util.tree_leaves(state1.ema_params),
+        jax.tree_util.tree_leaves(expected),
+    ):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=1e-7, rtol=0)
+
+    # full checkpoint round-trip keeps the EMA tree
+    path = str(tmp_path / "ck.msgpack")
+    ckpt_io.save_checkpoint(
+        path, state1, None, 1, 1, 0.0, 0.0, ["a"], {"a": 0}, {}, "logs"
+    )
+    blob = ckpt_io.load_checkpoint_blob(path)
+    assert "ema_params" in blob
+    template = create_train_state(model, variables, tx, ema=True)
+    restored = ckpt_io.restore_train_state(blob, template)
+    for g, e in zip(
+        jax.tree_util.tree_leaves(restored.ema_params),
+        jax.tree_util.tree_leaves(state1.ema_params),
+    ):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=0, rtol=0)
+
+    # a pre-EMA blob restoring into an EMA template warm-starts from params
+    blob_old = dict(blob)
+    del blob_old["ema_params"]
+    restored_old = ckpt_io.restore_train_state(blob_old, template)
+    for g, e in zip(
+        jax.tree_util.tree_leaves(restored_old.ema_params),
+        jax.tree_util.tree_leaves(restored_old.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(e))
+
+    # weights slots deploy the EMA params for an EMA run
+    wpath = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(wpath, state1)
+    wblob = ckpt_io.load_checkpoint_blob(wpath)
+    flat_w = jax.tree_util.tree_leaves(
+        serialization.from_state_dict(state1.ema_params, wblob["params"])
+    )
+    for g, e in zip(flat_w, jax.tree_util.tree_leaves(state1.ema_params)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(e))

@@ -188,3 +188,42 @@ def test_training_grad_accum(tiny_env):
     rows = open(os.path.join(exp_dir, "metrics_epoch.csv"), encoding="utf-8").read().strip().splitlines()
     parsed = list(csv_mod.DictReader(rows))
     assert float(parsed[-1]["train_loss"]) < float(parsed[0]["train_loss"])
+
+
+@pytest.mark.slow
+def test_training_ema(tiny_env):
+    """ema_decay: training runs, validation uses the EMA weights, and the
+    weights slots deploy the EMA params (== the full ckpt's ema_params)."""
+    from flax import serialization
+
+    from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+
+    exp_dir = str(tiny_env["tmp"] / "exp_ema")
+    cfg = _base_cfg(tiny_env, exp_dir, epochs=2, ema_decay=0.9, progress=False)
+    result = run_training(cfg)
+    assert np.isfinite(result["val_loss"])
+
+    ckpt = ckpt_io.load_checkpoint_blob(os.path.join(exp_dir, "last_ckpt.msgpack"))
+    assert "ema_params" in ckpt
+    weights = ckpt_io.load_checkpoint_blob(
+        os.path.join(exp_dir, "last_weights.msgpack")
+    )
+    # the deployed weights are the EMA tree, not the raw params
+    ema_leaves = serialization.to_state_dict(ckpt["ema_params"])
+    raw_leaves = serialization.to_state_dict(ckpt["params"])
+    w_leaves = serialization.to_state_dict(weights["params"])
+
+    def flat(d, prefix=""):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                yield from flat(v, prefix + k + "/")
+            else:
+                yield prefix + k, np.asarray(v)
+
+    ema_f, raw_f, w_f = dict(flat(ema_leaves)), dict(flat(raw_leaves)), dict(flat(w_leaves))
+    assert set(ema_f) == set(w_f)
+    any_diff = False
+    for k in w_f:
+        np.testing.assert_array_equal(w_f[k], ema_f[k])
+        any_diff = any_diff or not np.array_equal(w_f[k], raw_f[k])
+    assert any_diff  # EMA actually lags the raw params after training
