@@ -17,9 +17,11 @@
 // first-class capability here per the build contract.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <limits>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -193,6 +195,57 @@ int64_t rcnn_ctc_beam_search_batch(const float* log_probs, int64_t B, int64_t T,
     out_lens[b] = n;
   }
   return B;
+}
+
+// Thread-pooled batched variant (the `letterbox.cpp` pool pattern): rows
+// are embarrassingly parallel — each worker runs the single-row search on
+// a contiguous block (the trie is thread_local, so workers never share
+// state).  `n_threads <= 0` uses the hardware concurrency.
+int64_t rcnn_ctc_beam_search_batch_mt(const float* log_probs, int64_t B,
+                                      int64_t T, int64_t V,
+                                      const int64_t* lengths, int64_t blank,
+                                      int64_t beam_width, int32_t* out_labels,
+                                      int64_t max_out, int64_t* out_lens,
+                                      float* out_log_probs,
+                                      int64_t n_threads) {
+  if (B <= 0) return B == 0 ? 0 : -1;
+  int64_t t = n_threads > 0
+                  ? n_threads
+                  : static_cast<int64_t>(std::thread::hardware_concurrency());
+  t = std::max<int64_t>(1, std::min(t, B));
+  if (t == 1) {
+    return rcnn_ctc_beam_search_batch(log_probs, B, T, V, lengths, blank,
+                                      beam_width, out_labels, max_out,
+                                      out_lens, out_log_probs);
+  }
+
+  std::atomic<bool> ok{true};
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi && ok.load(std::memory_order_relaxed); ++b) {
+      const int64_t tb = lengths ? lengths[b] : T;
+      const int64_t n = rcnn_ctc_beam_search(
+          log_probs + b * T * V, tb, V, blank, beam_width,
+          out_labels + b * max_out, max_out,
+          out_log_probs ? out_log_probs + b : nullptr);
+      if (n < 0) {
+        ok.store(false, std::memory_order_relaxed);
+        return;
+      }
+      out_lens[b] = n;
+    }
+  };
+
+  std::vector<std::thread> pool;
+  pool.reserve(static_cast<size_t>(t));
+  const int64_t chunk = (B + t - 1) / t;
+  for (int64_t i = 0; i < t; ++i) {
+    const int64_t lo = i * chunk;
+    const int64_t hi = std::min(B, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back(work, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+  return ok.load() ? B : -1;
 }
 
 }  // extern "C"

@@ -97,6 +97,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
         ]
         try:
+            lib.rcnn_ctc_beam_search_batch_mt.restype = ctypes.c_int64
+            lib.rcnn_ctc_beam_search_batch_mt.argtypes = (
+                lib.rcnn_ctc_beam_search_batch.argtypes + [ctypes.c_int64]
+            )
+        except AttributeError:
+            # stale library predating the pooled beam; serial path used
+            pass
+        try:
             lib.rcnn_letterbox_u8.restype = ctypes.c_int64
             lib.rcnn_letterbox_u8.argtypes = [
                 ctypes.POINTER(ctypes.c_void_p),
@@ -212,11 +220,14 @@ def ctc_beam_search_batch(
     beam_width: int,
     lengths: Optional[np.ndarray] = None,
     max_out: Optional[int] = None,
+    threads: int = 0,
 ) -> Optional[Tuple[List[List[int]], np.ndarray]]:
     """Beam-search decode a batch of CTC log-prob frames.
 
     ``log_probs``: float32 [B, T, V]. Returns ``(label_lists, log_probs)``
-    or ``None`` when the native library is unavailable.
+    or ``None`` when the native library is unavailable.  Rows run on a
+    thread pool when the library ships the pooled entry point
+    (``threads=0`` uses the hardware concurrency; 1 forces serial).
     """
     lib = _load()
     if lib is None:
@@ -232,7 +243,7 @@ def ctc_beam_search_batch(
     if lengths is not None:
         lens_arr = np.ascontiguousarray(lengths, dtype=np.int64)
         lens_ptr = lens_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
-    res = lib.rcnn_ctc_beam_search_batch(
+    args = (
         lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         batch,
         t_steps,
@@ -245,6 +256,10 @@ def ctc_beam_search_batch(
         out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         out_lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
+    if hasattr(lib, "rcnn_ctc_beam_search_batch_mt") and threads != 1:
+        res = lib.rcnn_ctc_beam_search_batch_mt(*args, int(threads))
+    else:
+        res = lib.rcnn_ctc_beam_search_batch(*args)
     if res < 0:
         return None
     labels = [out_labels[i, : out_lens[i]].tolist() for i in range(batch)]

@@ -117,3 +117,22 @@ def test_native_letterbox_matches_numpy():
     out3, sizes3 = host_letterbox([np.asfortranarray(im) for im in imgs], ch, cw)
     np.testing.assert_array_equal(out3, ref)
     np.testing.assert_array_equal(sizes3, ref_sizes)
+
+
+def test_native_ctc_beam_pooled_matches_serial():
+    """The thread-pooled batch entry decodes identically to the serial one."""
+    from rcnn_ocr_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    logits = rng.normal(size=(12, 9, 7)).astype(np.float32)
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    lengths = rng.integers(1, 10, size=(12,)).astype(np.int64)
+    serial = native.ctc_beam_search_batch(lp, blank=0, beam_width=6,
+                                          lengths=lengths, threads=1)
+    pooled = native.ctc_beam_search_batch(lp, blank=0, beam_width=6,
+                                          lengths=lengths, threads=4)
+    assert serial is not None and pooled is not None
+    assert pooled[0] == serial[0]
+    np.testing.assert_allclose(pooled[1], serial[1], rtol=1e-6)
