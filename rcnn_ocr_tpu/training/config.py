@@ -77,6 +77,9 @@ DEFAULTS: Dict[str, Any] = {
     # jitted step (lax.scan; peak activation memory = one microbatch) —
     # scales the effective batch past activation-memory limits
     "grad_accum": 1,
+    # blend the one-hot CE target with the uniform distribution (the
+    # attention head's training loss only; val loss stays unsmoothed)
+    "label_smoothing": 0.0,
     # >0 (e.g. 0.999): keep an exponential moving average of the params,
     # evaluate with it, and deploy it in the *_weights checkpoint slots
     # (raw params stay in the full checkpoints for resume)

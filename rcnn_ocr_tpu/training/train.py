@@ -250,6 +250,7 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         ctc_loss_weight=cfg.get("ctc_loss_weight", 1.0),
         grad_accum=grad_accum,
         ema_decay=ema_decay,
+        label_smoothing=float(cfg.get("label_smoothing", 0.0)),
         augment=(
             {
                 k: cfg.get(k)

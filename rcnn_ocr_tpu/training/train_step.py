@@ -51,10 +51,18 @@ def masked_token_ce(
     targets: jnp.ndarray,  # [B, T]
     pad_id: int,
     valid_rows: Optional[jnp.ndarray] = None,  # [B] bool
+    label_smoothing: float = 0.0,
 ) -> jnp.ndarray:
-    """Mean CE over non-PAD tokens (of valid rows)."""
+    """Mean CE over non-PAD tokens (of valid rows).
+
+    ``label_smoothing=eps`` blends the one-hot target with the uniform
+    distribution: ``(1-eps)*CE(target) + eps*mean_v(-log p_v)`` per token.
+    """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        eps = jnp.float32(label_smoothing)
+        nll = (1.0 - eps) * nll + eps * (-jnp.mean(logp, axis=-1))
     mask = (targets != pad_id).astype(jnp.float32)
     if valid_rows is not None:
         mask = mask * valid_rows.astype(jnp.float32)[:, None]
@@ -73,6 +81,7 @@ def make_train_step(
     augment: Optional[Dict] = None,
     grad_accum: int = 1,
     ema_decay: float = 0.0,
+    label_smoothing: float = 0.0,
 ) -> Callable:
     """Build the jitted train step ``(state, batch, rng) -> (state, metrics)``.
 
@@ -132,7 +141,8 @@ def make_train_step(
                 mutable=["batch_stats"],
             )
             losses["attn_loss"] = masked_token_ce(
-                logits, batch["target_y"], pad_id, batch.get("valid")
+                logits, batch["target_y"], pad_id, batch.get("valid"),
+                label_smoothing=label_smoothing,
             )
             total = losses["attn_loss"]
         elif head == "ctc":
@@ -162,7 +172,8 @@ def make_train_step(
                 method=model.forward_both,
             )
             losses["attn_loss"] = masked_token_ce(
-                attn_logits, batch["target_y"], pad_id, batch.get("valid")
+                attn_logits, batch["target_y"], pad_id, batch.get("valid"),
+                label_smoothing=label_smoothing,
             )
             lp = jnp.zeros(ctc_logits.shape[:2], jnp.float32)
             losses["ctc_loss"] = ctc_loss_fn(

@@ -103,3 +103,30 @@ def test_torch_adam_l2_semantics():
     state = tx.init(params)
     updates, _ = tx.update({"w": jnp.zeros((2,))}, state, params)
     assert np.abs(np.asarray(updates["w"])).sum() > 0
+
+
+def test_masked_token_ce_label_smoothing():
+    """eps-smoothed CE == (1-eps)*CE + eps*uniform-KL term, PAD masked."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rcnn_ocr_tpu.training.train_step import masked_token_ce
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(2, 3, 5)).astype(np.float32))
+    targets = jnp.asarray([[1, 2, 0], [3, 0, 0]], dtype=jnp.int32)  # 0 = PAD
+
+    base = float(masked_token_ce(logits, targets, pad_id=0))
+    smoothed = float(
+        masked_token_ce(logits, targets, pad_id=0, label_smoothing=0.1)
+    )
+
+    logp = np.asarray(jnp.log(jnp.exp(logits) / jnp.exp(logits).sum(-1, keepdims=True)))
+    mask = np.asarray(targets) != 0
+    nll = -np.take_along_axis(logp, np.asarray(targets)[..., None], axis=-1)[..., 0]
+    uni = -logp.mean(-1)
+    want_base = (nll * mask).sum() / mask.sum()
+    want_smooth = ((0.9 * nll + 0.1 * uni) * mask).sum() / mask.sum()
+    np.testing.assert_allclose(base, want_base, rtol=1e-5)
+    np.testing.assert_allclose(smoothed, want_smooth, rtol=1e-5)
+    assert smoothed != base
