@@ -11,3 +11,4 @@ from rcnn_ocr_tpu.data.dataset import (  # noqa: F401
     MultiDataset,
     ProportionalBatchSampler,
 )
+from rcnn_ocr_tpu.data.cache import TransformCache  # noqa: F401

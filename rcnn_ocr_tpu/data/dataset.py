@@ -528,3 +528,13 @@ class ConcatDataset:
     def sample_label(self, idx: int) -> str:
         ds, local = self._locate(idx)
         return self.datasets[ds].sample_label(local)
+
+    @property
+    def transform(self):
+        """The members' shared transform (None when they differ) — lets the
+        disk transform cache treat a homogeneous concat like one dataset."""
+        first = getattr(self.datasets[0], "transform", None) if self.datasets else None
+        for d in self.datasets[1:]:
+            if getattr(d, "transform", None) is not first:
+                return None
+        return first

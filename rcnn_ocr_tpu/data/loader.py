@@ -119,6 +119,7 @@ class DataLoader:
         drop_invalid: bool = True,
         bucket_of: Optional[Sequence[int]] = None,
         transform_for_width: Optional[callable] = None,
+        cache_dir: Optional[str] = None,
     ):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
@@ -141,6 +142,26 @@ class DataLoader:
             raise ValueError(
                 "bucket_of and transform_for_width must be given together"
             )
+        # disk-backed transform cache (rcnn_ocr_tpu.data.cache): one per
+        # effective deterministic transform; decode+resize happen once per
+        # sample per cache lifetime, later epochs read memmap rows
+        self.cache_dir = cache_dir
+        self._disk_caches: dict = {}
+
+    def _disk_cache(self, transform):
+        if self.cache_dir is None:
+            return None
+        eff = transform if transform is not None else getattr(
+            self.dataset, "transform", None
+        )
+        key = getattr(eff, "cache_key", None)
+        if eff is None or key is None:
+            return None
+        if key not in self._disk_caches:
+            from rcnn_ocr_tpu.data.cache import TransformCache
+
+            self._disk_caches[key] = TransformCache(self.dataset, eff, self.cache_dir)
+        return self._disk_caches[key]
 
     def __len__(self) -> int:
         return len(self.batch_sampler)  # type: ignore[arg-type]
@@ -151,10 +172,16 @@ class DataLoader:
         return self._transform_cache[width]
 
     def _fetch(self, idx, transform=None):
-        try:
+        def fetch_fn():
             if transform is not None:
                 return self.dataset.fetch(idx, transform=transform)
             return self.dataset[idx]
+
+        try:
+            cache = self._disk_cache(transform)
+            if cache is not None:
+                return cache.fetch(idx, fetch_fn)
+            return fetch_fn()
         except Exception:
             if self.drop_invalid:
                 return None

@@ -169,6 +169,13 @@ class ResizeAndPad:
         self.align_h = align_h
         self.align_v = align_v
 
+    @property
+    def cache_key(self) -> str:
+        """Deterministic-transform identity for the on-disk transform
+        cache (`rcnn_ocr_tpu.data.cache`) — random augmentations carry no
+        key and are never cached."""
+        return f"ResizeAndPad:{self.img_h}:{self.img_w}:{self.align_h}:{self.align_v}"
+
     @classmethod
     def _origin(cls, align: str, span: int, extent: int) -> int:
         """Paste offset of a span inside an extent, clamped into range."""

@@ -77,6 +77,12 @@ DEFAULTS: Dict[str, Any] = {
     # jitted step (lax.scan; peak activation memory = one microbatch) —
     # scales the effective batch past activation-memory limits
     "grad_accum": 1,
+    # >0: clip gradients to this global norm before the optimizer update
+    "grad_clip": 0.0,
+    # directory for the disk transform cache: deterministic uint8
+    # transforms (ResizeAndPad — the device_augment/val feeds) decode +
+    # resize each sample once and serve memmap rows on later epochs
+    "cache_dir": None,
     # blend the one-hot CE target with the uniform distribution (the
     # attention head's training loss only; val loss stays unsmoothed)
     "label_smoothing": 0.0,

@@ -32,7 +32,17 @@ def build_optimizer(
     lr: float,
     weight_decay: float = 0.0,
     momentum: float = 0.9,
+    grad_clip: float = 0.0,
 ) -> optax.GradientTransformation:
+    """Adam/AdamW/SGD with optional global-norm gradient clipping.
+
+    ``grad_clip > 0`` prepends ``optax.clip_by_global_norm`` — applied to
+    the raw gradients before any optimizer statistics see them.
+    """
+    def clipped(*steps):
+        pre = [optax.clip_by_global_norm(grad_clip)] if grad_clip else []
+        return optax.chain(*pre, *steps)
+
     if name == "Adam":
         def make(learning_rate):
             steps = []
@@ -40,10 +50,10 @@ def build_optimizer(
                 steps.append(optax.add_decayed_weights(weight_decay))
             steps.append(optax.scale_by_adam())
             steps.append(optax.scale(-learning_rate))
-            return optax.chain(*steps)
+            return clipped(*steps)
     elif name == "AdamW":
         def make(learning_rate):
-            return optax.adamw(learning_rate, weight_decay=weight_decay)
+            return clipped(optax.adamw(learning_rate, weight_decay=weight_decay))
     elif name == "SGD":
         def make(learning_rate):
             steps = []
@@ -52,7 +62,7 @@ def build_optimizer(
             if momentum:
                 steps.append(optax.trace(decay=momentum))
             steps.append(optax.scale(-learning_rate))
-            return optax.chain(*steps)
+            return clipped(*steps)
     else:
         raise ValueError(f"Unknown optimizer: {name}")
     return optax.inject_hyperparams(make)(learning_rate=lr)

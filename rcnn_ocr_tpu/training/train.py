@@ -220,7 +220,10 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
     logger.info(f"Model parameters: {n_params:,}")
 
     # --- optimizer / scheduler ---
-    tx = build_optimizer(optimizer_name, lr, weight_decay, momentum)
+    tx = build_optimizer(
+        optimizer_name, lr, weight_decay, momentum,
+        grad_clip=float(cfg.get("grad_clip", 0.0)),
+    )
     scheduler = build_scheduler(scheduler_name, lr, epochs)
     state = create_train_state(model, variables, tx, ema=ema_decay > 0)
     # replicate (or TP-shard) the state over the mesh — INCLUDING the step
@@ -490,6 +493,11 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
             sampler = ProcessShardedBatchSampler(sampler, jax.process_index(), pcount)
         return sampler
 
+    # disk transform cache: decode+resize once, memmap on later epochs.
+    # Only deterministic transforms cache (ResizeAndPad — i.e. the uint8
+    # feeds: device_augment train batches and every val batch); random
+    # host augmentations never do.
+    cache_dir = cfg.get("cache_dir")
     train_loader = DataLoader(
         train_dataset,
         train_sampler,
@@ -500,6 +508,7 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
         with_ctc=with_ctc,
         bucket_of=train_bucket_of,
         transform_for_width=train_transform_for if width_buckets else None,
+        cache_dir=cache_dir,
     )
     val_loaders = [
         DataLoader(
@@ -516,6 +525,7 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
                 if vb is not None
                 else None
             ),
+            cache_dir=cache_dir,
         )
         for vs, vb in zip(val_sets, val_bucket_ofs)
     ]
