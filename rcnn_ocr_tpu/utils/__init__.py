@@ -1,2 +1,6 @@
-from rcnn_ocr_tpu.utils.common import set_seed, load_model  # noqa: F401
+from rcnn_ocr_tpu.utils.common import (  # noqa: F401
+    enable_compile_cache,
+    load_model,
+    set_seed,
+)
 from rcnn_ocr_tpu.utils.profiling import trace, StepTimer  # noqa: F401

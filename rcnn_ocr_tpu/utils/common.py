@@ -26,6 +26,26 @@ def set_seed(seed: int = 42) -> None:
     np.random.seed(seed)
 
 
+def enable_compile_cache(cache_dir: str) -> None:
+    """Enable JAX's persistent compilation cache rooted at ``cache_dir``.
+
+    Measured on this platform (`tools/compile_cache_probe.py`): the cache
+    works through the remote-compile tunnel — a 3-conv probe compiles in
+    199-335 s cold and 3 s on a warm cache — so pointing serving processes
+    at a shared directory removes the dominant cold-start cost on restart.
+    The reference has no equivalent (torch eager recompiles nothing); this
+    is a TPU-specific operational concern.
+
+    Must be called before the first jit compilation in the process.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache everything: serving graphs are few and all expensive here
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def load_model(
     checkpoint_path: str,
     itos: Optional[list] = None,

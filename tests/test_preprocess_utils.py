@@ -185,3 +185,25 @@ def test_device_normalize_bit_identical_to_host():
     # float inputs pass through untouched (host-normalized callers keep working)
     again = np.asarray(device_normalize(jnp.asarray(host)))
     assert np.array_equal(again, host)
+
+
+def test_enable_compile_cache_writes_entries(tmp_path):
+    """enable_compile_cache persists compiled executables to disk (the
+    serving cold-start fix — tools/compile_cache_probe.py measured 3 s
+    warm vs 199-335 s cold through the remote-compile tunnel)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.utils import enable_compile_cache
+
+    cache_dir = str(tmp_path / "xla_cache")
+    enable_compile_cache(cache_dir)
+    try:
+        fn = jax.jit(lambda x: jnp.tanh(x) * 3.0 - jnp.sin(x))
+        fn(jnp.arange(16, dtype=jnp.float32)).block_until_ready()
+        n_files = sum(len(fs) for _, _, fs in os.walk(cache_dir))
+        assert n_files >= 1
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

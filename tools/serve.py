@@ -48,7 +48,18 @@ def main() -> None:
         default=5.0,
         help="micro-batch coalescing window after the first queued image",
     )
+    p.add_argument(
+        "--compile-cache-dir",
+        default=None,
+        help="persistent XLA compile cache; warm restarts skip the "
+        "~20-30 s serving compile (measured: tools/compile_cache_probe.py)",
+    )
     args = p.parse_args()
+
+    if args.compile_cache_dir:
+        from rcnn_ocr_tpu.utils import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache_dir)
 
     from rcnn_ocr_tpu.serving import OCRServer, serving_predict_fn
 
