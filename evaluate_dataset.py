@@ -250,7 +250,17 @@ def main() -> int:
         help="with --static-quant: write a copy of the checkpoint with the "
         "calibrated scales embedded (re-opens straight onto the static path)",
     )
+    parser.add_argument(
+        "--compile-cache-dir", default=None,
+        help="persistent XLA compile cache; repeat evaluations skip the "
+        "remote compile (tools/compile_cache_probe.py: 3 s warm vs 199-335 s cold)",
+    )
     args = parser.parse_args()
+
+    if args.compile_cache_dir:
+        from rcnn_ocr_tpu.utils import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache_dir)
 
     if not os.path.exists(args.model):
         print(f"Model not found: {args.model}")

@@ -83,6 +83,10 @@ DEFAULTS: Dict[str, Any] = {
     # transforms (ResizeAndPad — the device_augment/val feeds) decode +
     # resize each sample once and serve memmap rows on later epochs
     "cache_dir": None,
+    # directory for JAX's persistent XLA compile cache: restarts/resumes
+    # skip the remote train-step compile (measured 3 s warm vs 199-335 s
+    # cold through this platform's tunnel — tools/compile_cache_probe.py)
+    "compile_cache_dir": None,
     # blend the one-hot CE target with the uniform distribution (the
     # attention head's training loss only; val loss stays unsmoothed)
     "label_smoothing": 0.0,

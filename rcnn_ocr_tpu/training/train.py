@@ -98,6 +98,11 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
     seed = cfg.get("seed", 42)
     set_seed(seed)
 
+    if cfg.get("compile_cache_dir"):
+        from rcnn_ocr_tpu.utils import enable_compile_cache
+
+        enable_compile_cache(cfg.get("compile_cache_dir"))
+
     exp_dir = cfg.get("exp_dir")
     os.makedirs(exp_dir, exist_ok=True)
     logger = setup_logger(exp_dir)
