@@ -10,9 +10,9 @@ fallback), runs batched prediction, reports exact-match accuracy / CER /
 WER with min/max/median stats and the top-5 worst-CER examples, and writes
 ``evaluation_results_<model>.csv`` with per-sample rows.
 
-Extensions over the reference: ``--decode`` picks the head
-(``attention`` greedy | ``ctc_greedy`` | ``ctc_beam``) and reference
-``.pth`` checkpoints load directly.
+Extensions over the reference: ``--decode`` picks the head and search
+(``attention`` greedy | ``attention_beam`` | ``ctc_greedy`` | ``ctc_beam``)
+and reference ``.pth`` checkpoints load directly.
 """
 
 from __future__ import annotations
@@ -153,6 +153,13 @@ def evaluate_model(
             predicted.extend(out if isinstance(out, list) else [out])
         elif decode == "attention":
             predicted.extend(ocr.predict(chunk, max_length=max_length, batch_size=batch_size))
+        elif decode == "attention_beam":
+            predicted.extend(
+                ocr.predict(
+                    chunk, max_length=max_length, batch_size=batch_size,
+                    beam_width=beam_width,
+                )
+            )
         elif decode == "ctc_greedy":
             predicted.extend(ocr.predict_ctc(chunk, batch_size=batch_size, method="greedy"))
         elif decode == "ctc_beam":
@@ -222,7 +229,7 @@ def main() -> int:
         "--decode",
         type=str,
         default="attention",
-        choices=["attention", "ctc_greedy", "ctc_beam"],
+        choices=["attention", "attention_beam", "ctc_greedy", "ctc_beam"],
     )
     parser.add_argument("--max-length", type=int, default=25)
     parser.add_argument("--beam-width", type=int, default=16)

@@ -270,6 +270,29 @@ class OCRInference:
 
         return self._cached(("greedy", steps), build)
 
+    def _attn_beam_fn(self, steps: int, beam_width: int, length_penalty: float):
+        """Attention-head beam search kernel (fully on device).
+
+        The reference decodes its seq2seq head greedily only
+        (`/root/reference/model/model.py:91-112`); this kernel explores
+        ``beam_width`` hypotheses per row in one fused program
+        (`models/attention.py:_beam_search`) and ships back the best token
+        sequence + its cumulative log-prob."""
+
+        def build():
+            def run(variables, images):
+                return self.model.apply(
+                    variables, device_normalize(images),
+                    beam_width=beam_width,
+                    batch_max_length=steps - 1,
+                    length_penalty=length_penalty,
+                    method=self.model.beam_decode,
+                )
+
+            return self._jit(run)
+
+        return self._cached(("attn_beam", steps, beam_width, length_penalty), build)
+
     def _ctc_fn(self, greedy: bool, prune_k: int = 0):
         """CTC head kernel.  ``greedy``: on-device collapse -> tokens.
         Beam mode ships frame log-probs to the host beam search; with
@@ -547,8 +570,17 @@ class OCRInference:
         max_length: int = 25,
         batch_size: int = 32,
         return_confidence: bool = False,
+        beam_width: Optional[int] = None,
+        length_penalty: float = 0.0,
     ):
-        """Greedy attention decode.  Single image in -> single result out."""
+        """Attention decode: greedy, or beam search when ``beam_width`` > 1.
+
+        Beam mode (framework-plus; the reference is greedy-only) runs the
+        whole search on device and returns the best hypothesis per image.
+        With ``return_confidence`` the beam's confidence is the geometric
+        mean of the emitted tokens' probabilities (``exp(logprob / len)``)
+        — the beam's analogue of the greedy path's mean max-softmax.
+        """
         if not self.model.with_attention_head:
             raise ValueError(
                 "this checkpoint has no attention head; use predict_ctc()"
@@ -559,7 +591,12 @@ class OCRInference:
             return []
         steps = max_length + 1
         batch_size = self._round_batch(batch_size)
-        run = self._greedy_fn(steps)
+        beam = beam_width is not None and beam_width > 1
+        run = (
+            self._attn_beam_fn(steps, int(beam_width), length_penalty)
+            if beam
+            else self._greedy_fn(steps)
+        )
 
         results: List[Any] = [None] * len(images_list)
         for bucket, chunk_idx in self._bucket_chunks(images_list, batch_size):
@@ -568,14 +605,26 @@ class OCRInference:
             ]
             arrays, n_real = self._pad_rows(arrays, batch_size)  # static shape
             batch = self._device_batch(np.stack(arrays))
-            pred, maxp = run(self.variables, batch)
+            pred, aux = run(self.variables, batch)
             pred = np.asarray(pred)[:n_real]
-            maxp = np.asarray(maxp)[:n_real]
+            aux = np.asarray(aux)[:n_real]
 
             for j, out_idx in enumerate(chunk_idx):
-                results[out_idx] = self._decode_attention_row(
-                    pred[j], maxp[j], return_confidence
-                )
+                if beam:
+                    text = self._decode_attention_row(pred[j], None, False)
+                    if return_confidence:
+                        n_tok = int(
+                            np.argmax(pred[j] == self.charset.eos_id) + 1
+                            if self.charset.eos_id in pred[j]
+                            else pred[j].shape[0]
+                        )
+                        results[out_idx] = (text, float(np.exp(aux[j] / n_tok)))
+                    else:
+                        results[out_idx] = text
+                else:
+                    results[out_idx] = self._decode_attention_row(
+                        pred[j], aux[j], return_confidence
+                    )
 
         return results[0] if is_single else results
 
@@ -586,12 +635,26 @@ class OCRInference:
         ctc: bool = False,
         beam_width: int = 0,
         prune_k: int = 16,
+        attn_beam: int = 0,  # attention-head beam width (0 = greedy)
+        length_penalty: float = 0.0,
     ):
         def build():
             from rcnn_ocr_tpu.ops.preprocess import resize_pad_normalize
 
             def run(variables, raw, sizes):
                 x = resize_pad_normalize(raw, sizes, self.img_h, target_w)
+                if not ctc and attn_beam:
+                    enc = self.model.apply(
+                        variables, x, train=False, method=self.model.encode
+                    )
+                    return self.model.attn.apply(
+                        {"params": variables["params"]["attn"]},
+                        enc,
+                        train=False,
+                        batch_max_length=steps - 1,
+                        beam_width=attn_beam,
+                        length_penalty=length_penalty,
+                    )
                 if ctc:
                     logits = self.model.apply(
                         variables, x, train=False, method=self.model.ctc_logits

@@ -64,7 +64,9 @@ class AttentionDecoder(nn.Module):
         text: Optional[jnp.ndarray] = None,  # [B, >= steps] with SOS at [:, 0]
         train: bool = True,
         batch_max_length: int = 25,
-    ) -> jnp.ndarray:
+        beam_width: Optional[int] = None,  # beam search (eval only) — see below
+        length_penalty: float = 0.0,
+    ):
         batch, enc_t, enc_c = batch_H.shape
         hidden = self.hidden_size
         vocab = self.num_classes
@@ -114,11 +116,13 @@ class AttentionDecoder(nn.Module):
         # traced index inside the scan
         w_emb_c = jnp.asarray(w_emb)
 
-        def attend_and_update(h, c, targets, t):
+        def attend_and_update(h, c, targets, t, keys=None, values=None):
             """One decoder step: attention context + LSTM cell update."""
+            keys = proj_H if keys is None else keys
+            values = bh if values is None else values
             proj_h = h.astype(dt) @ w_h2h_c + b_h2h
             e = jnp.squeeze(
-                jnp.tanh(proj_H + proj_h[:, None, :].astype(jnp.float32)).astype(dt) @ v_c,
+                jnp.tanh(keys + proj_h[:, None, :].astype(jnp.float32)).astype(dt) @ v_c,
                 -1,
             )  # [B, T]
             alpha = jax.nn.softmax(e.astype(jnp.float32), axis=1)
@@ -127,7 +131,7 @@ class AttentionDecoder(nn.Module):
                 keep = jax.random.bernoulli(key, 1.0 - self.dropout_p, alpha.shape)
                 alpha = jnp.where(keep, alpha / (1.0 - self.dropout_p), 0.0)
             context = jnp.einsum(
-                "bt,btc->bc", alpha.astype(dt), bh, preferred_element_type=jnp.float32
+                "bt,btc->bc", alpha.astype(dt), values, preferred_element_type=jnp.float32
             )
             gates = (
                 context.astype(dt) @ w_ctx_c
@@ -139,6 +143,20 @@ class AttentionDecoder(nn.Module):
 
         h0 = jnp.zeros((batch, hidden), jnp.float32)
         c0 = jnp.zeros((batch, hidden), jnp.float32)
+
+        if beam_width is not None:
+            if train or text is not None:
+                raise ValueError("beam search is an eval-only decode (text=None)")
+            return self._beam_search(
+                attend_and_update,
+                proj_H,
+                bh,
+                w_gen_c,
+                b_gen,
+                beam_width=int(beam_width),
+                steps=steps,
+                length_penalty=length_penalty,
+            )
 
         if not needs_step_logits:
             # pure teacher forcing: targets come from `text`, no carry feedback
@@ -197,3 +215,96 @@ class AttentionDecoder(nn.Module):
             logits = out_hid.astype(dt) @ w_gen_c + b_gen
             return self._mask_blank(logits.astype(jnp.float32))
         return jnp.transpose(outs, (1, 0, 2))  # [B, steps, V] greedy logits
+
+    def _beam_search(
+        self,
+        attend_and_update,
+        proj_H: jnp.ndarray,  # [B, T, H] hoisted attention keys
+        bh: jnp.ndarray,  # [B, T, C] encoder states (attention values)
+        w_gen_c: jnp.ndarray,  # [H, V]
+        b_gen: jnp.ndarray,
+        beam_width: int,
+        steps: int,
+        length_penalty: float,
+    ):
+        """Device-side beam search over the autoregressive decoder.
+
+        The reference decodes greedily only (`/root/reference/model/model.py:91-112`);
+        this is the framework's seq2seq counterpart of the CTC beam: one
+        `lax.scan` carrying ``[B, K]`` hypotheses (cell state, cumulative
+        log-prob, token history), expanding all ``K*V`` continuations per step
+        and keeping the global top-K.  EOS-finished hypotheses are frozen:
+        their only continuation is PAD at log-prob 0, so their score stops
+        accumulating (matching `decode_tokens`' stop-at-EOS semantics).
+
+        Returns ``(tokens [B, steps] int32, scores [B] float32)`` — the best
+        hypothesis per row; ``scores`` is its cumulative log-prob, optionally
+        normalized by ``len**length_penalty`` (0 = pure sum, the greedy-
+        comparable default).  ``beam_width=1`` reproduces greedy decoding.
+        """
+        batch, _, hidden = proj_H.shape
+        vocab = w_gen_c.shape[1]
+        K = beam_width
+        dt = self.dtype
+        neg_inf = jnp.float32(-1e30)
+
+        # beam-major expansion: row b's hypotheses live at [b*K : (b+1)*K]
+        keys_k = jnp.repeat(proj_H, K, axis=0)
+        values_k = jnp.repeat(bh, K, axis=0)
+
+        # finished beams may only emit PAD, at log-prob 0 (score frozen)
+        pad_only = jnp.full((vocab,), neg_inf).at[self.pad_id].set(0.0)
+
+        def step(carry, t):
+            h, c, prev, cum, finished, hist = carry
+            h_new, c_new = attend_and_update(
+                h, c, prev.reshape(batch * K), t, keys=keys_k, values=values_k
+            )
+            logits_t = h_new.astype(dt) @ w_gen_c + b_gen
+            logits_t = self._mask_blank(logits_t.astype(jnp.float32))
+            logp = jax.nn.log_softmax(logits_t, axis=-1).reshape(batch, K, vocab)
+            logp = jnp.where(finished[:, :, None], pad_only, logp)
+            total = cum[:, :, None] + logp  # [B, K, V]
+            scores, idx = jax.lax.top_k(total.reshape(batch, K * vocab), K)
+            parent = idx // vocab  # [B, K]
+            tok = (idx % vocab).astype(jnp.int32)
+
+            hk = h_new.reshape(batch, K, hidden)
+            ck = c_new.reshape(batch, K, hidden)
+            h_sel = jnp.take_along_axis(hk, parent[:, :, None], axis=1)
+            c_sel = jnp.take_along_axis(ck, parent[:, :, None], axis=1)
+            fin_sel = jnp.take_along_axis(finished, parent, axis=1)
+            hist_sel = jnp.take_along_axis(hist, parent[:, :, None], axis=1)
+            hist_new = hist_sel.at[:, :, t].set(tok)
+            new_finished = fin_sel | (tok == self.eos_id)
+            return (
+                h_sel.reshape(batch * K, hidden),
+                c_sel.reshape(batch * K, hidden),
+                tok,
+                scores,
+                new_finished,
+                hist_new,
+            ), None
+
+        init = (
+            jnp.zeros((batch * K, hidden), jnp.float32),
+            jnp.zeros((batch * K, hidden), jnp.float32),
+            jnp.full((batch, K), self.sos_id, jnp.int32),
+            # only beam 0 is live at t=0 (all K start identical otherwise)
+            jnp.full((batch, K), neg_inf).at[:, 0].set(0.0),
+            jnp.zeros((batch, K), bool),
+            jnp.zeros((batch, K, steps), jnp.int32),
+        )
+        carry, _ = jax.lax.scan(step, init, jnp.arange(steps, dtype=jnp.int32))
+        _, _, _, cum, _, hist = carry
+
+        rank = cum
+        if length_penalty > 0.0:
+            has_eos = (hist == self.eos_id).any(axis=-1)
+            first_eos = jnp.argmax(hist == self.eos_id, axis=-1)
+            lengths = jnp.where(has_eos, first_eos + 1, steps).astype(jnp.float32)
+            rank = cum / (lengths**length_penalty)
+        best = jnp.argmax(rank, axis=1)
+        tokens = jnp.take_along_axis(hist, best[:, None, None], axis=1)[:, 0]
+        score = jnp.take_along_axis(cum, best[:, None], axis=1)[:, 0]
+        return tokens, score

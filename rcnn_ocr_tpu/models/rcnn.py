@@ -136,6 +136,30 @@ class RCNN(nn.Module):
         enc = self.encode(x, train=train)
         return self.attn(enc, text=text, train=train, batch_max_length=batch_max_length)
 
+    def beam_decode(
+        self,
+        x: jnp.ndarray,
+        beam_width: int = 5,
+        batch_max_length: int = 25,
+        length_penalty: float = 0.0,
+    ):
+        """Beam-search decode for the attention head (framework-plus).
+
+        The reference's seq2seq decode is greedy-only
+        (`/root/reference/model/model.py:91-112`); this explores
+        ``beam_width`` hypotheses fully on device and returns
+        ``(tokens [B, steps], scores [B])`` — see
+        ``AttentionDecoder._beam_search``.
+        """
+        enc = self.encode(x, train=False)
+        return self.attn(
+            enc,
+            train=False,
+            batch_max_length=batch_max_length,
+            beam_width=beam_width,
+            length_penalty=length_penalty,
+        )
+
     def init_all(
         self,
         x: jnp.ndarray,
