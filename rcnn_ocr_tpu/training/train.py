@@ -21,6 +21,8 @@ from __future__ import annotations
 import contextlib
 import os
 import random
+import signal
+import threading
 import time
 from typing import Dict, List, Optional
 
@@ -638,6 +640,23 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
             ckpt_io.save_checkpoint(ckpt_paths[slot], *args)
             ckpt_io.save_weights(weight_paths[slot], state)
 
+    # --- preemption tolerance (SURVEY §5.3) ---
+    # TPU-pod preemptions and batch schedulers deliver SIGTERM.  Catch it,
+    # finish the in-flight step, write the "last" checkpoint slot, and leave
+    # the loop cleanly — a follow-up run with `resume_path` pointed at the
+    # experiment dir restarts losslessly at epoch granularity (the
+    # interrupted epoch re-runs; `global_step` keeps counting).  The
+    # reference has no equivalent (a killed torch run loses everything since
+    # its last eval-epoch checkpoint).
+    preempt: Dict[str, Optional[int]] = {"signum": None}
+    prev_sigterm = None
+    if cfg.get("graceful_shutdown", True) and threading.current_thread() is threading.main_thread():
+
+        def _on_term(signum, frame):  # noqa: ARG001 — signal handler ABI
+            preempt["signum"] = signum
+
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_term)
+
     # --- epoch loop ---
     # The hot loop never fetches device values per step: the loss is
     # accumulated ON DEVICE and pulled to host once per epoch (plus a cheap
@@ -686,6 +705,8 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
                     writer.add_scalar("LR", get_lr(state.opt_state), global_step)
                     bar.set_postfix(loss=f"{loss_val:.4f}", refresh=False)
                 bar.update(1)
+                if preempt["signum"] is not None:
+                    break
 
         # this fetch forces completion of every dispatched step, so the
         # epoch wall time below includes all device work
@@ -706,6 +727,17 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
                 )
             except Exception:  # noqa: BLE001 — introspection only
                 pass
+
+        if preempt["signum"] is not None:
+            logger.warning(
+                f"Signal {preempt['signum']} caught mid-epoch {epoch} "
+                f"({n_batches} steps in): writing the 'last' slot and "
+                f"stopping — resume with resume_path='{exp_dir}' "
+                f"(the interrupted epoch re-runs)"
+            )
+            save_slot("last", epoch - 1, best_val_loss, best_val_acc)
+            result["preempted"] = True
+            break
 
         should_eval = ((epoch - start_epoch) % eval_every == 0) or (epoch == epochs)
         avg_val_loss = val_acc = val_cer = val_wer = None
@@ -846,6 +878,8 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
                 new_lr = scheduler.step()
                 state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
 
+    if prev_sigterm is not None:
+        signal.signal(signal.SIGTERM, prev_sigterm)
     if saver is not None:
         saver.close()  # drain pending checkpoint writes
     writer.close()

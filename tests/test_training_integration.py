@@ -227,3 +227,56 @@ def test_training_ema(tiny_env):
         np.testing.assert_array_equal(w_f[k], ema_f[k])
         any_diff = any_diff or not np.array_equal(w_f[k], raw_f[k])
     assert any_diff  # EMA actually lags the raw params after training
+
+
+@pytest.mark.slow
+def test_training_graceful_preemption(tiny_env, monkeypatch):
+    """SIGTERM mid-training checkpoints and exits cleanly (SURVEY §5.3).
+
+    The signal is raised deterministically from inside the hot loop (via the
+    per-step timer hook) once the handler is guaranteed installed; the loop
+    must write the 'last' slot, flag the result, restore the previous
+    handler, and the checkpoint must resume.
+    """
+    import signal
+
+    from rcnn_ocr_tpu.utils.profiling import StepTimer
+
+    exp_dir = str(tiny_env["tmp"] / "exp_preempt")
+    cfg = _base_cfg(tiny_env, exp_dir, epochs=10, async_checkpoint=False)
+
+    sentinel_handler = lambda s, f: None  # noqa: E731
+    prev = signal.signal(signal.SIGTERM, sentinel_handler)
+    calls = {"n": 0}
+    orig_stop = StepTimer.stop
+
+    def patched_stop(self, n):
+        calls["n"] += 1
+        if calls["n"] == 4:  # mid-epoch-2 (3 train batches per epoch)
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig_stop(self, n)
+
+    monkeypatch.setattr(StepTimer, "stop", patched_stop)
+    try:
+        result = run_training(cfg)
+    finally:
+        restored = signal.getsignal(signal.SIGTERM)
+        signal.signal(signal.SIGTERM, prev)
+
+    assert result.get("preempted") is True
+    assert restored is sentinel_handler  # run_training restored our handler
+    assert calls["n"] < 10  # stopped long before the 10 epochs' ~30 steps
+    ckpt_path = os.path.join(exp_dir, "last_ckpt.msgpack")
+    assert os.path.exists(ckpt_path)
+
+    from rcnn_ocr_tpu.training.checkpoint import load_checkpoint_blob
+
+    blob = load_checkpoint_blob(ckpt_path)
+    assert blob["epoch"] == 1  # interrupted epoch 2 -> resume re-runs it
+    assert blob["global_step"] == 4
+
+    # the preempted checkpoint resumes (and now runs to completion)
+    cfg2 = Config({"resume_path": exp_dir, "epochs": 3, "num_workers": 2})
+    result2 = run_training(cfg2)
+    assert result2.get("preempted") is None
+    assert np.isfinite(result2["val_loss"])
