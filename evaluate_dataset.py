@@ -85,10 +85,10 @@ def evaluate_model(
     static_quant: bool = False,
     save_calibration: Optional[str] = None,
 ):
-    if serving and decode not in ("attention", "ctc_greedy", "ctc_beam"):
-        raise ValueError(
-            f"--serving supports --decode attention/ctc_greedy/ctc_beam, not {decode!r}"
-        )
+    if serving and decode not in (
+        "attention", "attention_beam", "ctc_greedy", "ctc_beam"
+    ):
+        raise ValueError(f"--serving does not support --decode {decode!r}")
     print("Evaluating model on dataset")
     print(f"  model:   {model_path}")
     print(f"  charset: {charset_path}")
@@ -147,7 +147,7 @@ def evaluate_model(
                 chunk,
                 max_length=max_length,
                 batch_size=batch_size,
-                method=decode if decode.startswith("ctc_") else "attention",
+                method=decode,  # every --decode choice is a serving method too
                 beam_width=beam_width,
             )
             predicted.extend(out if isinstance(out, list) else [out])

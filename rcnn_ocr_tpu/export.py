@@ -199,6 +199,22 @@ class ServingArtifact:
 
         ids = self._ids
         pred = np.asarray(pred)
+        if self.method == "attention_beam":
+            from rcnn_ocr_tpu.postprocess import decode_beam_row
+
+            scores = np.asarray(aux)
+            return [
+                decode_beam_row(
+                    pred[j],
+                    scores[j],
+                    self._itos,
+                    pad_id=ids["pad"],
+                    eos_id=ids["eos"],
+                    blank_id=ids["blank"],
+                    return_confidence=return_confidence,
+                )
+                for j in range(n_real)
+            ]
         if self.method != "attention":
             return decode_ctc_batch(
                 pred,
@@ -239,7 +255,7 @@ class ServingArtifact:
             host_resize_geometry,
         )
 
-        if return_confidence and self.method != "attention":
+        if return_confidence and self.method not in ("attention", "attention_beam"):
             raise ValueError("return_confidence requires an attention artifact")
         is_single = not isinstance(images, list)
         images_list = [images] if is_single else list(images)

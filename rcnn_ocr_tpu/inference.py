@@ -478,6 +478,22 @@ class OCRInference:
             return_confidence=return_confidence,
         )
 
+    def _decode_beam_row(self, pred_row: np.ndarray, score, return_confidence: bool):
+        """Thin binding over :func:`rcnn_ocr_tpu.postprocess.decode_beam_row`
+        — the ONE beam-confidence definition shared by ``predict``,
+        ``predict_serving`` and exported artifacts."""
+        from rcnn_ocr_tpu.postprocess import decode_beam_row
+
+        return decode_beam_row(
+            pred_row,
+            score,
+            self._itos,
+            pad_id=self.charset.pad_id,
+            eos_id=self.charset.eos_id,
+            blank_id=self.charset.blank_id,
+            return_confidence=return_confidence,
+        )
+
     def _bucketize(self, images_list: List[ImageLike]) -> List[Tuple[int, Optional[int]]]:
         """Assign each image its width bucket (None = single fixed width).
 
@@ -611,16 +627,9 @@ class OCRInference:
 
             for j, out_idx in enumerate(chunk_idx):
                 if beam:
-                    text = self._decode_attention_row(pred[j], None, False)
-                    if return_confidence:
-                        n_tok = int(
-                            np.argmax(pred[j] == self.charset.eos_id) + 1
-                            if self.charset.eos_id in pred[j]
-                            else pred[j].shape[0]
-                        )
-                        results[out_idx] = (text, float(np.exp(aux[j] / n_tok)))
-                    else:
-                        results[out_idx] = text
+                    results[out_idx] = self._decode_beam_row(
+                        pred[j], aux[j], return_confidence
+                    )
                 else:
                     results[out_idx] = self._decode_attention_row(
                         pred[j], aux[j], return_confidence
@@ -644,16 +653,13 @@ class OCRInference:
             def run(variables, raw, sizes):
                 x = resize_pad_normalize(raw, sizes, self.img_h, target_w)
                 if not ctc and attn_beam:
-                    enc = self.model.apply(
-                        variables, x, train=False, method=self.model.encode
-                    )
-                    return self.model.attn.apply(
-                        {"params": variables["params"]["attn"]},
-                        enc,
-                        train=False,
-                        batch_max_length=steps - 1,
+                    return self.model.apply(
+                        variables,
+                        x,
                         beam_width=attn_beam,
+                        batch_max_length=steps - 1,
                         length_penalty=length_penalty,
+                        method=self.model.beam_decode,
                     )
                 if ctc:
                     logits = self.model.apply(
@@ -703,7 +709,7 @@ class OCRInference:
         exactly the function ``predict_serving`` dispatches per chunk.
         """
         ctc = method in ("ctc", "ctc_greedy", "ctc_beam")
-        if not ctc and method != "attention":
+        if not ctc and method not in ("attention", "attention_beam"):
             raise ValueError(f"Unsupported serving decode method: {method}")
         if ctc and not self.model.with_ctc_head:
             raise ValueError("this checkpoint has no CTC head")
@@ -715,6 +721,7 @@ class OCRInference:
             ctc=ctc,
             beam_width=beam_width if method == "ctc_beam" else 0,
             prune_k=prune_k,
+            attn_beam=beam_width if method == "attention_beam" else 0,
         )
 
     def predict_serving(
@@ -723,9 +730,9 @@ class OCRInference:
         max_length: int = 25,
         batch_size: int = 256,
         canvas: Union[Tuple[int, int], str] = (64, 512),
-        method: str = "attention",  # or "ctc_greedy" / "ctc_beam"
-        return_confidence: bool = False,  # attention only (predict() parity)
-        beam_width: int = 16,  # ctc_beam only
+        method: str = "attention",  # or "attention_beam" / "ctc_greedy" / "ctc_beam"
+        return_confidence: bool = False,  # attention heads only (predict() parity)
+        beam_width: int = 16,  # ctc_beam / attention_beam
         prune_k: int = 16,  # ctc_beam: top-k frame candidates considered
     ):
         """High-throughput serving decode with on-device preprocessing.
@@ -745,6 +752,9 @@ class OCRInference:
         ``method="ctc_beam"`` swaps the greedy collapse for the fully
         on-device prefix beam search (``ctc_beam_search_jax``) — same
         pipeline, one fused kernel, beam-quality decodes at serving rates.
+        ``method="attention_beam"`` runs the seq2seq beam search
+        (`models/attention.py:_beam_search`) behind the same on-device
+        preprocess — ``beam_width`` hypotheses, best per row.
         Like ``predict_ctc``, the CTC decodes have no ``max_length``
         notion — output length is bounded by the collapsed frame count, and
         the ``max_length`` arg only shapes the attention kernel.
@@ -757,11 +767,12 @@ class OCRInference:
         """
         ctc = method in ("ctc", "ctc_greedy", "ctc_beam")
         ctc_beam_w = beam_width if method == "ctc_beam" else 0
+        attn_beam = method == "attention_beam"
         if ctc and return_confidence:
-            raise ValueError("return_confidence requires method='attention'")
+            raise ValueError("return_confidence requires an attention method")
         if ctc and not self.model.with_ctc_head:
             raise ValueError("this checkpoint has no CTC head")
-        if not ctc and method != "attention":
+        if not ctc and method not in ("attention", "attention_beam"):
             raise ValueError(f"Unsupported serving decode method: {method}")
         if not ctc and not self.model.with_attention_head:
             raise ValueError("this checkpoint has no attention head; use predict_ctc()")
@@ -811,6 +822,7 @@ class OCRInference:
                 run = self._serving_fn(
                     steps, bucket or self.img_w, ctc=ctc,
                     beam_width=ctc_beam_w, prune_k=prune_k,
+                    attn_beam=beam_width if attn_beam else 0,
                 )
                 pred, aux = run(
                     self.variables,
@@ -840,6 +852,15 @@ class OCRInference:
                     )
                     for j, out_idx in enumerate(idxs):
                         results[out_idx] = texts[j]
+                    continue
+                if attn_beam:
+                    scores = np.asarray(aux) if return_confidence else None
+                    for j, out_idx in enumerate(idxs):
+                        results[out_idx] = self._decode_beam_row(
+                            pred_rows[j],
+                            scores[j] if return_confidence else 0.0,
+                            return_confidence,
+                        )
                     continue
                 maxp_rows = np.asarray(aux) if return_confidence else None
                 for j, out_idx in enumerate(idxs):

@@ -92,3 +92,32 @@ def decode_attention_row(
     mask = (pred_row != pad_id) & (pred_row != eos_id)
     conf = float(maxp_row[mask].mean()) if mask.sum() > 0 else 0.0
     return (text, conf)
+
+
+def decode_beam_row(
+    pred_row: np.ndarray,
+    score,
+    itos: Sequence[str],
+    pad_id: Optional[int],
+    eos_id: Optional[int],
+    blank_id: Optional[int],
+    return_confidence: bool,
+):
+    """One beam-searched row (+ cumulative log-prob) -> text (or (text, conf)).
+
+    The beam's confidence is the geometric mean of the emitted tokens'
+    probabilities, ``exp(logprob / len)`` with ``len`` counted through the
+    first EOS — the beam analogue of the greedy mean max-softmax.  Single
+    definition shared by ``predict``, ``predict_serving`` and exported
+    artifacts."""
+    text = decode_tokens(
+        pred_row, itos, pad_id=pad_id, eos_id=eos_id, blank_id=blank_id
+    )
+    if not return_confidence:
+        return text
+    n_tok = int(
+        np.argmax(pred_row == eos_id) + 1
+        if eos_id in pred_row
+        else pred_row.shape[0]
+    )
+    return (text, float(np.exp(float(score) / max(n_tok, 1))))

@@ -150,6 +150,55 @@ def _exhaustive_best(model, variables, x):
     return seqs[best], scores[np.arange(B), best].astype(np.float32)
 
 
+def test_serving_attention_beam_matches_predict(tiny, tmp_path):
+    """`predict_serving(method="attention_beam")` == `predict(beam_width=K)`.
+
+    Same search behind the on-device preprocess; constant images make the
+    host and device preprocess interpolation-free, so the decodes (and the
+    geometric-mean confidences) must agree exactly.
+    """
+    from flax import serialization
+
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    model, variables, _ = tiny
+    tokens = ["<PAD>", "<SOS>", "<EOS>", "a", "b", "c"]
+    (tmp_path / "cs.txt").write_text("\n".join(tokens) + "\n", encoding="utf-8")
+    blob = {
+        "params": serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, variables["params"])
+        ),
+        "batch_stats": serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+        ),
+    }
+    ckpt = tmp_path / "w_weights.msgpack"
+    ckpt.write_bytes(serialization.msgpack_serialize(blob))
+
+    ocr = OCRInference(
+        str(ckpt), str(tmp_path / "cs.txt"), img_h=32, img_w=64,
+        dtype=jnp.float32, verbose=False,
+    )
+    imgs = [np.full((20, 50, 3), v, np.uint8) for v in (255, 128, 40)]
+    ref = ocr.predict(
+        imgs, max_length=MAX_LEN, batch_size=4, beam_width=4,
+        return_confidence=True,
+    )
+    serve = ocr.predict_serving(
+        imgs, max_length=MAX_LEN, batch_size=4, canvas=(32, 64),
+        method="attention_beam", beam_width=4, return_confidence=True,
+    )
+    for (t_ref, c_ref), (t_srv, c_srv) in zip(ref, serve):
+        assert t_srv == t_ref
+        assert c_srv == pytest.approx(c_ref, abs=1e-5)
+    # without confidence: plain strings, same decodes
+    plain = ocr.predict_serving(
+        imgs, max_length=MAX_LEN, batch_size=4, canvas=(32, 64),
+        method="attention_beam", beam_width=4,
+    )
+    assert plain == [t for t, _ in ref]
+
+
 @pytest.mark.slow
 def test_full_beam_matches_exhaustive(tiny):
     model, variables, x = tiny

@@ -53,7 +53,9 @@ def _images(seed=0, n=3):
     ]
 
 
-@pytest.mark.parametrize("method", ["ctc_greedy", "attention", "ctc_beam"])
+@pytest.mark.parametrize(
+    "method", ["ctc_greedy", "attention", "ctc_beam", "attention_beam"]
+)
 def test_artifact_matches_predict_serving(tiny_ckpt, tmp_path, method):
     ckpt_path, charset_path = tiny_ckpt
     ocr = OCRInference(

@@ -27,7 +27,7 @@ def main() -> None:
     p.add_argument(
         "--method",
         default="ctc_greedy",
-        choices=["attention", "ctc_greedy", "ctc_beam"],
+        choices=["attention", "attention_beam", "ctc_greedy", "ctc_beam"],
     )
     p.add_argument("--img-h", type=int, default=None)
     p.add_argument("--img-w", type=int, default=None)

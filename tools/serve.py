@@ -34,7 +34,7 @@ def main() -> None:
     p.add_argument(
         "--method",
         default="ctc_greedy",
-        choices=["attention", "ctc_greedy", "ctc_beam"],
+        choices=["attention", "attention_beam", "ctc_greedy", "ctc_beam"],
     )
     p.add_argument("--canvas", default="64,512")
     p.add_argument("--max-length", type=int, default=25)
