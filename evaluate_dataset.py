@@ -79,6 +79,8 @@ def evaluate_model(
     decode: str = "attention",
     max_length: int = 25,
     beam_width: int = 16,
+    lm: Optional[str] = None,
+    lm_weight: float = 0.0,
     width_buckets=None,
     quantize: bool = False,
     serving: bool = False,
@@ -124,9 +126,11 @@ def evaluate_model(
         )
         print(f"Auto width buckets (k={k}): {width_buckets}")
 
+    if lm_weight and decode != "attention_beam":
+        raise ValueError("--lm-weight requires --decode attention_beam")
     ocr = OCRInference(
         model_path, charset_path, device="auto", img_h=img_h, img_w=img_w,
-        width_buckets=width_buckets, quantize=quantize,
+        width_buckets=width_buckets, quantize=quantize, lm=lm,
     )
     if static_quant:
         # calibrate static int8 activation scales on a data sample
@@ -149,6 +153,7 @@ def evaluate_model(
                 batch_size=batch_size,
                 method=decode,  # every --decode choice is a serving method too
                 beam_width=beam_width,
+                lm_weight=lm_weight,
             )
             predicted.extend(out if isinstance(out, list) else [out])
         elif decode == "attention":
@@ -157,7 +162,7 @@ def evaluate_model(
             predicted.extend(
                 ocr.predict(
                     chunk, max_length=max_length, batch_size=batch_size,
-                    beam_width=beam_width,
+                    beam_width=beam_width, lm_weight=lm_weight,
                 )
             )
         elif decode == "ctc_greedy":
@@ -234,6 +239,14 @@ def main() -> int:
     parser.add_argument("--max-length", type=int, default=25)
     parser.add_argument("--beam-width", type=int, default=16)
     parser.add_argument(
+        "--lm", default=None, metavar="LM.npz",
+        help="bigram LM for attention_beam shallow fusion (tools/train_lm.py)",
+    )
+    parser.add_argument(
+        "--lm-weight", type=float, default=0.0,
+        help="fusion weight (0 = off); requires --decode attention_beam",
+    )
+    parser.add_argument(
         "--width-buckets", type=str, default=None,
         help="comma-separated static widths, e.g. 64,128,256 (less pad "
         "waste); or auto:K to derive K optimal widths from the eval data",
@@ -288,6 +301,8 @@ def main() -> int:
             decode=args.decode,
             max_length=args.max_length,
             beam_width=args.beam_width,
+            lm=args.lm,
+            lm_weight=args.lm_weight,
             width_buckets=(
                 args.width_buckets
                 if args.width_buckets and args.width_buckets.startswith("auto")

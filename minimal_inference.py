@@ -36,6 +36,10 @@ def main():
     )
     ap.add_argument("--img-h", type=int, default=None)
     ap.add_argument("--img-w", type=int, default=None)
+    ap.add_argument(
+        "--beam-width", type=int, default=None,
+        help="attention beam search with K hypotheses (default: greedy)",
+    )
     args = ap.parse_args()
 
     ocr = OCRInference(
@@ -43,10 +47,15 @@ def main():
         img_h=args.img_h, img_w=args.img_w,
         width_buckets=parse_buckets(args.width_buckets),
     )
+    beam = args.beam_width is not None and args.beam_width > 1
     if args.serving:
-        text = ocr.predict_serving(args.image, canvas="auto")
+        text = ocr.predict_serving(
+            args.image, canvas="auto",
+            method="attention_beam" if beam else "attention",
+            beam_width=args.beam_width or 16,
+        )
     else:
-        text = ocr.predict(args.image)
+        text = ocr.predict(args.image, beam_width=args.beam_width)
     print(f"Result: '{text}'")
 
 

@@ -46,6 +46,7 @@ def export_serving_artifact(
     max_length: int = 25,
     beam_width: int = 16,
     prune_k: int = 16,
+    lm_weight: float = 0.0,  # attention_beam shallow fusion (engine lm=)
     width_buckets: Optional[Sequence[int]] = None,
     platforms: Optional[Sequence[str]] = None,
 ) -> str:
@@ -90,6 +91,7 @@ def export_serving_artifact(
             target_w=w,
             beam_width=beam_width,
             prune_k=prune_k,
+            lm_weight=lm_weight,  # the LM table bakes into the kernel bytes
         )
         exported = jax.export.export(
             kernel, platforms=list(platforms) if platforms else None
@@ -118,6 +120,7 @@ def export_serving_artifact(
         "widths": widths,
         "beam_width": beam_width,
         "prune_k": prune_k,
+        "lm_weight": lm_weight,
         "itos": list(cs.itos),
         "ids": {
             "pad": cs.pad_id,

@@ -88,8 +88,11 @@ class OCRInference:
         quantize: bool = False,  # int8 inference for the wide conv stages
         mesh: Any = None,  # True: all devices data-parallel; or a jax Mesh
         verbose: bool = True,
+        lm: Any = None,  # [V,V] bigram log-prob table or .npz path (tools/train_lm.py)
     ):
         self.model_path = model_path
+        self._lm_src = lm  # resolved after the charset loads
+        self._lm: Optional[np.ndarray] = None
         # width_buckets="auto" / "auto:K": defer to the first predict* call
         # with a list — the K waste-minimizing widths are derived from that
         # batch's aspect ratios (the same DP the training loop and eval CLI
@@ -175,6 +178,21 @@ class OCRInference:
             self._rep if self._mesh is not None else None,
         )
         self._itos = list(self.charset.itos)  # decode loops reuse one copy
+        if self._lm_src is not None:
+            # bigram LM for beam shallow fusion (rcnn_ocr_tpu/lm.py): a
+            # path validates its token order against the engine charset
+            from rcnn_ocr_tpu.lm import load_lm
+
+            self._lm = (
+                load_lm(self._lm_src, self.charset)
+                if isinstance(self._lm_src, str)
+                else np.asarray(self._lm_src, np.float32)
+            )
+            V = self.charset.num_classes
+            if self._lm.shape != (V, V):
+                raise ValueError(
+                    f"lm must be [{V}, {V}] for this charset, got {self._lm.shape}"
+                )
         # host side only resize-pads to uint8; every decode kernel starts
         # with device_normalize, so the host->device link carries 4x fewer
         # bytes with bit-identical numerics (fp32 normalize either side)
@@ -270,14 +288,22 @@ class OCRInference:
 
         return self._cached(("greedy", steps), build)
 
-    def _attn_beam_fn(self, steps: int, beam_width: int, length_penalty: float):
+    def _attn_beam_fn(
+        self,
+        steps: int,
+        beam_width: int,
+        length_penalty: float,
+        lm_weight: float = 0.0,
+    ):
         """Attention-head beam search kernel (fully on device).
 
         The reference decodes its seq2seq head greedily only
         (`/root/reference/model/model.py:91-112`); this kernel explores
         ``beam_width`` hypotheses per row in one fused program
         (`models/attention.py:_beam_search`) and ships back the best token
-        sequence + its cumulative log-prob."""
+        sequence + its cumulative log-prob.  ``lm_weight`` > 0 bakes the
+        engine's bigram table into the kernel for shallow fusion."""
+        lm = self._fusion_lm(lm_weight)
 
         def build():
             def run(variables, images):
@@ -286,12 +312,27 @@ class OCRInference:
                     beam_width=beam_width,
                     batch_max_length=steps - 1,
                     length_penalty=length_penalty,
+                    lm_logp=lm,
+                    lm_weight=lm_weight,
                     method=self.model.beam_decode,
                 )
 
             return self._jit(run)
 
-        return self._cached(("attn_beam", steps, beam_width, length_penalty), build)
+        return self._cached(
+            ("attn_beam", steps, beam_width, length_penalty, lm_weight), build
+        )
+
+    def _fusion_lm(self, lm_weight: float):
+        """The bigram table to fuse at this weight (None = fusion off)."""
+        if not lm_weight:
+            return None
+        if self._lm is None:
+            raise ValueError(
+                "lm_weight > 0 needs a bigram table: pass lm= to OCRInference "
+                "(build one with tools/train_lm.py)"
+            )
+        return self._lm
 
     def _ctc_fn(self, greedy: bool, prune_k: int = 0):
         """CTC head kernel.  ``greedy``: on-device collapse -> tokens.
@@ -588,6 +629,7 @@ class OCRInference:
         return_confidence: bool = False,
         beam_width: Optional[int] = None,
         length_penalty: float = 0.0,
+        lm_weight: float = 0.0,
     ):
         """Attention decode: greedy, or beam search when ``beam_width`` > 1.
 
@@ -596,6 +638,8 @@ class OCRInference:
         With ``return_confidence`` the beam's confidence is the geometric
         mean of the emitted tokens' probabilities (``exp(logprob / len)``)
         — the beam's analogue of the greedy path's mean max-softmax.
+        ``lm_weight`` > 0 shallow-fuses the engine's bigram LM
+        (``OCRInference(lm=...)``) into the beam's step scores.
         """
         if not self.model.with_attention_head:
             raise ValueError(
@@ -608,8 +652,10 @@ class OCRInference:
         steps = max_length + 1
         batch_size = self._round_batch(batch_size)
         beam = beam_width is not None and beam_width > 1
+        if lm_weight and not beam:
+            raise ValueError("lm_weight requires beam_width > 1 (fusion is beam-only)")
         run = (
-            self._attn_beam_fn(steps, int(beam_width), length_penalty)
+            self._attn_beam_fn(steps, int(beam_width), length_penalty, lm_weight)
             if beam
             else self._greedy_fn(steps)
         )
@@ -646,7 +692,10 @@ class OCRInference:
         prune_k: int = 16,
         attn_beam: int = 0,  # attention-head beam width (0 = greedy)
         length_penalty: float = 0.0,
+        lm_weight: float = 0.0,  # attn_beam shallow fusion (engine lm=)
     ):
+        lm = self._fusion_lm(lm_weight) if attn_beam else None
+
         def build():
             from rcnn_ocr_tpu.ops.preprocess import resize_pad_normalize
 
@@ -659,6 +708,8 @@ class OCRInference:
                         beam_width=attn_beam,
                         batch_max_length=steps - 1,
                         length_penalty=length_penalty,
+                        lm_logp=lm,
+                        lm_weight=lm_weight,
                         method=self.model.beam_decode,
                     )
                 if ctc:
@@ -691,7 +742,9 @@ class OCRInference:
         # different max_length calls reuse the same compilation
         key_steps = 0 if ctc else steps
         return self._cached(
-            ("serving", key_steps, target_w, ctc, beam_width, prune_k), build
+            ("serving", key_steps, target_w, ctc, beam_width, prune_k,
+             attn_beam, length_penalty, lm_weight),
+            build
         )
 
     def serving_kernel(
@@ -701,6 +754,7 @@ class OCRInference:
         target_w: Optional[int] = None,
         beam_width: int = 16,
         prune_k: int = 16,
+        lm_weight: float = 0.0,  # attention_beam shallow fusion (engine lm=)
     ):
         """The jitted serving decode kernel for one static configuration.
 
@@ -722,6 +776,7 @@ class OCRInference:
             beam_width=beam_width if method == "ctc_beam" else 0,
             prune_k=prune_k,
             attn_beam=beam_width if method == "attention_beam" else 0,
+            lm_weight=lm_weight if method == "attention_beam" else 0.0,
         )
 
     def predict_serving(
@@ -734,6 +789,7 @@ class OCRInference:
         return_confidence: bool = False,  # attention heads only (predict() parity)
         beam_width: int = 16,  # ctc_beam / attention_beam
         prune_k: int = 16,  # ctc_beam: top-k frame candidates considered
+        lm_weight: float = 0.0,  # attention_beam shallow fusion (engine lm=)
     ):
         """High-throughput serving decode with on-device preprocessing.
 
@@ -774,6 +830,8 @@ class OCRInference:
             raise ValueError("this checkpoint has no CTC head")
         if not ctc and method not in ("attention", "attention_beam"):
             raise ValueError(f"Unsupported serving decode method: {method}")
+        if lm_weight and not attn_beam:
+            raise ValueError("lm_weight requires method='attention_beam'")
         if not ctc and not self.model.with_attention_head:
             raise ValueError("this checkpoint has no attention head; use predict_ctc()")
         from concurrent.futures import ThreadPoolExecutor
@@ -823,6 +881,7 @@ class OCRInference:
                     steps, bucket or self.img_w, ctc=ctc,
                     beam_width=ctc_beam_w, prune_k=prune_k,
                     attn_beam=beam_width if attn_beam else 0,
+                    lm_weight=lm_weight if attn_beam else 0.0,
                 )
                 pred, aux = run(
                     self.variables,

@@ -66,6 +66,8 @@ class AttentionDecoder(nn.Module):
         batch_max_length: int = 25,
         beam_width: Optional[int] = None,  # beam search (eval only) — see below
         length_penalty: float = 0.0,
+        lm_logp: Optional[jnp.ndarray] = None,  # [V, V] bigram log P(next|prev)
+        lm_weight: float = 0.0,  # shallow-fusion mixing weight (beam only)
     ):
         batch, enc_t, enc_c = batch_H.shape
         hidden = self.hidden_size
@@ -156,6 +158,8 @@ class AttentionDecoder(nn.Module):
                 beam_width=int(beam_width),
                 steps=steps,
                 length_penalty=length_penalty,
+                lm_logp=lm_logp,
+                lm_weight=lm_weight,
             )
 
         if not needs_step_logits:
@@ -226,6 +230,8 @@ class AttentionDecoder(nn.Module):
         beam_width: int,
         steps: int,
         length_penalty: float,
+        lm_logp: Optional[jnp.ndarray] = None,
+        lm_weight: float = 0.0,
     ):
         """Device-side beam search over the autoregressive decoder.
 
@@ -241,8 +247,22 @@ class AttentionDecoder(nn.Module):
         hypothesis per row; ``scores`` is its cumulative log-prob, optionally
         normalized by ``len**length_penalty`` (0 = pure sum, the greedy-
         comparable default).  ``beam_width=1`` reproduces greedy decoding.
+
+        ``lm_logp`` ([V, V] bigram ``log P(next | prev)``) enables shallow
+        fusion: each step adds ``lm_weight * lm_logp[prev_token]`` to the
+        model's log-probs before the top-K, steering near-tie hypotheses
+        toward in-domain character sequences.  With fusion on, ``scores``
+        is the fused objective (no longer a pure model log-prob).
         """
         batch, _, hidden = proj_H.shape
+        lm_c = None
+        if lm_logp is not None:
+            lm_c = jnp.asarray(lm_logp, jnp.float32)
+            if lm_c.shape != (w_gen_c.shape[1], w_gen_c.shape[1]):
+                raise ValueError(
+                    f"lm_logp must be [V, V] = {(w_gen_c.shape[1],) * 2}, "
+                    f"got {lm_c.shape}"
+                )
         vocab = w_gen_c.shape[1]
         K = beam_width
         dt = self.dtype
@@ -263,6 +283,10 @@ class AttentionDecoder(nn.Module):
             logits_t = h_new.astype(dt) @ w_gen_c + b_gen
             logits_t = self._mask_blank(logits_t.astype(jnp.float32))
             logp = jax.nn.log_softmax(logits_t, axis=-1).reshape(batch, K, vocab)
+            if lm_c is not None:
+                # shallow fusion: one [B, K] row-gather from the bigram
+                # table per step rides the beam's existing top-k machinery
+                logp = logp + jnp.float32(lm_weight) * lm_c[prev]
             logp = jnp.where(finished[:, :, None], pad_only, logp)
             total = cum[:, :, None] + logp  # [B, K, V]
             scores, idx = jax.lax.top_k(total.reshape(batch, K * vocab), K)

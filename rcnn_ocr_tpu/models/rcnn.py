@@ -142,6 +142,8 @@ class RCNN(nn.Module):
         beam_width: int = 5,
         batch_max_length: int = 25,
         length_penalty: float = 0.0,
+        lm_logp=None,
+        lm_weight: float = 0.0,
     ):
         """Beam-search decode for the attention head (framework-plus).
 
@@ -158,6 +160,8 @@ class RCNN(nn.Module):
             batch_max_length=batch_max_length,
             beam_width=beam_width,
             length_penalty=length_penalty,
+            lm_logp=lm_logp,
+            lm_weight=lm_weight,
         )
 
     def init_all(

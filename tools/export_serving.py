@@ -37,6 +37,14 @@ def main() -> None:
     p.add_argument("--beam-width", type=int, default=16)
     p.add_argument("--prune-k", type=int, default=16)
     p.add_argument(
+        "--lm", default=None, metavar="LM.npz",
+        help="bigram LM baked into attention_beam kernels (tools/train_lm.py)",
+    )
+    p.add_argument(
+        "--lm-weight", type=float, default=0.0,
+        help="fusion weight (requires --method attention_beam and --lm)",
+    )
+    p.add_argument(
         "--width-buckets",
         default=None,
         help="comma-separated static decode widths (default: the model img_w)",
@@ -65,6 +73,8 @@ def main() -> None:
     )
     platforms = args.platforms.split(",") if args.platforms else None
 
+    if args.lm_weight and args.method != "attention_beam":
+        p.error("--lm-weight requires --method attention_beam")
     ocr = OCRInference(
         args.model,
         args.charset,
@@ -72,6 +82,7 @@ def main() -> None:
         img_w=args.img_w,
         quantize=args.quantize,
         width_buckets=buckets,
+        lm=args.lm,
     )
     out = export_serving_artifact(
         ocr,
@@ -82,6 +93,7 @@ def main() -> None:
         max_length=args.max_length,
         beam_width=args.beam_width,
         prune_k=args.prune_k,
+        lm_weight=args.lm_weight,
         width_buckets=buckets,
         platforms=platforms,
     )
