@@ -413,3 +413,61 @@ def test_empty_input_lists_return_empty(tiny_state, tmp_path):
     assert ocr.predict_ctc([]) == []
     assert ocr.predict_serving([], canvas="auto") == []
     assert ocr.width_buckets is None  # auto resolution still deferred
+
+
+def test_average_checkpoints(tiny_state, tmp_path, monkeypatch, capsys):
+    """`tools/average_checkpoints.py`: weighted leaf-wise average, dtype
+    preservation, metadata carry-over, and OCRInference loadability."""
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.inference import OCRInference
+    from tools.average_checkpoints import average_variables, main as avg_main
+
+    model, state, _ = tiny_state
+    cs = Charset.from_tokens(TOKENS)
+    p1 = str(tmp_path / "a_ckpt.msgpack")
+    ckpt_io.save_checkpoint(
+        p1, state, None, epoch=1, global_step=1, best_val_loss=1.0,
+        best_val_acc=0.0, itos=list(cs.itos), stoi=cs.stoi,
+        config={"hidden_size": 16, "img_h": 32, "img_w": 64}, log_dir="logs",
+    )
+    # a second checkpoint: every param shifted by +1
+    import jax
+
+    state2 = state.replace(
+        params=jax.tree_util.tree_map(lambda a: a + 1.0, state.params)
+    )
+    p2 = str(tmp_path / "b_weights.msgpack")
+    ckpt_io.save_weights(p2, state2)
+
+    b1 = ckpt_io.load_checkpoint_blob(p1)
+    b2 = ckpt_io.load_checkpoint_blob(p2)
+    avg = average_variables([b1, b2], [0.25, 0.75])
+    leaf1 = np.asarray(b1["params"]["attn"]["w_gen"])
+    got = np.asarray(avg["params"]["attn"]["w_gen"])
+    np.testing.assert_allclose(got, leaf1 + 0.75, rtol=1e-6, atol=1e-6)
+    assert got.dtype == leaf1.dtype
+
+    # architecture mismatch fails loudly
+    import pytest as _pytest
+
+    bad = {"params": {"only": np.zeros(3, np.float32)}}
+    with _pytest.raises(ValueError, match="architecture"):
+        average_variables([b1, bad], [0.5, 0.5])
+
+    # CLI end-to-end: writes a self-describing, OCRInference-loadable file
+    out = str(tmp_path / "avg_weights.msgpack")
+    monkeypatch.setattr(
+        "sys.argv",
+        ["average_checkpoints.py", p1, p2, "--out", out, "--weights", "1,1"],
+    )
+    assert avg_main() == 0
+    blob = ckpt_io.load_checkpoint_blob(out)
+    assert blob["itos"] == list(cs.itos)  # charset carried from first input
+    np.testing.assert_allclose(
+        np.asarray(blob["params"]["attn"]["w_gen"]), leaf1 + 0.5,
+        rtol=1e-6, atol=1e-6,
+    )
+    ocr = OCRInference(out, dtype=jnp.float32, verbose=False)  # embedded charset
+    img = np.full((20, 50, 3), 255, np.uint8)
+    assert isinstance(ocr.predict(img, max_length=4, batch_size=2), str)
