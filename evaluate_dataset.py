@@ -126,8 +126,10 @@ def evaluate_model(
         )
         print(f"Auto width buckets (k={k}): {width_buckets}")
 
-    if lm_weight and decode != "attention_beam":
-        raise ValueError("--lm-weight requires --decode attention_beam")
+    if lm_weight and decode not in ("attention_beam", "ctc_beam"):
+        raise ValueError(
+            "--lm-weight requires --decode attention_beam or ctc_beam"
+        )
     ocr = OCRInference(
         model_path, charset_path, device="auto", img_h=img_h, img_w=img_w,
         width_buckets=width_buckets, quantize=quantize, lm=lm,
@@ -169,7 +171,10 @@ def evaluate_model(
             predicted.extend(ocr.predict_ctc(chunk, batch_size=batch_size, method="greedy"))
         elif decode == "ctc_beam":
             predicted.extend(
-                ocr.predict_ctc(chunk, batch_size=batch_size, method="beam", beam_width=beam_width)
+                ocr.predict_ctc(
+                    chunk, batch_size=batch_size, method="beam",
+                    beam_width=beam_width, lm_weight=lm_weight,
+                )
             )
         else:
             raise ValueError(f"unknown decode mode: {decode}")
@@ -244,7 +249,8 @@ def main() -> int:
     )
     parser.add_argument(
         "--lm-weight", type=float, default=0.0,
-        help="fusion weight (0 = off); requires --decode attention_beam",
+        help="fusion weight (0 = off); requires --decode attention_beam "
+        "or ctc_beam",
     )
     parser.add_argument(
         "--width-buckets", type=str, default=None,

@@ -363,11 +363,16 @@ class OCRInference:
 
         return self._cached(("ctc", greedy, prune_k), build)
 
-    def _ctc_beam_device_fn(self, beam_width: int, prune_k: int):
+    def _ctc_beam_device_fn(
+        self, beam_width: int, prune_k: int, lm_weight: float = 0.0
+    ):
         """Whole-beam-on-device kernel: encoder -> CTC log-probs -> top-k
         frame pruning -> vectorized prefix beam search, one jit.  Only the
         final [B, T] labels + lengths cross the device->host link (the host
-        path ships [B, T, k] frames and loops the search on one core)."""
+        path ships [B, T, k] frames and loops the search on one core).
+        ``lm_weight`` > 0 fuses the engine's bigram LM on label extensions
+        (`ops/ctc.py:ctc_beam_search_jax`)."""
+        lm = self._fusion_lm(lm_weight)
 
         def build():
             from rcnn_ocr_tpu.ops.ctc import ctc_beam_search_jax
@@ -383,12 +388,17 @@ class OCRInference:
                     vals, idx.astype(jnp.int32),
                     blank_id=self.charset.ctc_blank_id,
                     beam_width=beam_width,
+                    lm_logp=lm,
+                    lm_weight=lm_weight,
+                    sos_id=self.charset.sos_id,
                 )
                 return labels, lens
 
             return self._jit(run)
 
-        return self._cached(("ctc_beam_dev", beam_width, prune_k), build)
+        return self._cached(
+            ("ctc_beam_dev", beam_width, prune_k, lm_weight), build
+        )
 
     # -- static activation calibration --------------------------------------
     def calibrate(self, images: Union[ImageLike, List[ImageLike]], batch_size: int = 32) -> None:
@@ -692,9 +702,9 @@ class OCRInference:
         prune_k: int = 16,
         attn_beam: int = 0,  # attention-head beam width (0 = greedy)
         length_penalty: float = 0.0,
-        lm_weight: float = 0.0,  # attn_beam shallow fusion (engine lm=)
+        lm_weight: float = 0.0,  # attn_beam / ctc beam shallow fusion (engine lm=)
     ):
-        lm = self._fusion_lm(lm_weight) if attn_beam else None
+        lm = self._fusion_lm(lm_weight) if (attn_beam or beam_width) else None
 
         def build():
             from rcnn_ocr_tpu.ops.preprocess import resize_pad_normalize
@@ -727,6 +737,9 @@ class OCRInference:
                             vals, idx.astype(jnp.int32),
                             blank_id=self.charset.ctc_blank_id,
                             beam_width=beam_width,
+                            lm_logp=lm,
+                            lm_weight=lm_weight,
+                            sos_id=self.charset.sos_id,
                         )
                         return labels, lens
                     return ctc_greedy_decode_jnp(logits, self.charset.ctc_blank_id)
@@ -776,7 +789,9 @@ class OCRInference:
             beam_width=beam_width if method == "ctc_beam" else 0,
             prune_k=prune_k,
             attn_beam=beam_width if method == "attention_beam" else 0,
-            lm_weight=lm_weight if method == "attention_beam" else 0.0,
+            lm_weight=(
+                lm_weight if method in ("attention_beam", "ctc_beam") else 0.0
+            ),
         )
 
     def predict_serving(
@@ -830,8 +845,10 @@ class OCRInference:
             raise ValueError("this checkpoint has no CTC head")
         if not ctc and method not in ("attention", "attention_beam"):
             raise ValueError(f"Unsupported serving decode method: {method}")
-        if lm_weight and not attn_beam:
-            raise ValueError("lm_weight requires method='attention_beam'")
+        if lm_weight and not (attn_beam or ctc_beam_w):
+            raise ValueError(
+                "lm_weight requires method='attention_beam' or 'ctc_beam'"
+            )
         if not ctc and not self.model.with_attention_head:
             raise ValueError("this checkpoint has no attention head; use predict_ctc()")
         from concurrent.futures import ThreadPoolExecutor
@@ -881,7 +898,7 @@ class OCRInference:
                     steps, bucket or self.img_w, ctc=ctc,
                     beam_width=ctc_beam_w, prune_k=prune_k,
                     attn_beam=beam_width if attn_beam else 0,
-                    lm_weight=lm_weight if attn_beam else 0.0,
+                    lm_weight=lm_weight if (attn_beam or ctc_beam_w) else 0.0,
                 )
                 pred, aux = run(
                     self.variables,
@@ -938,6 +955,7 @@ class OCRInference:
         beam_width: int = 16,
         prune_k: int = 16,  # beam: top-k frame candidates considered (0 = full V)
         device_beam: bool = True,
+        lm_weight: float = 0.0,  # device-beam shallow fusion (engine lm=)
     ):
         """CTC decode via the shared-encoder CTC head.
 
@@ -946,10 +964,15 @@ class OCRInference:
         only [B, T] labels cross the link).  ``device_beam=False`` restores
         the host search (C++ trie beam over shipped top-k frames), which is
         also the fallback when ``prune_k`` is 0 (the device kernel needs a
-        static candidate count).
+        static candidate count).  ``lm_weight`` > 0 shallow-fuses the
+        engine's bigram LM on the device beam's label extensions.
         """
         if not self.model.with_ctc_head:
             raise ValueError("this checkpoint has no CTC head")
+        if lm_weight and (method != "beam" or not device_beam):
+            raise ValueError(
+                "lm_weight requires method='beam' with device_beam=True"
+            )
         is_single = not isinstance(images, list)
         images_list: List[ImageLike] = [images] if is_single else list(images)
         if not images_list:
@@ -978,9 +1001,9 @@ class OCRInference:
             elif method == "beam":
                 k = min(prune_k, self.charset.num_classes) if prune_k else 0
                 if k and device_beam:
-                    tokens, valid = self._ctc_beam_device_fn(beam_width, k)(
-                        self.variables, batch
-                    )
+                    tokens, valid = self._ctc_beam_device_fn(
+                        beam_width, k, lm_weight
+                    )(self.variables, batch)
                     tokens, valid = np.asarray(tokens), np.asarray(valid)
                     rows = [tokens[b, : valid[b]].tolist() for b in range(n_real)]
                 else:

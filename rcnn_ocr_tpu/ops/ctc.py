@@ -121,6 +121,9 @@ def ctc_beam_search_jax(
     blank_id: int,
     beam_width: int = 16,
     lengths: Optional[jnp.ndarray] = None,  # [B] valid frame counts
+    lm_logp: Optional[jnp.ndarray] = None,  # [V, V] bigram log P(next|prev)
+    lm_weight: float = 0.0,  # shallow-fusion weight on label extensions
+    sos_id: int = 1,  # LM row for the empty prefix (start distribution)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fully on-device batched CTC prefix beam search.
 
@@ -141,6 +144,13 @@ def ctc_beam_search_jax(
 
     Returns ``(labels [B, T], lengths [B], log_probs [B])`` — labels are
     left-packed, padded with ``blank_id``.
+
+    ``lm_logp`` enables bigram shallow fusion (`rcnn_ocr_tpu/lm.py`):
+    label-EXTENSION candidates gain ``lm_weight * lm_logp[last, c]``
+    (the empty prefix reads the ``sos_id`` start row); blank/repeat
+    transitions emit no label and carry no bonus, so merge partners always
+    share identical accumulated LM mass and the pairwise fold stays exact.
+    With fusion on the returned ``log_probs`` are the fused objective.
     """
     import jax
     from jax import lax
@@ -150,6 +160,9 @@ def ctc_beam_search_jax(
     b_sz, t_steps, k = top_vals.shape
     w = int(beam_width)
     neg_inf = jnp.float32(-jnp.inf)
+    lm_c = None
+    if lm_logp is not None and lm_weight:
+        lm_c = jnp.asarray(lm_logp, jnp.float32) * jnp.float32(lm_weight)
 
     # rolling-hash constants (odd multipliers, independent channels)
     m1 = jnp.uint32(2654435761)
@@ -212,6 +225,15 @@ def ctc_beam_search_jax(
         is_rep = idx[:, None, :] == state["last"][:, :, None]  # [B, W, K]
         base = jnp.where(is_rep, pb[:, :, None], total[:, :, None])
         child_pnb = base + vals[:, None, :]
+        if lm_c is not None:
+            # fusion bonus on the emitted label only (blank/repeat carry
+            # none) — one [B, W] row-gather + [B, W, K] class-gather
+            prev = jnp.where(state["last"] < 0, sos_id, state["last"])
+            bonus = jnp.take_along_axis(
+                lm_c[prev], jnp.broadcast_to(idx[:, None, :], (b_sz, w, k)),
+                axis=2,
+            )
+            child_pnb = child_pnb + bonus
         child_pnb = jnp.where(idx[:, None, :] == blank_id, neg_inf, child_pnb)
         ch1, ch2 = child_hash(
             state["h1"][:, :, None], state["h2"][:, :, None], idx[:, None, :]

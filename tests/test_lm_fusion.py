@@ -176,6 +176,110 @@ def test_lm_error_paths(tiny_engine):
         )
 
 
+def test_ctc_beam_fusion_kernel():
+    """Device CTC prefix beam: lm_weight=0 is exact; a prior breaks ties."""
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.ops.ctc import ctc_beam_search_jax
+
+    V, blank = 6, 0
+    # two frames; classes 3 ('a') and 4 ('b') are EXACT ties vs the model
+    vals = np.log(np.asarray([[[0.4, 0.3, 0.3], [0.4, 0.3, 0.3]]], np.float32))
+    idx = np.asarray([[[blank, 3, 4], [blank, 3, 4]]], np.int32)
+
+    def run(**kw):
+        labels, lens, lp = ctc_beam_search_jax(
+            jnp.asarray(vals), jnp.asarray(idx), blank_id=blank, beam_width=8,
+            **kw,
+        )
+        return np.asarray(labels), np.asarray(lens), np.asarray(lp)
+
+    base = run()
+    zero = run(lm_logp=jnp.zeros((V, V)), lm_weight=0.0, sos_id=SOS)
+    for a, b in zip(base, zero):
+        np.testing.assert_array_equal(a, b)
+
+    # an LM that strongly prefers 4 after anything must flip the tie to 4
+    lm = np.full((V, V), -5.0, np.float32)
+    lm[:, 4] = 0.0
+    labels, lens, _ = run(lm_logp=jnp.asarray(lm), lm_weight=1.0, sos_id=SOS)
+    assert labels[0, : lens[0]].tolist() == [4]
+    # and the mirror prior flips it to 3
+    lm2 = np.full((V, V), -5.0, np.float32)
+    lm2[:, 3] = 0.0
+    labels, lens, _ = run(lm_logp=jnp.asarray(lm2), lm_weight=1.0, sos_id=SOS)
+    assert labels[0, : lens[0]].tolist() == [3]
+
+
+@pytest.fixture(scope="module")
+def ctc_engine(tmp_path_factory):
+    """A tiny CTC-head model wrapped in OCRInference."""
+    from flax import serialization
+
+    from rcnn_ocr_tpu.models import RCNN
+
+    tokens = ["<PAD>", "<SOS>", "<EOS>", "<BLANK>", "a", "b", "c"]
+    cs = Charset.from_tokens(tokens)
+    tmp = tmp_path_factory.mktemp("lm_ctc_engine")
+    model = RCNN(
+        num_classes=len(tokens), hidden_size=16, sos_id=cs.sos_id,
+        eos_id=cs.eos_id, pad_id=cs.pad_id, blank_id=cs.blank_id,
+        with_ctc_head=True, ctc_blank_id=cs.ctc_blank_id, width_mult=0.25,
+        dtype=jnp.float32,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1)},
+        np.zeros((1, 32, 64, 3), np.float32),
+        text=np.zeros((1, 5), np.int32), batch_max_length=4,
+        method=model.init_all,
+    )
+    blob = {
+        "params": serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, variables["params"])
+        ),
+        "batch_stats": serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+        ),
+    }
+    ckpt = tmp / "w_weights.msgpack"
+    ckpt.write_bytes(serialization.msgpack_serialize(blob))
+    (tmp / "cs.txt").write_text("\n".join(tokens) + "\n", encoding="utf-8")
+    return str(ckpt), str(tmp / "cs.txt"), cs
+
+
+def test_ctc_engine_fusion(ctc_engine):
+    """predict_ctc/serving fusion agree; errors without a table."""
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    ckpt, cs_path, cs = ctc_engine
+    lm = train_bigram_lm(["ab", "bc"], cs)
+    ocr = OCRInference(
+        ckpt, cs_path, img_h=32, img_w=64, dtype=jnp.float32, verbose=False,
+        lm=lm,
+    )
+    imgs = [np.full((20, 50, 3), v, np.uint8) for v in (255, 128)]
+    fused = ocr.predict_ctc(imgs, method="beam", beam_width=4, lm_weight=0.5)
+    srv = ocr.predict_serving(
+        imgs, batch_size=2, canvas=(32, 64), method="ctc_beam",
+        beam_width=4, lm_weight=0.5,
+    )
+    assert srv == fused
+    # lm_weight=0 equals the plain device beam
+    assert ocr.predict_ctc(
+        imgs, method="beam", beam_width=4, lm_weight=0.0
+    ) == ocr.predict_ctc(imgs, method="beam", beam_width=4)
+
+    bare = OCRInference(
+        ckpt, cs_path, img_h=32, img_w=64, dtype=jnp.float32, verbose=False
+    )
+    with pytest.raises(ValueError, match="bigram table"):
+        bare.predict_ctc(imgs, method="beam", beam_width=4, lm_weight=0.5)
+    with pytest.raises(ValueError, match="device_beam"):
+        bare.predict_ctc(
+            imgs, method="beam", device_beam=False, lm_weight=0.5
+        )
+
+
 def test_train_lm_cli(tmp_path, monkeypatch, capsys):
     import csv
 

@@ -73,8 +73,8 @@ def main() -> None:
     )
     platforms = args.platforms.split(",") if args.platforms else None
 
-    if args.lm_weight and args.method != "attention_beam":
-        p.error("--lm-weight requires --method attention_beam")
+    if args.lm_weight and args.method not in ("attention_beam", "ctc_beam"):
+        p.error("--lm-weight requires --method attention_beam or ctc_beam")
     ocr = OCRInference(
         args.model,
         args.charset,

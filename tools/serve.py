@@ -39,6 +39,15 @@ def main() -> None:
     p.add_argument("--canvas", default="64,512")
     p.add_argument("--max-length", type=int, default=25)
     p.add_argument("--beam-width", type=int, default=16)
+    p.add_argument(
+        "--lm", default=None, metavar="LM.npz",
+        help="bigram LM for beam shallow fusion (live engine only; "
+        "artifacts bake the LM at export time)",
+    )
+    p.add_argument(
+        "--lm-weight", type=float, default=0.0,
+        help="fusion weight; requires --method attention_beam or ctc_beam",
+    )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=256)
@@ -75,6 +84,8 @@ def main() -> None:
             "--batch-size": args.batch_size != p.get_default("batch_size"),
             "--quantize": args.quantize,
             "--width-buckets": args.width_buckets is not None,
+            "--lm": args.lm is not None,
+            "--lm-weight": args.lm_weight != 0.0,
         }
         overridden = [flag for flag, changed in baked.items() if changed]
         if overridden:
@@ -100,6 +111,7 @@ def main() -> None:
             img_w=args.img_w,
             quantize=args.quantize,
             width_buckets=buckets,
+            lm=args.lm,
         )
         canvas = tuple(int(v) for v in args.canvas.split(","))
         predict = serving_predict_fn(
@@ -109,6 +121,7 @@ def main() -> None:
             canvas=canvas,
             max_length=args.max_length,
             beam_width=args.beam_width,
+            lm_weight=args.lm_weight,
         )
         max_batch = args.batch_size
 
