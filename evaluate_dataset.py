@@ -11,8 +11,10 @@ WER with min/max/median stats and the top-5 worst-CER examples, and writes
 ``evaluation_results_<model>.csv`` with per-sample rows.
 
 Extensions over the reference: ``--decode`` picks the head and search
-(``attention`` greedy | ``attention_beam`` | ``ctc_greedy`` | ``ctc_beam``)
-and reference ``.pth`` checkpoints load directly.
+(``attention`` greedy | ``attention_beam`` | ``ctc_greedy`` | ``ctc_beam``),
+``--lm/--lm-weight`` fuse a bigram LM into the beams (a comma list of
+weights sweeps them and prints a comparison table), and reference ``.pth``
+checkpoints load directly.
 """
 
 from __future__ import annotations
@@ -248,9 +250,10 @@ def main() -> int:
         help="bigram LM for attention_beam shallow fusion (tools/train_lm.py)",
     )
     parser.add_argument(
-        "--lm-weight", type=float, default=0.0,
+        "--lm-weight", type=str, default="0.0",
         help="fusion weight (0 = off); requires --decode attention_beam "
-        "or ctc_beam",
+        "or ctc_beam.  A comma list (0,0.2,0.4) sweeps the values and "
+        "prints a comparison table — the standard way to tune fusion",
     )
     parser.add_argument(
         "--width-buckets", type=str, default=None,
@@ -294,33 +297,48 @@ def main() -> int:
     if not os.path.exists(args.charset):
         print(f"Charset not found: {args.charset}")
         return 1
+    lm_weights = [float(v) for v in str(args.lm_weight).split(",") if v != ""]
     try:
-        evaluate_model(
-            model_path=args.model,
-            charset_path=args.charset,
-            csv_path=args.csv,
-            root_path=args.root,
-            batch_size=args.batch_size,
-            max_samples=args.max_samples,
-            img_h=args.img_h,
-            img_w=args.img_w,
-            decode=args.decode,
-            max_length=args.max_length,
-            beam_width=args.beam_width,
-            lm=args.lm,
-            lm_weight=args.lm_weight,
-            width_buckets=(
-                args.width_buckets
-                if args.width_buckets and args.width_buckets.startswith("auto")
-                else [int(w) for w in args.width_buckets.split(",")]
-                if args.width_buckets
-                else None
-            ),
-            quantize=args.quantize or args.static_quant,
-            serving=args.serving,
-            static_quant=args.static_quant,
-            save_calibration=args.save_calibration,
-        )
+        sweep = []
+        for w in lm_weights:
+            if len(lm_weights) > 1:
+                print(f"\n##### lm_weight = {w} #####")
+            metrics = evaluate_model(
+                model_path=args.model,
+                charset_path=args.charset,
+                csv_path=args.csv,
+                root_path=args.root,
+                batch_size=args.batch_size,
+                max_samples=args.max_samples,
+                img_h=args.img_h,
+                img_w=args.img_w,
+                decode=args.decode,
+                max_length=args.max_length,
+                beam_width=args.beam_width,
+                lm=args.lm,
+                lm_weight=w,
+                width_buckets=(
+                    args.width_buckets
+                    if args.width_buckets and args.width_buckets.startswith("auto")
+                    else [int(v) for v in args.width_buckets.split(",")]
+                    if args.width_buckets
+                    else None
+                ),
+                quantize=args.quantize or args.static_quant,
+                serving=args.serving,
+                static_quant=args.static_quant,
+                save_calibration=args.save_calibration,
+            )
+            sweep.append((w, metrics))
+        if len(sweep) > 1:
+            print("\nLM-weight sweep (pick the CER minimum):")
+            print(f"{'lm_weight':>10} {'accuracy':>10} {'CER':>8} {'WER':>8}")
+            for w, m in sweep:
+                if m:
+                    print(
+                        f"{w:>10.3f} {m['accuracy']:>10.4f} "
+                        f"{m['cer']:>8.4f} {m['wer']:>8.4f}"
+                    )
     except Exception as e:
         print(f"Error: {e}")
         return 1

@@ -40,12 +40,21 @@ def main():
         "--beam-width", type=int, default=None,
         help="attention beam search with K hypotheses (default: greedy)",
     )
+    ap.add_argument(
+        "--lm", default=None, metavar="LM.npz",
+        help="bigram LM for beam shallow fusion (tools/train_lm.py)",
+    )
+    ap.add_argument(
+        "--lm-weight", type=float, default=0.0,
+        help="fusion weight; requires --beam-width > 1",
+    )
     args = ap.parse_args()
 
     ocr = OCRInference(
         args.model, args.charset, device="auto", quantize=args.quantize,
         img_h=args.img_h, img_w=args.img_w,
         width_buckets=parse_buckets(args.width_buckets),
+        lm=args.lm,
     )
     beam = args.beam_width is not None and args.beam_width > 1
     if args.serving:
@@ -53,9 +62,12 @@ def main():
             args.image, canvas="auto",
             method="attention_beam" if beam else "attention",
             beam_width=args.beam_width or 16,
+            lm_weight=args.lm_weight,
         )
     else:
-        text = ocr.predict(args.image, beam_width=args.beam_width)
+        text = ocr.predict(
+            args.image, beam_width=args.beam_width, lm_weight=args.lm_weight
+        )
     print(f"Result: '{text}'")
 
 

@@ -28,6 +28,17 @@ if _os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
+if _os.environ.get("RCNN_OCR_COMPILE_CACHE"):
+    # Process-wide persistent XLA compile cache (the per-CLI flags and the
+    # training config key remain; the env var covers every tool/bench
+    # uniformly — decisive where compiles tunnel to a remote service).
+    from rcnn_ocr_tpu.utils.common import enable_compile_cache as _ecc
+
+    try:
+        _ecc(_os.environ["RCNN_OCR_COMPILE_CACHE"])
+    except Exception:
+        pass
+
 from rcnn_ocr_tpu.vocab.charset import (  # noqa: F401
     load_charset,
     decode_tokens,

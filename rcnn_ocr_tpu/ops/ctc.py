@@ -160,9 +160,10 @@ def ctc_beam_search_jax(
     b_sz, t_steps, k = top_vals.shape
     w = int(beam_width)
     neg_inf = jnp.float32(-jnp.inf)
-    lm_c = None
+    lm_c = lm_t = None
     if lm_logp is not None and lm_weight:
         lm_c = jnp.asarray(lm_logp, jnp.float32) * jnp.float32(lm_weight)
+        lm_t = lm_c.T  # [next, prev]: contiguous row-gathers by class id
 
     # rolling-hash constants (odd multipliers, independent channels)
     m1 = jnp.uint32(2654435761)
@@ -227,11 +228,15 @@ def ctc_beam_search_jax(
         child_pnb = base + vals[:, None, :]
         if lm_c is not None:
             # fusion bonus on the emitted label only (blank/repeat carry
-            # none) — one [B, W] row-gather + [B, W, K] class-gather
+            # none).  Formulated for the TPU: gather the K candidate
+            # COLUMNS as contiguous rows of lm.T, then select each beam's
+            # prev-row with a one-hot matmul on the MXU — scattered
+            # (prev, class) pair-gathers measured 1.6-2x the whole kernel.
             prev = jnp.where(state["last"] < 0, sos_id, state["last"])
-            bonus = jnp.take_along_axis(
-                lm_c[prev], jnp.broadcast_to(idx[:, None, :], (b_sz, w, k)),
-                axis=2,
+            cols = lm_t[idx]  # [B, K, Vprev]
+            oh = jax.nn.one_hot(prev, lm_c.shape[0], dtype=jnp.float32)
+            bonus = jnp.einsum(
+                "bwv,bkv->bwk", oh, cols, preferred_element_type=jnp.float32
             )
             child_pnb = child_pnb + bonus
         child_pnb = jnp.where(idx[:, None, :] == blank_id, neg_inf, child_pnb)

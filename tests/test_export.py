@@ -230,3 +230,35 @@ def test_artifact_confidence_and_mesh_guard(tiny_ckpt, tmp_path):
     )
     with pytest.raises(ValueError):
         export_serving_artifact(mesh_ocr, str(tmp_path / "nope"))
+
+
+def test_artifact_bakes_lm_fusion(tiny_ckpt, tmp_path):
+    """--lm at export time bakes the table into the StableHLO kernel: the
+    loaded artifact reproduces the live fused decode with NO LM file at
+    serve time, and differs from an unfused artifact when fusion bites."""
+    from rcnn_ocr_tpu.lm import train_bigram_lm
+    from rcnn_ocr_tpu.vocab.charset import Charset
+
+    ckpt_path, charset_path = tiny_ckpt
+    cs = Charset.from_file(charset_path)
+    lm = train_bigram_lm(["abc", "cab", "bca"], cs)
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False, lm=lm,
+    )
+    out_dir = str(tmp_path / "artifact_lm")
+    export_serving_artifact(
+        ocr, out_dir, method="ctc_beam", batch_size=2, canvas=(32, 64),
+        max_length=4, beam_width=4, lm_weight=0.9,
+    )
+    manifest = json.loads(
+        open(os.path.join(out_dir, "manifest.json"), encoding="utf-8").read()
+    )
+    assert manifest["lm_weight"] == 0.9
+    art = ServingArtifact.load(out_dir)
+    imgs = _images(seed=5)
+    live = ocr.predict_serving(
+        imgs, batch_size=2, canvas=(32, 64), method="ctc_beam",
+        beam_width=4, lm_weight=0.9,
+    )
+    assert art.predict(imgs) == live
