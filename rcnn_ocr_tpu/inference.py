@@ -39,6 +39,33 @@ from rcnn_ocr_tpu.data.transforms import ResizeAndPad, load_rgb_uint8
 from rcnn_ocr_tpu.models import RCNN
 from rcnn_ocr_tpu.ops.augment import device_normalize
 from rcnn_ocr_tpu.ops.ctc import ctc_beam_search, ctc_greedy_decode_jnp, ids_to_text
+
+
+def long_line_spans(
+    starts: Sequence[int], tile_w: int, frames_t: int
+) -> List[Tuple[int, int, int]]:
+    """Per-tile kept frame ranges for long-line CTC stitching.
+
+    ``starts`` are tile x-offsets in the height-normalized image (strictly
+    increasing, consecutive tiles overlapping).  Each junction's overlap
+    is split at its midpoint: the left tile keeps frames left of it, the
+    right tile frames right of it, so every encoder frame of the full
+    line is represented exactly once (up to the frame-stride rounding of
+    the midpoint).  Returns ``(tile_index, frame_from, frame_to)`` per
+    tile — the contract `tests/test_long_lines.py` pins down.
+    """
+    stride = tile_w / frames_t
+    spans = []
+    for j, s in enumerate(starts):
+        f_from, f_to = 0, frames_t
+        if j > 0:
+            ov = starts[j - 1] + tile_w - s
+            f_from = int(round((ov / 2) / stride))
+        if j + 1 < len(starts):
+            ov = s + tile_w - starts[j + 1]
+            f_to = frames_t - int(round((ov / 2) / stride))
+        spans.append((j, f_from, f_to))
+    return spans
 from rcnn_ocr_tpu.vocab.charset import Charset
 
 ImageLike = Union[np.ndarray, str, "Any"]
@@ -1036,5 +1063,126 @@ class OCRInference:
             texts = ids_to_text(rows, self._itos, skip_ids=skip)
             for j, out_idx in enumerate(chunk_idx):
                 results[out_idx] = texts[j]
+
+        return results[0] if is_single else results
+
+    def predict_ctc_long(
+        self,
+        images: Union[ImageLike, List[ImageLike]],
+        tile_w: Optional[int] = None,
+        overlap: int = 64,
+        batch_size: int = 32,
+        method: str = "greedy",
+        beam_width: int = 16,
+        prune_k: int = 16,
+    ):
+        """Unbounded-width decode: tile, trim, and concatenate CTC frames.
+
+        Every fixed-width path (here and in the reference,
+        `/root/reference/data/transforms.py:62-120`) squashes the line
+        into one canvas — a 4000 px line at ``img_w=512`` loses ~8x of
+        its horizontal resolution and the accuracy with it.  CTC frames
+        are time-aligned with image x-position, so long lines can decode
+        at FULL resolution: height-normalize preserving aspect, cut
+        ``tile_w``-wide tiles overlapping by ``overlap`` px, run the
+        encoder per tile (tiles batch together — one static shape, one
+        compile), drop half of each junction's overlap frames per side,
+        concatenate the frame sequence, and collapse (``greedy``) or
+        prefix-beam (``beam``) the stitched whole on the host.  Images
+        that fit one tile take the ordinary resize-pad path, so short
+        lines decode identically to ``predict_ctc``.
+
+        The attention head has no frame/position alignment to stitch —
+        this is a CTC-head capability (the head the serving paths use).
+        """
+        if not self.model.with_ctc_head:
+            raise ValueError("this checkpoint has no CTC head")
+        if method not in ("greedy", "beam"):
+            raise ValueError(f"Unsupported decode method: {method}")
+        import cv2
+
+        from rcnn_ocr_tpu.data.loader import scaled_width
+        from rcnn_ocr_tpu.data.transforms import ResizeAndPad
+        from rcnn_ocr_tpu.ops.ctc import ctc_greedy_collapse_np
+        from rcnn_ocr_tpu.postprocess import ctc_skip_ids
+
+        is_single = not isinstance(images, list)
+        images_list: List[ImageLike] = [images] if is_single else list(images)
+        if not images_list:
+            return []
+        tile_w = int(tile_w or self.img_w)
+        overlap = int(overlap)
+        if not 0 < overlap < tile_w:
+            raise ValueError(f"overlap must be in (0, {tile_w}), got {overlap}")
+        batch_size = self._round_batch(batch_size)
+        pad_one = ResizeAndPad(img_h=self.img_h, img_w=tile_w)
+
+        # --- plan: height-normalized tiles + per-image start offsets ---
+        tiles: List[np.ndarray] = []
+        plans: List[Tuple[int, List[int]]] = []  # (first tile idx, starts)
+        for img in images_list:
+            rgb = self._to_rgb(img)
+            h, w = rgb.shape[:2]
+            new_w = scaled_width(h, w, self.img_h)
+            if new_w <= tile_w:
+                plans.append((len(tiles), [0]))
+                tiles.append(pad_one(rgb))
+                continue
+            shrinking = self.img_h < h or new_w < w
+            resized = cv2.resize(
+                rgb, (new_w, self.img_h),
+                interpolation=cv2.INTER_AREA if shrinking else cv2.INTER_LINEAR,
+            )
+            step = tile_w - overlap
+            starts = list(range(0, new_w - tile_w, step))
+            if starts[-1] != new_w - tile_w:
+                starts.append(new_w - tile_w)  # right-aligned final tile
+            plans.append((len(tiles), starts))
+            tiles.extend(resized[:, s : s + tile_w] for s in starts)
+
+        # --- batched frame extraction (pruned top-k; slot 0 == argmax) ---
+        k = max(1, min(prune_k, self.charset.num_classes))
+        run = self._ctc_fn(False, k)
+        all_vals: List[np.ndarray] = []
+        all_idx: List[np.ndarray] = []
+        for i in range(0, len(tiles), batch_size):
+            chunk, n_real = self._pad_rows(tiles[i : i + batch_size], batch_size)
+            vals, idx = run(self.variables, self._device_batch(np.stack(chunk)))
+            all_vals.append(np.asarray(vals)[:n_real])
+            all_idx.append(np.asarray(idx)[:n_real])
+        vals = np.concatenate(all_vals)  # [n_tiles, T, k]
+        idx = np.concatenate(all_idx)
+        frames_t = vals.shape[1]
+        stride = tile_w / frames_t  # px per encoder frame (e.g. 4)
+
+        # --- stitch + decode per image ---
+        skip = ctc_skip_ids(
+            self.charset.pad_id, self.charset.sos_id, self.charset.eos_id,
+            self.charset.ctc_blank_id,
+        )
+        results: List[str] = []
+        for first, starts in plans:
+            spans = [
+                (first + j, a, b)
+                for j, a, b in long_line_spans(starts, tile_w, frames_t)
+            ]
+            v_cat = np.concatenate([vals[t, a:b] for t, a, b in spans])
+            i_cat = np.concatenate([idx[t, a:b] for t, a, b in spans])
+            if method == "greedy":
+                row = ctc_greedy_collapse_np(
+                    i_cat[None, :, 0], self.charset.ctc_blank_id
+                )[0]
+            else:
+                dense = np.full(
+                    (1, v_cat.shape[0], self.charset.num_classes), -1e30,
+                    np.float32,
+                )
+                np.put_along_axis(dense, i_cat[None], v_cat[None], -1)
+                rows, _ = ctc_beam_search(
+                    dense, blank_id=self.charset.ctc_blank_id,
+                    beam_width=beam_width, already_log_probs=True,
+                )
+                row = rows[0]
+            results.append(ids_to_text([row], self._itos, skip_ids=skip)[0])
 
         return results[0] if is_single else results

@@ -152,7 +152,7 @@ class CosineAnnealingLR:
 
 def build_scheduler(name: Optional[str], base_lr: float, epochs: int):
     """None-able scheduler factory matching the reference's names."""
-    if name in ("None", None):
+    if name is None or (isinstance(name, str) and name.lower() == "none"):
         return None
     if name == "ReduceLROnPlateau":
         return ReduceLROnPlateau(base_lr=base_lr)

@@ -1,0 +1,129 @@
+"""Long-line CTC decoding (`OCRInference.predict_ctc_long`).
+
+The stitching contract: tiles' kept frame ranges tile the full line's
+frame axis exactly (up to one frame of midpoint rounding per junction),
+and a line that fits one tile decodes identically to `predict_ctc`.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from rcnn_ocr_tpu.inference import long_line_spans  # noqa: E402
+
+TOKENS = ["<PAD>", "<SOS>", "<EOS>", "<BLANK>", "a", "b", "c"]
+
+
+def _coverage(starts, tile_w, frames_t):
+    """Global frame intervals implied by the spans."""
+    stride = tile_w / frames_t
+    out = []
+    for j, a, b in long_line_spans(starts, tile_w, frames_t):
+        g = starts[j] / stride
+        out.append((g + a, g + b))
+    return out
+
+
+def test_spans_single_tile():
+    assert long_line_spans([0], 128, 32) == [(0, 0, 32)]
+
+
+def test_spans_uniform_grid_exact():
+    # stride 4, overlap 64 -> junction midpoints on frame boundaries:
+    # coverage is exact and contiguous
+    cov = _coverage([0, 64, 128], 128, 32)
+    assert cov[0][0] == 0
+    assert cov[-1][1] == 128 / 4 + 32  # last tile's global end frame
+    for (_, e), (s, _) in zip(cov, cov[1:]):
+        assert e == s
+
+
+def test_spans_ragged_last_tile_near_exact():
+    # right-aligned last tile -> odd overlap; each junction may round by
+    # at most ONE frame, never more, and order stays monotonic
+    starts = [0, 64, 128, 172]
+    cov = _coverage(starts, 128, 32)
+    assert cov[0][0] == 0
+    assert cov[-1][1] == 172 / 4 + 32
+    for (_, e), (s, _) in zip(cov, cov[1:]):
+        assert abs(e - s) <= 1.0 + 1e-9
+    # kept ranges are non-empty and within the tile
+    for _, a, b in long_line_spans(starts, 128, 32):
+        assert 0 <= a < b <= 32
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    from flax import serialization
+
+    from rcnn_ocr_tpu.inference import OCRInference
+    from rcnn_ocr_tpu.models import RCNN
+    from rcnn_ocr_tpu.vocab.charset import Charset
+
+    cs = Charset.from_tokens(TOKENS)
+    tmp = tmp_path_factory.mktemp("long_engine")
+    model = RCNN(
+        num_classes=len(TOKENS), hidden_size=16, sos_id=cs.sos_id,
+        eos_id=cs.eos_id, pad_id=cs.pad_id, blank_id=cs.blank_id,
+        with_ctc_head=True, ctc_blank_id=cs.ctc_blank_id, width_mult=0.25,
+        dtype=jnp.float32,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(2)},
+        np.zeros((1, 32, 64, 3), np.float32),
+        text=np.zeros((1, 5), np.int32), batch_max_length=4,
+        method=model.init_all,
+    )
+    blob = {
+        "params": serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, variables["params"])
+        ),
+        "batch_stats": serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+        ),
+    }
+    ckpt = tmp / "w_weights.msgpack"
+    ckpt.write_bytes(serialization.msgpack_serialize(blob))
+    (tmp / "cs.txt").write_text("\n".join(TOKENS) + "\n", encoding="utf-8")
+    return OCRInference(
+        str(ckpt), str(tmp / "cs.txt"), img_h=32, img_w=64,
+        dtype=jnp.float32, verbose=False,
+    )
+
+
+def test_short_line_matches_predict_ctc(engine):
+    # heights of 20 at widths <= 40 height-normalize to <= 64 px — these
+    # must take the single-tile path and decode exactly like predict_ctc
+    rng = np.random.default_rng(0)
+    imgs = [
+        rng.integers(0, 256, (20, w, 3)).astype(np.uint8)
+        for w in (25, 32, 40)
+    ]
+    short = engine.predict_ctc(imgs, method="greedy")
+    long = engine.predict_ctc_long(imgs, overlap=16)
+    assert long == short
+
+
+def test_long_line_decodes(engine):
+    rng = np.random.default_rng(1)
+    wide = rng.integers(0, 256, (32, 400, 3)).astype(np.uint8)  # ~6 tiles
+    out = engine.predict_ctc_long(wide, overlap=16)
+    assert isinstance(out, str)
+    beam = engine.predict_ctc_long(wide, overlap=16, method="beam", beam_width=4)
+    assert isinstance(beam, str)
+    # mixed batch: narrow + wide, list in -> list out, order preserved
+    narrow = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    outs = engine.predict_ctc_long([narrow, wide, narrow], overlap=16)
+    assert len(outs) == 3
+    assert outs[0] == outs[2] == engine.predict_ctc(narrow, method="greedy")
+    assert engine.predict_ctc_long([]) == []
+
+
+def test_long_line_error_paths(engine):
+    img = np.zeros((20, 30, 3), np.uint8)
+    with pytest.raises(ValueError, match="overlap"):
+        engine.predict_ctc_long(img, overlap=0)
+    with pytest.raises(ValueError, match="decode method"):
+        engine.predict_ctc_long(img, method="viterbi")
