@@ -83,6 +83,7 @@ def evaluate_model(
     beam_width: int = 16,
     lm: Optional[str] = None,
     lm_weight: float = 0.0,
+    length_penalty: float = 0.0,
     width_buckets=None,
     quantize: bool = False,
     serving: bool = False,
@@ -167,6 +168,7 @@ def evaluate_model(
                 ocr.predict(
                     chunk, max_length=max_length, batch_size=batch_size,
                     beam_width=beam_width, lm_weight=lm_weight,
+                    length_penalty=length_penalty,
                 )
             )
         elif decode == "ctc_greedy":
@@ -250,6 +252,10 @@ def main() -> int:
         help="bigram LM for attention_beam shallow fusion (tools/train_lm.py)",
     )
     parser.add_argument(
+        "--length-penalty", type=float, default=0.0,
+        help="attention_beam rank normalization: score / len**p (0 = off)",
+    )
+    parser.add_argument(
         "--lm-weight", type=str, default="0.0",
         help="fusion weight (0 = off); requires --decode attention_beam "
         "or ctc_beam.  A comma list (0,0.2,0.4) sweeps the values and "
@@ -317,6 +323,7 @@ def main() -> int:
                 beam_width=args.beam_width,
                 lm=args.lm,
                 lm_weight=w,
+                length_penalty=args.length_penalty,
                 width_buckets=(
                     args.width_buckets
                     if args.width_buckets and args.width_buckets.startswith("auto")

@@ -42,28 +42,57 @@ from rcnn_ocr_tpu.ops.ctc import ctc_beam_search, ctc_greedy_decode_jnp, ids_to_
 
 
 def long_line_spans(
-    starts: Sequence[int], tile_w: int, frames_t: int
+    starts: Sequence[int],
+    tile_w: int,
+    frames_t: int,
+    blank_scores: Optional[np.ndarray] = None,  # [n_tiles, frames_t]
 ) -> List[Tuple[int, int, int]]:
     """Per-tile kept frame ranges for long-line CTC stitching.
 
     ``starts`` are tile x-offsets in the height-normalized image (strictly
     increasing, consecutive tiles overlapping).  Each junction's overlap
-    is split at its midpoint: the left tile keeps frames left of it, the
-    right tile frames right of it, so every encoder frame of the full
-    line is represented exactly once (up to the frame-stride rounding of
-    the midpoint).  Returns ``(tile_index, frame_from, frame_to)`` per
-    tile — the contract `tests/test_long_lines.py` pins down.
+    is split so every encoder frame of the full line is represented
+    exactly once (up to frame-stride rounding): at the overlap MIDPOINT
+    by default, or — when ``blank_scores`` (per-tile per-frame blank
+    log-probs) is given — at the most blank-dominant shared frame, so the
+    cut lands between characters instead of through one (a character
+    straddling a midpoint cut loses frames on both sides and drops from
+    the decode; measured on the synthetic long-line demo, PERF.md).
+    Returns ``(tile_index, frame_from, frame_to)`` per tile — the
+    contract `tests/test_long_lines.py` pins down.
     """
     stride = tile_w / frames_t
+    cuts = []  # per junction: global CUT frame (left keeps < cut)
+    for j in range(1, len(starts)):
+        g_right = starts[j] / stride  # right tile's first global frame
+        g_left_end = starts[j - 1] / stride + frames_t
+        lo = int(np.ceil(g_right)) + 1  # keep >= 1 frame in the right tile
+        hi = int(np.floor(g_left_end)) - 1  # and >= 1 in the left
+        mid = int(round((g_right + g_left_end) / 2))
+        cut = min(max(mid, lo), hi)
+        if blank_scores is not None and hi > lo:
+            g0 = int(round(starts[j - 1] / stride))
+            g1 = int(round(g_right))
+            best, best_score = cut, -np.inf
+            for g in range(lo, hi + 1):
+                fl, fr = g - g0, g - g1  # frame index in left/right tile
+                score = 0.0
+                if 0 <= fl < frames_t:
+                    score += float(blank_scores[j - 1, fl])
+                if 0 <= fr < frames_t:
+                    score += float(blank_scores[j, fr])
+                if score > best_score:
+                    best, best_score = g, score
+            cut = best
+        cuts.append(cut)
+
     spans = []
     for j, s in enumerate(starts):
-        f_from, f_to = 0, frames_t
-        if j > 0:
-            ov = starts[j - 1] + tile_w - s
-            f_from = int(round((ov / 2) / stride))
-        if j + 1 < len(starts):
-            ov = s + tile_w - starts[j + 1]
-            f_to = frames_t - int(round((ov / 2) / stride))
+        g0 = int(round(s / stride))
+        f_from = 0 if j == 0 else min(max(cuts[j - 1] - g0, 0), frames_t - 1)
+        f_to = frames_t if j + 1 == len(starts) else min(
+            max(cuts[j] - g0, f_from + 1), frames_t
+        )
         spans.append((j, f_from, f_to))
     return spans
 from rcnn_ocr_tpu.vocab.charset import Charset
@@ -1070,7 +1099,7 @@ class OCRInference:
         self,
         images: Union[ImageLike, List[ImageLike]],
         tile_w: Optional[int] = None,
-        overlap: int = 64,
+        overlap: Optional[int] = None,
         batch_size: int = 32,
         method: str = "greedy",
         beam_width: int = 16,
@@ -1111,7 +1140,9 @@ class OCRInference:
         if not images_list:
             return []
         tile_w = int(tile_w or self.img_w)
-        overlap = int(overlap)
+        # default: 64 px of shared context per junction, clamped so tiny
+        # tile widths (e.g. a 64 px canvas) still leave unique frames
+        overlap = int(overlap) if overlap is not None else min(64, tile_w // 2)
         if not 0 < overlap < tile_w:
             raise ValueError(f"overlap must be in (0, {tile_w}), got {overlap}")
         batch_size = self._round_batch(batch_size)
@@ -1153,7 +1184,11 @@ class OCRInference:
         vals = np.concatenate(all_vals)  # [n_tiles, T, k]
         idx = np.concatenate(all_idx)
         frames_t = vals.shape[1]
-        stride = tile_w / frames_t  # px per encoder frame (e.g. 4)
+        # per-tile per-frame blank log-prob (-inf when blank left the
+        # top-k): junction cuts snap to the most blank-dominant frame
+        blank_lp = np.where(
+            idx == self.charset.ctc_blank_id, vals, -np.inf
+        ).max(-1)
 
         # --- stitch + decode per image ---
         skip = ctc_skip_ids(
@@ -1164,7 +1199,10 @@ class OCRInference:
         for first, starts in plans:
             spans = [
                 (first + j, a, b)
-                for j, a, b in long_line_spans(starts, tile_w, frames_t)
+                for j, a, b in long_line_spans(
+                    starts, tile_w, frames_t,
+                    blank_scores=blank_lp[first : first + len(starts)],
+                )
             ]
             v_cat = np.concatenate([vals[t, a:b] for t, a, b in spans])
             i_cat = np.concatenate([idx[t, a:b] for t, a, b in spans])

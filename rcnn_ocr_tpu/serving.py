@@ -418,6 +418,20 @@ def serving_predict_fn(
     if isinstance(engine, ServingArtifact):
         return engine.predict
 
+    if method in ("ctc_long", "ctc_long_beam"):
+        # unbounded-width decode (predict_ctc_long): requests of wildly
+        # different widths still share the per-tile static-shape kernel
+        def fn_long(images: List[Any]) -> List[str]:
+            out = engine.predict_ctc_long(
+                images,
+                batch_size=batch_size,
+                method="beam" if method == "ctc_long_beam" else "greedy",
+                beam_width=beam_width,
+            )
+            return out if isinstance(out, list) else [out]
+
+        return fn_long
+
     def fn(images: List[Any]) -> List[str]:
         out = engine.predict_serving(
             images,

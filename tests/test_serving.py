@@ -370,3 +370,45 @@ def test_http_body_size_cap():
     finally:
         server.close()
         thread.join(timeout=10)
+
+
+def test_serving_predict_fn_ctc_long(tmp_path):
+    """method='ctc_long' routes the daemon to the stitched long-line
+    decode — unbounded-width requests without a canvas."""
+    import jax
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.inference import OCRInference
+    from rcnn_ocr_tpu.models import RCNN
+    from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+    from rcnn_ocr_tpu.training.optim import build_optimizer
+    from rcnn_ocr_tpu.training.train_step import create_train_state
+
+    tokens = ["<PAD>", "<SOS>", "<EOS>", "<BLANK>", "a", "b"]
+    model = RCNN(
+        num_classes=len(tokens), hidden_size=16, width_mult=0.25,
+        with_ctc_head=True, dtype=jnp.float32,
+    )
+    import jax
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(6)}, jnp.zeros((1, 32, 64, 3)),
+        text=jnp.zeros((1, 5), jnp.int32), batch_max_length=4,
+        method=model.init_all,
+    )
+    state = create_train_state(model, variables, build_optimizer("Adam", 1e-3))
+    charset_path = tmp_path / "cs.txt"
+    charset_path.write_text("\n".join(tokens) + "\n", encoding="utf-8")
+    ckpt = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(ckpt, state)
+    ocr = OCRInference(
+        ckpt, str(charset_path), img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    predict = serving_predict_fn(ocr, method="ctc_long", batch_size=2)
+    rng = np.random.default_rng(7)
+    wide = rng.integers(0, 256, (32, 300, 3)).astype(np.uint8)  # multi-tile
+    narrow = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    out = predict([narrow, wide])
+    assert out == ocr.predict_ctc_long([narrow, wide], batch_size=2)
+    assert all(isinstance(t, str) for t in out)

@@ -34,7 +34,10 @@ def main() -> None:
     p.add_argument(
         "--method",
         default="ctc_greedy",
-        choices=["attention", "attention_beam", "ctc_greedy", "ctc_beam"],
+        choices=[
+            "attention", "attention_beam", "ctc_greedy", "ctc_beam",
+            "ctc_long", "ctc_long_beam",  # unbounded-width stitched decode
+        ],
     )
     p.add_argument("--canvas", default="64,512")
     p.add_argument("--max-length", type=int, default=25)
