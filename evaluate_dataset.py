@@ -133,6 +133,8 @@ def evaluate_model(
         raise ValueError(
             "--lm-weight requires --decode attention_beam or ctc_beam"
         )
+    if length_penalty and decode != "attention_beam":
+        raise ValueError("--length-penalty requires --decode attention_beam")
     ocr = OCRInference(
         model_path, charset_path, device="auto", img_h=img_h, img_w=img_w,
         width_buckets=width_buckets, quantize=quantize, lm=lm,
@@ -158,6 +160,9 @@ def evaluate_model(
                 batch_size=batch_size,
                 method=decode,  # every --decode choice is a serving method too
                 beam_width=beam_width,
+                length_penalty=(
+                    length_penalty if decode == "attention_beam" else 0.0
+                ),
                 lm_weight=lm_weight,
             )
             predicted.extend(out if isinstance(out, list) else [out])

@@ -48,6 +48,10 @@ def main():
         "--lm-weight", type=float, default=0.0,
         help="fusion weight; requires --beam-width > 1",
     )
+    ap.add_argument(
+        "--length-penalty", type=float, default=0.0,
+        help="beam rank normalization: score / len**p; requires --beam-width > 1",
+    )
     args = ap.parse_args()
 
     ocr = OCRInference(
@@ -62,11 +66,13 @@ def main():
             args.image, canvas="auto",
             method="attention_beam" if beam else "attention",
             beam_width=args.beam_width or 16,
+            length_penalty=args.length_penalty if beam else 0.0,
             lm_weight=args.lm_weight,
         )
     else:
         text = ocr.predict(
-            args.image, beam_width=args.beam_width, lm_weight=args.lm_weight
+            args.image, beam_width=args.beam_width,
+            length_penalty=args.length_penalty, lm_weight=args.lm_weight,
         )
     print(f"Result: '{text}'")
 

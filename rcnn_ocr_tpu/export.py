@@ -46,6 +46,7 @@ def export_serving_artifact(
     max_length: int = 25,
     beam_width: int = 16,
     prune_k: int = 16,
+    length_penalty: float = 0.0,  # attention_beam: score / len**p
     lm_weight: float = 0.0,  # attention_beam shallow fusion (engine lm=)
     width_buckets: Optional[Sequence[int]] = None,
     platforms: Optional[Sequence[str]] = None,
@@ -91,6 +92,7 @@ def export_serving_artifact(
             target_w=w,
             beam_width=beam_width,
             prune_k=prune_k,
+            length_penalty=length_penalty,
             lm_weight=lm_weight,  # the LM table bakes into the kernel bytes
         )
         exported = jax.export.export(
@@ -120,6 +122,7 @@ def export_serving_artifact(
         "widths": widths,
         "beam_width": beam_width,
         "prune_k": prune_k,
+        "length_penalty": length_penalty,
         "lm_weight": lm_weight,
         "itos": list(cs.itos),
         "ids": {

@@ -823,6 +823,7 @@ class OCRInference:
         target_w: Optional[int] = None,
         beam_width: int = 16,
         prune_k: int = 16,
+        length_penalty: float = 0.0,  # attention_beam: score / len**p
         lm_weight: float = 0.0,  # attention_beam shallow fusion (engine lm=)
     ):
         """The jitted serving decode kernel for one static configuration.
@@ -845,6 +846,9 @@ class OCRInference:
             beam_width=beam_width if method == "ctc_beam" else 0,
             prune_k=prune_k,
             attn_beam=beam_width if method == "attention_beam" else 0,
+            length_penalty=(
+                length_penalty if method == "attention_beam" else 0.0
+            ),
             lm_weight=(
                 lm_weight if method in ("attention_beam", "ctc_beam") else 0.0
             ),
@@ -860,6 +864,7 @@ class OCRInference:
         return_confidence: bool = False,  # attention heads only (predict() parity)
         beam_width: int = 16,  # ctc_beam / attention_beam
         prune_k: int = 16,  # ctc_beam: top-k frame candidates considered
+        length_penalty: float = 0.0,  # attention_beam: score / len**p
         lm_weight: float = 0.0,  # attention_beam shallow fusion (engine lm=)
     ):
         """High-throughput serving decode with on-device preprocessing.
@@ -905,6 +910,8 @@ class OCRInference:
             raise ValueError(
                 "lm_weight requires method='attention_beam' or 'ctc_beam'"
             )
+        if length_penalty and not attn_beam:
+            raise ValueError("length_penalty requires method='attention_beam'")
         if not ctc and not self.model.with_attention_head:
             raise ValueError("this checkpoint has no attention head; use predict_ctc()")
         from concurrent.futures import ThreadPoolExecutor
@@ -954,6 +961,7 @@ class OCRInference:
                     steps, bucket or self.img_w, ctc=ctc,
                     beam_width=ctc_beam_w, prune_k=prune_k,
                     attn_beam=beam_width if attn_beam else 0,
+                    length_penalty=length_penalty if attn_beam else 0.0,
                     lm_weight=lm_weight if (attn_beam or ctc_beam_w) else 0.0,
                 )
                 pred, aux = run(

@@ -405,6 +405,7 @@ def serving_predict_fn(
     canvas=(64, 512),
     max_length: int = 25,
     beam_width: int = 16,
+    length_penalty: float = 0.0,
     lm_weight: float = 0.0,
 ) -> Callable[[List[Any]], List[str]]:
     """Adapt an engine to the batcher's ``list -> list[str]`` contract.
@@ -440,6 +441,7 @@ def serving_predict_fn(
             canvas=canvas,
             max_length=max_length,
             beam_width=beam_width,
+            length_penalty=length_penalty,
             lm_weight=lm_weight,
         )
         return out if isinstance(out, list) else [out]

@@ -198,6 +198,25 @@ def test_serving_attention_beam_matches_predict(tiny, tmp_path):
     )
     assert plain == [t for t, _ in ref]
 
+    # length_penalty threads through to the same rank normalization the
+    # direct predict path applies (score / len**p), for every p
+    for p in (0.0, 0.6):
+        lp_ref = ocr.predict(
+            imgs, max_length=MAX_LEN, batch_size=4, beam_width=4,
+            length_penalty=p,
+        )
+        lp_srv = ocr.predict_serving(
+            imgs, max_length=MAX_LEN, batch_size=4, canvas=(32, 64),
+            method="attention_beam", beam_width=4, length_penalty=p,
+        )
+        assert lp_srv == lp_ref
+    # and only the attention beam accepts it
+    with pytest.raises(ValueError, match="length_penalty"):
+        ocr.predict_serving(
+            imgs, batch_size=4, canvas=(32, 64),
+            method="attention", length_penalty=0.5,
+        )
+
 
 @pytest.mark.slow
 def test_full_beam_matches_exhaustive(tiny):

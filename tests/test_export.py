@@ -98,6 +98,7 @@ def test_artifact_is_standalone(tiny_ckpt, tmp_path):
     assert manifest["itos"] == TOKENS
     assert manifest["ids"]["pad"] == 0 and manifest["ids"]["eos"] == 2
     assert manifest["widths"] == [64]
+    assert manifest["length_penalty"] == 0.0  # recorded for provenance
     assert set(manifest["files"]) == {"64"}
     for fname in manifest["files"].values():
         assert os.path.getsize(os.path.join(out_dir, fname)) > 0

@@ -37,6 +37,10 @@ def main() -> None:
     p.add_argument("--beam-width", type=int, default=16)
     p.add_argument("--prune-k", type=int, default=16)
     p.add_argument(
+        "--length-penalty", type=float, default=0.0,
+        help="attention_beam rank normalization: score / len**p (0 = off)",
+    )
+    p.add_argument(
         "--lm", default=None, metavar="LM.npz",
         help="bigram LM baked into attention_beam kernels (tools/train_lm.py)",
     )
@@ -75,6 +79,8 @@ def main() -> None:
 
     if args.lm_weight and args.method not in ("attention_beam", "ctc_beam"):
         p.error("--lm-weight requires --method attention_beam or ctc_beam")
+    if args.length_penalty and args.method != "attention_beam":
+        p.error("--length-penalty requires --method attention_beam")
     ocr = OCRInference(
         args.model,
         args.charset,
@@ -93,6 +99,7 @@ def main() -> None:
         max_length=args.max_length,
         beam_width=args.beam_width,
         prune_k=args.prune_k,
+        length_penalty=args.length_penalty,
         lm_weight=args.lm_weight,
         width_buckets=buckets,
         platforms=platforms,

@@ -51,6 +51,10 @@ def main() -> None:
         "--lm-weight", type=float, default=0.0,
         help="fusion weight; requires --method attention_beam or ctc_beam",
     )
+    p.add_argument(
+        "--length-penalty", type=float, default=0.0,
+        help="attention_beam rank normalization: score / len**p (0 = off)",
+    )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=256)
@@ -89,6 +93,7 @@ def main() -> None:
             "--width-buckets": args.width_buckets is not None,
             "--lm": args.lm is not None,
             "--lm-weight": args.lm_weight != 0.0,
+            "--length-penalty": args.length_penalty != 0.0,
         }
         overridden = [flag for flag, changed in baked.items() if changed]
         if overridden:
@@ -124,6 +129,7 @@ def main() -> None:
             canvas=canvas,
             max_length=args.max_length,
             beam_width=args.beam_width,
+            length_penalty=args.length_penalty,
             lm_weight=args.lm_weight,
         )
         max_batch = args.batch_size
