@@ -412,3 +412,12 @@ def test_serving_predict_fn_ctc_long(tmp_path):
     out = predict([narrow, wide])
     assert out == ocr.predict_ctc_long([narrow, wide], batch_size=2)
     assert all(isinstance(t, str) for t in out)
+
+    # the beam variant routes through the same stitcher with method="beam"
+    predict_beam = serving_predict_fn(
+        ocr, method="ctc_long_beam", batch_size=2, beam_width=4
+    )
+    out_beam = predict_beam([narrow, wide])
+    assert out_beam == ocr.predict_ctc_long(
+        [narrow, wide], batch_size=2, method="beam", beam_width=4
+    )
