@@ -309,6 +309,9 @@ def main() -> int:
         print(f"Charset not found: {args.charset}")
         return 1
     lm_weights = [float(v) for v in str(args.lm_weight).split(",") if v != ""]
+    if not lm_weights:
+        print(f"--lm-weight parsed to an empty sweep: {args.lm_weight!r}")
+        return 1
     try:
         sweep = []
         for w in lm_weights:

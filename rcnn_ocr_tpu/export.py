@@ -34,7 +34,10 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-MANIFEST_VERSION = 1
+# v2: explicit per-method decode dispatch (v1 loaders routed any unknown
+# method through the CTC branch — a v1 loader reading an attention_beam
+# artifact would garble decodes instead of refusing; ADVICE r3)
+MANIFEST_VERSION = 2
 
 
 def export_serving_artifact(
@@ -221,7 +224,7 @@ class ServingArtifact:
                 )
                 for j in range(n_real)
             ]
-        if self.method != "attention":
+        if self.method in ("ctc", "ctc_greedy", "ctc_beam"):
             return decode_ctc_batch(
                 pred,
                 aux,
@@ -230,6 +233,12 @@ class ServingArtifact:
                 ctc_skip_ids(
                     ids["pad"], ids["sos"], ids["eos"], ids["ctc_blank"]
                 ),
+            )
+        if self.method != "attention":
+            raise ValueError(
+                f"artifact decode method {self.method!r} is unknown to this "
+                f"loader (format {self.manifest['format_version']}); upgrade "
+                "rcnn_ocr_tpu on the serving host"
             )
         maxp = np.asarray(aux)
         return [

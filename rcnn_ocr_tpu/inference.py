@@ -720,6 +720,11 @@ class OCRInference:
         beam = beam_width is not None and beam_width > 1
         if lm_weight and not beam:
             raise ValueError("lm_weight requires beam_width > 1 (fusion is beam-only)")
+        if length_penalty and not beam:
+            raise ValueError(
+                "length_penalty requires beam_width > 1 (rank normalization "
+                "is beam-only)"
+            )
         run = (
             self._attn_beam_fn(steps, int(beam_width), length_penalty, lm_weight)
             if beam

@@ -420,6 +420,16 @@ def serving_predict_fn(
         return engine.predict
 
     if method in ("ctc_long", "ctc_long_beam"):
+        # the stitched decode collapses on the host, which has no fusion /
+        # rank-normalization hooks — refuse the knobs loudly instead of
+        # starting a server with them silently off
+        if lm_weight:
+            raise ValueError(f"lm_weight is not supported with method={method!r}")
+        if length_penalty:
+            raise ValueError(
+                f"length_penalty is not supported with method={method!r}"
+            )
+
         # unbounded-width decode (predict_ctc_long): requests of wildly
         # different widths still share the per-tile static-shape kernel
         def fn_long(images: List[Any]) -> List[str]:

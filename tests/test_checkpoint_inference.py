@@ -471,3 +471,39 @@ def test_average_checkpoints(tiny_state, tmp_path, monkeypatch, capsys):
     ocr = OCRInference(out, dtype=jnp.float32, verbose=False)  # embedded charset
     img = np.full((20, 50, 3), 255, np.uint8)
     assert isinstance(ocr.predict(img, max_length=4, batch_size=2), str)
+
+
+def test_average_checkpoints_mixed_batch_stats(tiny_state, tmp_path, capsys):
+    """Inputs without batch_stats contribute no mass: the averaged BN
+    moments renormalize over the weight that actually accumulated
+    (ADVICE r3 — a uniform 3-way average with one stats-less input must
+    not scale mean/var by 2/3)."""
+    from tools.average_checkpoints import average_variables
+
+    model, state, _ = tiny_state
+    p1 = str(tmp_path / "a_weights.msgpack")
+    ckpt_io.save_weights(p1, state)
+    b_with = ckpt_io.load_checkpoint_blob(p1)
+    b_without = {k: v for k, v in b_with.items() if k != "batch_stats"}
+
+    avg = average_variables([b_with, b_without, b_with], [1 / 3, 1 / 3, 1 / 3])
+    ref_stats = b_with["batch_stats"]
+
+    def first_leaf(tree):
+        for k in sorted(tree):
+            v = tree[k]
+            return first_leaf(v) if isinstance(v, dict) else np.asarray(v)
+
+    np.testing.assert_allclose(
+        first_leaf(avg["batch_stats"]), first_leaf(ref_stats),
+        rtol=1e-6, atol=1e-6,
+    )
+    assert "renormalized" in capsys.readouterr().out
+
+    # mismatched stats trees fail loudly (same contract as params)
+    import pytest as _pytest
+
+    bad = dict(b_with)
+    bad["batch_stats"] = {"only": np.zeros(3, np.float32)}
+    with _pytest.raises(ValueError, match="batch_stats"):
+        average_variables([b_with, bad], [0.5, 0.5])

@@ -88,3 +88,17 @@ def test_serving_accepts_beam_decode():
             model_path="x", charset_path="y", csv_path="z", root_path="r",
             decode="ctc_beam", serving=True,
         )
+
+
+def test_empty_lm_weight_errors(monkeypatch, capsys):
+    """`--lm-weight ""` must not silently evaluate nothing and exit 0
+    (ADVICE r3)."""
+    from evaluate_dataset import main as eval_main
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["evaluate_dataset.py", "--model", __file__, "--charset", __file__,
+         "--csv", "x", "--root", "r", "--lm-weight", ""],
+    )
+    assert eval_main() == 1
+    assert "empty sweep" in capsys.readouterr().out

@@ -263,3 +263,26 @@ def test_artifact_bakes_lm_fusion(tiny_ckpt, tmp_path):
         beam_width=4, lm_weight=0.9,
     )
     assert art.predict(imgs) == live
+
+
+def test_artifact_rejects_unknown_method(tiny_ckpt, tmp_path):
+    """Format v2 (ADVICE r3): a loader must refuse a decode method it does
+    not know instead of routing it through the CTC branch and garbling the
+    decode; and the exported manifest carries format_version 2 so v1
+    loaders (whose gate is `> 1`) refuse new artifacts loudly."""
+    from rcnn_ocr_tpu.export import MANIFEST_VERSION
+
+    ckpt_path, charset_path = tiny_ckpt
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    out_dir = str(tmp_path / "art")
+    export_serving_artifact(ocr, out_dir, method="attention", batch_size=2,
+                            canvas=(32, 64), max_length=4)
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        assert json.load(f)["format_version"] == MANIFEST_VERSION == 2
+    art = ServingArtifact.load(out_dir)
+    art.method = "from_the_future"
+    with pytest.raises(ValueError, match="unknown to this loader"):
+        art._decode_rows(np.zeros((2, 5), np.int32), np.zeros((2, 5)), 2, False)

@@ -167,6 +167,10 @@ def test_lm_error_paths(tiny_engine):
         ocr.predict(img, max_length=4, beam_width=3, lm_weight=0.5)
     with pytest.raises(ValueError, match="beam_width"):
         ocr.predict(img, max_length=4, lm_weight=0.5)
+    # length_penalty in greedy mode is a silent no-op without this guard
+    # (ADVICE r3) — same contract predict_serving already enforces
+    with pytest.raises(ValueError, match="length_penalty"):
+        ocr.predict(img, max_length=4, length_penalty=0.6)
     with pytest.raises(ValueError, match="attention_beam"):
         ocr.predict_serving(img, canvas=(32, 64), lm_weight=0.5)
     with pytest.raises(ValueError):

@@ -421,3 +421,18 @@ def test_serving_predict_fn_ctc_long(tmp_path):
     assert out_beam == ocr.predict_ctc_long(
         [narrow, wide], batch_size=2, method="beam", beam_width=4
     )
+
+
+def test_serving_predict_fn_ctc_long_rejects_fusion_knobs():
+    """The stitched long-line decode collapses on the host (no fusion /
+    rank-normalization hooks): starting a daemon with lm_weight or
+    length_penalty and a ctc_long method must fail loudly, not silently
+    drop the knobs (ADVICE r3)."""
+
+    class _Engine:  # never called — validation happens first
+        pass
+
+    with pytest.raises(ValueError, match="lm_weight"):
+        serving_predict_fn(_Engine(), method="ctc_long_beam", lm_weight=0.4)
+    with pytest.raises(ValueError, match="length_penalty"):
+        serving_predict_fn(_Engine(), method="ctc_long", length_penalty=0.6)

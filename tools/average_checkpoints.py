@@ -72,24 +72,44 @@ def _finalize(tree, ref):
 def average_variables(blobs, weights):
     """Leaf-wise weighted average of checkpoint blobs' model variables."""
     first_tree = None
+    stats_ref = stats_sig = None
     acc_p = acc_b = None
+    stats_mass = 0.0  # weight actually contributed to batch_stats
     for blob, w in zip(blobs, weights):
         # EMA checkpoints deploy the EMA tree (matches save_weights)
         params = blob.get("ema_params") or blob["params"]
         stats = blob.get("batch_stats", {})
         sig = [p for p, _ in _tree_paths(params)]
         if first_tree is None:
-            first_tree = (sig, params, stats)
+            first_tree = (sig, params)
         elif sig != first_tree[0]:
             raise ValueError(
                 "checkpoint parameter trees differ — all inputs must share "
                 "one architecture"
             )
         acc_p = _tree_axpy(acc_p, params, w)
-        acc_b = _tree_axpy(acc_b, stats, w) if stats else acc_b
+        if stats:
+            cur_sig = [p for p, _ in _tree_paths(stats)]
+            if stats_ref is None:
+                stats_ref, stats_sig = stats, cur_sig
+            elif cur_sig != stats_sig:
+                raise ValueError(
+                    "checkpoint batch_stats trees differ — all inputs must "
+                    "share one architecture"
+                )
+            acc_b = _tree_axpy(acc_b, stats, w)
+            stats_mass += w
     out = {"params": _finalize(acc_p, first_tree[1])}
     if acc_b:
-        out["batch_stats"] = _finalize(acc_b, first_tree[2])
+        # stats-less inputs contribute no mass: renormalize by the weight
+        # that actually accumulated, else BN moments scale by stats_mass
+        if stats_mass < 1.0 - 1e-9:
+            print(
+                f"note: {stats_mass:.4f} of the mixing weight carries "
+                "batch_stats; BN moments renormalized over that mass"
+            )
+            acc_b = _tree_axpy(None, acc_b, 1.0 / stats_mass)
+        out["batch_stats"] = _finalize(acc_b, stats_ref)
     return out
 
 
