@@ -542,7 +542,10 @@ class OCRInference:
         if self.model_path.endswith((".pth", ".pt")):
             # torch sources have no msgpack blob to copy — embed what this
             # engine already knows so the file re-opens standalone
+            from rcnn_ocr_tpu.training.checkpoint import CHECKPOINT_FORMAT_VERSION
+
             blob: Dict[str, Any] = {
+                "format_version": CHECKPOINT_FORMAT_VERSION,
                 "itos": list(self.charset.itos),
                 "stoi": {str(k): int(v) for k, v in self.charset.stoi.items()},
                 "config": {

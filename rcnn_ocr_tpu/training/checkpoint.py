@@ -31,6 +31,12 @@ from flax import serialization
 CKPT_SUFFIX = "_ckpt.msgpack"
 WEIGHTS_SUFFIX = "_weights.msgpack"
 
+# Stamped into every written blob (full checkpoints AND bare weights) so a
+# future layout change can be refused loudly instead of mis-read silently;
+# version-less files predate the stamp and load as format 1.  The serving
+# artifact manifest has its own independent version (export.MANIFEST_VERSION).
+CHECKPOINT_FORMAT_VERSION = 1
+
 
 def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
@@ -49,6 +55,7 @@ def _ckpt_blob(
     log_dir,
 ) -> Dict[str, Any]:
     blob = {
+        "format_version": CHECKPOINT_FORMAT_VERSION,
         "epoch": int(epoch),
         "global_step": int(global_step),
         "params": serialization.to_state_dict(_to_host(state.params)),
@@ -99,6 +106,7 @@ def _weights_blob(state) -> Dict[str, Any]:
     if params is None:
         params = state.params
     return {
+        "format_version": CHECKPOINT_FORMAT_VERSION,
         "params": serialization.to_state_dict(_to_host(params)),
         "batch_stats": serialization.to_state_dict(_to_host(state.batch_stats)),
     }
@@ -174,7 +182,17 @@ class AsyncCheckpointer:
 
 def load_checkpoint_blob(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
-        return serialization.msgpack_restore(f.read())
+        blob = serialization.msgpack_restore(f.read())
+    # every loader (load_variables / restore / averaging / inference) comes
+    # through here: refuse a NEWER layout loudly — a silent mis-read of a
+    # future format would decode garbage weights
+    version = int(blob.get("format_version", 1)) if isinstance(blob, dict) else 1
+    if version > CHECKPOINT_FORMAT_VERSION:
+        raise ValueError(
+            f"{path} is checkpoint format {version}, newer than this loader "
+            f"({CHECKPOINT_FORMAT_VERSION}); upgrade rcnn_ocr_tpu to read it"
+        )
+    return blob
 
 
 def restore_train_state(blob: Dict[str, Any], template_state):

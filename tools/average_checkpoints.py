@@ -148,6 +148,9 @@ def main() -> int:
                   "re-run calibrate() on the result")
 
     out_blob = average_variables(blobs, w)
+    from rcnn_ocr_tpu.training.checkpoint import CHECKPOINT_FORMAT_VERSION
+
+    out_blob["format_version"] = CHECKPOINT_FORMAT_VERSION
     # carry charset/config provenance from the first input so the averaged
     # file is as self-describing as a training slot
     for key in ("itos", "stoi", "config"):
