@@ -57,6 +57,10 @@ class QueueFullError(RuntimeError):
     """Backpressure: the batcher's queue is at max_queued images."""
 
 
+class DrainingError(RuntimeError):
+    """The server is draining (shutdown in progress): new work is refused."""
+
+
 class MicroBatcher:
     """Cross-request batcher: many submitters, one engine thread.
 
@@ -111,7 +115,7 @@ class MicroBatcher:
         pending = _Pending(list(images))
         with self._wake:
             if self._stop:
-                raise RuntimeError("server is shutting down")
+                raise DrainingError("server is shutting down")
             queued = sum(hi - lo for _, lo, hi, _ in self._queue)
             if queued + len(pending.images) > self.max_queued:
                 raise QueueFullError(
@@ -182,7 +186,7 @@ class MicroBatcher:
             leftovers = list(self._queue)
             self._queue.clear()
         for pending, _, _, _ in leftovers:
-            pending.error = RuntimeError("server is shutting down")
+            pending.error = DrainingError("server is shutting down")
             pending.done.set()
 
     # -- dispatcher side -----------------------------------------------------
@@ -269,7 +273,12 @@ class MicroBatcher:
                     pending.done.set()
 
 
-def _make_handler(batcher: MicroBatcher, timeout_s: float, max_body_bytes: int):
+def _make_handler(
+    batcher: MicroBatcher,
+    timeout_s: float,
+    max_body_bytes: int,
+    is_draining: Callable[[], bool] = lambda: False,
+):
     from rcnn_ocr_tpu.data.transforms import imdecode_cv2
 
     class Handler(BaseHTTPRequestHandler):
@@ -305,7 +314,9 @@ def _make_handler(batcher: MicroBatcher, timeout_s: float, max_body_bytes: int):
             self._reply(
                 200,
                 {
-                    "status": "ok",
+                    # "draining": shutdown in progress — load balancers
+                    # should route new traffic elsewhere
+                    "status": "draining" if is_draining() else "ok",
                     "pending": batcher.pending(),
                     **batcher.stats(),
                 },
@@ -319,6 +330,10 @@ def _make_handler(batcher: MicroBatcher, timeout_s: float, max_body_bytes: int):
                 )
             if self.path != "/predict":
                 return self._reply(404, {"error": "unknown path"})
+            if is_draining():
+                # shed new submissions with a retryable status while the
+                # in-flight queue drains (parallel to QueueFullError)
+                return self._reply(503, {"error": "server is draining"})
             try:
                 ctype = (self.headers.get("Content-Type") or "").lower()
                 single = not ctype.startswith("application/json")
@@ -334,7 +349,7 @@ def _make_handler(batcher: MicroBatcher, timeout_s: float, max_body_bytes: int):
                 return self._reply(400, {"error": f"bad request: {e}"})
             try:
                 texts = batcher.submit(images, timeout=timeout_s)
-            except QueueFullError as e:
+            except (QueueFullError, DrainingError) as e:
                 return self._reply(503, {"error": str(e)})
             except TimeoutError:
                 return self._reply(504, {"error": "decode timed out"})
@@ -370,9 +385,13 @@ class OCRServer:
             max_wait_ms=max_wait_ms,
             max_queued=max_queued,
         )
+        self._draining = False
         self.httpd = ThreadingHTTPServer(
             (host, port),
-            _make_handler(self.batcher, request_timeout_s, max_body_bytes),
+            _make_handler(
+                self.batcher, request_timeout_s, max_body_bytes,
+                is_draining=lambda: self._draining,
+            ),
         )
         self.httpd.daemon_threads = True
         self._serving = False
@@ -389,6 +408,24 @@ class OCRServer:
             self._serving = False
             self.close()
 
+    def shutdown_gracefully(self, timeout: Optional[float] = None) -> None:
+        """Drain and stop — what SIGTERM should do in production.
+
+        Ordered so no accepted request is dropped: (1) mark draining — new
+        ``POST /predict`` gets a retryable 503 and ``/healthz`` reports
+        ``draining``; (2) drain the batcher — the dispatcher keeps cutting
+        batches until the queue is empty, so every already-queued and
+        in-flight request receives its completed response; (3) stop the
+        HTTP loop and close the socket.  The trainer got this preemption
+        story in round 3 (SIGTERM -> checkpoint -> clean exit); this is the
+        serving daemon's counterpart.  Safe to call from any thread except
+        the one inside ``serve_forever`` (use
+        :func:`install_graceful_shutdown` from a signal handler).
+        """
+        self._draining = True
+        self.batcher.close(timeout=timeout)
+        self.close()
+
     def close(self) -> None:
         # httpd.shutdown() waits on an event that only serve_forever()
         # sets — calling it on a never-started server deadlocks forever
@@ -396,6 +433,31 @@ class OCRServer:
             self.httpd.shutdown()
         self.httpd.server_close()
         self.batcher.close()
+
+
+def install_graceful_shutdown(server: OCRServer, signals=None) -> None:
+    """Route SIGTERM (and SIGINT) to a draining shutdown.
+
+    Container runtimes and batch schedulers send SIGTERM; without this the
+    process dies with requests in flight (connection resets instead of
+    completed responses / retryable 503s).  The drain runs on a helper
+    thread because signal handlers execute on the main thread — the one
+    blocked inside ``serve_forever``, which ``httpd.shutdown()`` must not
+    be called from.  After the drain ``serve_forever`` returns and the
+    process can exit 0.
+    """
+    import signal as _signal
+
+    if signals is None:
+        signals = (_signal.SIGTERM, _signal.SIGINT)
+
+    def _handler(signum, frame):
+        threading.Thread(
+            target=server.shutdown_gracefully, name="ocr-drain", daemon=True
+        ).start()
+
+    for s in signals:
+        _signal.signal(s, _handler)
 
 
 def serving_predict_fn(

@@ -436,3 +436,77 @@ def test_serving_predict_fn_ctc_long_rejects_fusion_knobs():
         serving_predict_fn(_Engine(), method="ctc_long_beam", lm_weight=0.4)
     with pytest.raises(ValueError, match="length_penalty"):
         serving_predict_fn(_Engine(), method="ctc_long", length_penalty=0.6)
+
+
+def test_graceful_shutdown_drains_inflight_requests():
+    """SIGTERM mid-request (VERDICT r3 weak #2): the in-flight request gets
+    its completed 200 response, new submissions get a retryable 503,
+    /healthz reports 'draining', and serve_forever returns so the process
+    can exit 0 — the daemon counterpart of the trainer's SIGTERM
+    preemption."""
+    import signal
+
+    from rcnn_ocr_tpu.serving import install_graceful_shutdown
+
+    gate = threading.Event()
+    eng = RecordingEngine(gate=gate)
+    server = OCRServer(
+        eng.predict, host="127.0.0.1", port=0, max_batch=8, max_wait_ms=0
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.address[:2]
+    base = f"http://{host}:{port}"
+    old_handler = signal.getsignal(signal.SIGTERM)
+    try:
+        install_graceful_shutdown(server, signals=(signal.SIGTERM,))
+
+        inflight = {}
+
+        def request_a():
+            try:
+                inflight["result"] = _post(
+                    base + "/predict", _png_bytes(_imgs([7])[0]), "image/png"
+                )
+            except BaseException as e:  # pragma: no cover - failure detail
+                inflight["error"] = e
+
+        t_a = threading.Thread(target=request_a, daemon=True)
+        t_a.start()
+        deadline = time.monotonic() + 30
+        while not eng.batches and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert eng.batches, "request A never reached the engine"
+
+        # SIGTERM while A is in flight (engine gated)
+        signal.raise_signal(signal.SIGTERM)
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+                if json.loads(r.read())["status"] == "draining":
+                    break
+            time.sleep(0.01)
+        else:
+            pytest.fail("healthz never reported draining")
+
+        # new submissions are shed with a retryable 503
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(base + "/predict", _png_bytes(_imgs([9])[0]), "image/png")
+        assert exc.value.code == 503
+        assert "draining" in json.loads(exc.value.read())["error"]
+
+        # release the engine: A must receive its COMPLETED response
+        gate.set()
+        t_a.join(timeout=30)
+        assert "error" not in inflight, inflight.get("error")
+        status, payload = inflight["result"]
+        assert status == 200
+        assert payload == {"texts": ["t7"]}
+
+        # and the serve loop exits (process would exit 0)
+        thread.join(timeout=30)
+        assert not thread.is_alive()
+    finally:
+        signal.signal(signal.SIGTERM, old_handler)
+        gate.set()
+        server.close()

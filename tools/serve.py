@@ -77,7 +77,11 @@ def main() -> None:
 
         enable_compile_cache(args.compile_cache_dir)
 
-    from rcnn_ocr_tpu.serving import OCRServer, serving_predict_fn
+    from rcnn_ocr_tpu.serving import (
+        OCRServer,
+        install_graceful_shutdown,
+        serving_predict_fn,
+    )
 
     if args.artifact:
         from rcnn_ocr_tpu.export import ServingArtifact
@@ -143,10 +147,14 @@ def main() -> None:
     )
     host, port = server.address[:2]
     print(f"Serving on http://{host}:{port}  (POST /predict, GET /healthz)")
+    # SIGTERM (what container runtimes send) and SIGINT both drain: stop
+    # accepting, 503 new submissions, answer everything queued, exit 0
+    install_graceful_shutdown(server)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         server.close()
+    print("Drained; exiting.")
 
 
 if __name__ == "__main__":
