@@ -186,6 +186,44 @@ class RCNN(nn.Module):
             outs.append(self.ctc_proj(enc))
         return tuple(outs)
 
+    def eval_outputs(
+        self,
+        x: jnp.ndarray,
+        text: Optional[jnp.ndarray] = None,
+        batch_max_length: int = 25,
+        with_attention: bool = True,
+        with_ctc: bool = False,
+    ):
+        """Single-encode validation forward: every eval output from ONE
+        encoder pass.
+
+        The reference validates with two full forward passes — one
+        teacher-forced for the loss, one greedy for the decoded metrics
+        (`/root/reference/training/train.py:554-576`).  At eval time the
+        model is deterministic (no dropout, BN running stats), so the
+        encoder output is IDENTICAL across those passes; running the 42M-
+        param CNN+BiLSTM once and feeding the cached states to the
+        teacher-forced decoder, the greedy decoder, and the CTC projection
+        preserves the two-pass contract bit-for-bit at a third to half the
+        FLOPs (head="both" previously encoded three times per val batch).
+
+        Returns a dict with (per configured head): ``tf_logits`` (teacher-
+        forced, needs ``text``), ``greedy_logits``, ``ctc_logits``.
+        """
+        enc = self.encode(x, train=False)
+        out = {}
+        if with_attention:
+            if text is not None:
+                out["tf_logits"] = self.attn(
+                    enc, text=text, train=False, batch_max_length=batch_max_length
+                )
+            out["greedy_logits"] = self.attn(
+                enc, train=False, batch_max_length=batch_max_length
+            )
+        if with_ctc:
+            out["ctc_logits"] = self.ctc_proj(enc).astype(jnp.float32)
+        return out
+
     def forward_both(
         self,
         x: jnp.ndarray,

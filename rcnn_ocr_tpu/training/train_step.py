@@ -252,11 +252,14 @@ def make_eval_step(
 ) -> Callable:
     """Jitted eval: teacher-forced loss + greedy prediction ids.
 
-    Mirrors the reference's two-forward-pass validation
-    (`/root/reference/training/train.py:554-576`): one teacher-forced pass
-    for the val loss, one greedy pass for the decoded metrics — but the
-    encoder can be shared per pass here only at the cost of parity, so both
-    passes run the full model exactly like the reference.
+    Preserves the reference's two-forward-pass validation CONTRACT
+    (`/root/reference/training/train.py:554-576`: one teacher-forced pass
+    for the val loss, one greedy pass for the decoded metrics) while
+    running the encoder ONCE (`RCNN.eval_outputs`): eval is deterministic
+    (no dropout, BN running stats), so the teacher-forced, greedy, and CTC
+    passes all see the identical encoder output — sharing it changes no
+    metric, and the 42M-param CNN+BiLSTM stops being recomputed 2-3x per
+    val batch (throughput measured in tools/val_feed_bench.py / PERF.md).
 
     ``use_ema=True`` evaluates ``state.ema_params`` (the weights the
     checkpoint slots deploy for an EMA run) instead of the raw params.
@@ -270,27 +273,24 @@ def make_eval_step(
         variables = {"params": eval_params, "batch_stats": state.batch_stats}
         # val batches arrive as resize-padded uint8 (4x less host->device
         # traffic); normalize fuses into the stem here
-        batch = {**batch, "image": device_normalize(batch["image"])}
+        with_attention = head in ("attention", "both")
+        outs = model.apply(
+            variables,
+            device_normalize(batch["image"]),
+            text=batch["text_in"] if with_attention else None,
+            batch_max_length=max_len,
+            with_attention=with_attention,
+            with_ctc=head in ("ctc", "both"),
+            method=model.eval_outputs,
+        )
         out = {}
-        if head in ("attention", "both"):
-            tf_logits = model.apply(
-                variables,
-                batch["image"],
-                text=batch["text_in"],
-                train=False,
-                batch_max_length=max_len,
-            )
+        if with_attention:
             out["val_loss"] = masked_token_ce(
-                tf_logits, batch["target_y"], pad_id, batch.get("valid")
+                outs["tf_logits"], batch["target_y"], pad_id, batch.get("valid")
             )
-            greedy_logits = model.apply(
-                variables, batch["image"], train=False, batch_max_length=max_len
-            )
-            out["pred_ids"] = jnp.argmax(greedy_logits, axis=-1)
+            out["pred_ids"] = jnp.argmax(outs["greedy_logits"], axis=-1)
         if head in ("ctc", "both"):
-            ctc_logits = model.apply(
-                variables, batch["image"], train=False, method=model.ctc_logits
-            )
+            ctc_logits = outs["ctc_logits"]
             lp = jnp.zeros(ctc_logits.shape[:2], jnp.float32)
             loss = ctc_loss_fn(
                 ctc_logits, lp, batch["ctc_labels"], batch["ctc_paddings"], ctc_blank_id,

@@ -48,6 +48,7 @@ def main():
         hidden_size=32 if args.tiny else 256,
         width_mult=0.125 if args.tiny else 1.0,
         sos_id=1, eos_id=2, pad_id=0, blank_id=None,
+        with_ctc_head=True,  # head="both" is the expensive eval case
         dtype=jnp.bfloat16,
         use_pallas=False,
     )
@@ -69,6 +70,33 @@ def main():
         )
         greedy = model.apply(variables, x, train=False, batch_max_length=max_len)
         return jnp.argmax(tf_logits, -1), jnp.argmax(greedy, -1)
+
+    # head="both" eval formulations (VERDICT r3 weak #1): the multi-pass
+    # step re-ran the 42M-param encoder for the teacher-forced loss, the
+    # greedy decode AND the CTC logits; eval is deterministic, so
+    # RCNN.eval_outputs runs it once and feeds all three heads
+    @jax.jit
+    def eval_both_multi(variables, images, text_in):
+        x = device_normalize(images)
+        tf_logits = model.apply(
+            variables, x, text=text_in, train=False, batch_max_length=max_len
+        )
+        greedy = model.apply(variables, x, train=False, batch_max_length=max_len)
+        ctc = model.apply(variables, x, train=False, method=model.ctc_logits)
+        return jnp.argmax(tf_logits, -1), jnp.argmax(greedy, -1), jnp.argmax(ctc, -1)
+
+    @jax.jit
+    def eval_both_single(variables, images, text_in):
+        x = device_normalize(images)
+        outs = model.apply(
+            variables, x, text=text_in, batch_max_length=max_len,
+            with_attention=True, with_ctc=True, method=model.eval_outputs,
+        )
+        return (
+            jnp.argmax(outs["tf_logits"], -1),
+            jnp.argmax(outs["greedy_logits"], -1),
+            jnp.argmax(outs["ctc_logits"], -1),
+        )
 
     rng_np = np.random.default_rng(0)
     u8 = rng_np.integers(0, 256, (args.batch, img_h, img_w, 3), dtype=np.uint8)
@@ -114,6 +142,21 @@ def main():
     print(f"[val_feed] cross-program token agreement: {agree:.4f}",
           file=sys.stderr)
     results["speedup"] = results["uint8"] / results["float32"]
+
+    # single-encode vs multi-pass at head="both", uint8 feed
+    for name, fn in (("both_multi", eval_both_multi), ("both_single", eval_both_single)):
+        def run_b(fn=fn):
+            out = fn(variables, jnp.asarray(u8), jnp.asarray(text_in))
+            return tuple(np.asarray(o) for o in out)
+
+        run_b(); run_b()  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            run_b()
+        dt = (time.perf_counter() - t0) / args.iters
+        results[name] = args.batch / dt
+        print(f"[val_feed] {name:12s} {results[name]:10,.0f} img/s", file=sys.stderr)
+    results["single_encode_speedup"] = results["both_single"] / results["both_multi"]
     print(json.dumps({"val_feed_img_s": results,
                       "platform": jax.devices()[0].platform}))
 
