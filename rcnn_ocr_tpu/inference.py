@@ -35,66 +35,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rcnn_ocr_tpu.calibration import CalibrationMixin
 from rcnn_ocr_tpu.data.transforms import ResizeAndPad, load_rgb_uint8
+from rcnn_ocr_tpu.long_lines import LongLineMixin, long_line_spans  # noqa: F401 (re-export)
 from rcnn_ocr_tpu.models import RCNN
 from rcnn_ocr_tpu.ops.augment import device_normalize
 from rcnn_ocr_tpu.ops.ctc import ctc_beam_search, ctc_greedy_decode_jnp, ids_to_text
-
-
-def long_line_spans(
-    starts: Sequence[int],
-    tile_w: int,
-    frames_t: int,
-    blank_scores: Optional[np.ndarray] = None,  # [n_tiles, frames_t]
-) -> List[Tuple[int, int, int]]:
-    """Per-tile kept frame ranges for long-line CTC stitching.
-
-    ``starts`` are tile x-offsets in the height-normalized image (strictly
-    increasing, consecutive tiles overlapping).  Each junction's overlap
-    is split so every encoder frame of the full line is represented
-    exactly once (up to frame-stride rounding): at the overlap MIDPOINT
-    by default, or — when ``blank_scores`` (per-tile per-frame blank
-    log-probs) is given — at the most blank-dominant shared frame, so the
-    cut lands between characters instead of through one (a character
-    straddling a midpoint cut loses frames on both sides and drops from
-    the decode; measured on the synthetic long-line demo, PERF.md).
-    Returns ``(tile_index, frame_from, frame_to)`` per tile — the
-    contract `tests/test_long_lines.py` pins down.
-    """
-    stride = tile_w / frames_t
-    cuts = []  # per junction: global CUT frame (left keeps < cut)
-    for j in range(1, len(starts)):
-        g_right = starts[j] / stride  # right tile's first global frame
-        g_left_end = starts[j - 1] / stride + frames_t
-        lo = int(np.ceil(g_right)) + 1  # keep >= 1 frame in the right tile
-        hi = int(np.floor(g_left_end)) - 1  # and >= 1 in the left
-        mid = int(round((g_right + g_left_end) / 2))
-        cut = min(max(mid, lo), hi)
-        if blank_scores is not None and hi > lo:
-            g0 = int(round(starts[j - 1] / stride))
-            g1 = int(round(g_right))
-            best, best_score = cut, -np.inf
-            for g in range(lo, hi + 1):
-                fl, fr = g - g0, g - g1  # frame index in left/right tile
-                score = 0.0
-                if 0 <= fl < frames_t:
-                    score += float(blank_scores[j - 1, fl])
-                if 0 <= fr < frames_t:
-                    score += float(blank_scores[j, fr])
-                if score > best_score:
-                    best, best_score = g, score
-            cut = best
-        cuts.append(cut)
-
-    spans = []
-    for j, s in enumerate(starts):
-        g0 = int(round(s / stride))
-        f_from = 0 if j == 0 else min(max(cuts[j - 1] - g0, 0), frames_t - 1)
-        f_to = frames_t if j + 1 == len(starts) else min(
-            max(cuts[j] - g0, f_from + 1), frames_t
-        )
-        spans.append((j, f_from, f_to))
-    return spans
+from rcnn_ocr_tpu.serving_engine import ServingEngineMixin
 from rcnn_ocr_tpu.vocab.charset import Charset
 
 ImageLike = Union[np.ndarray, str, "Any"]
@@ -127,8 +74,14 @@ def infer_architecture(params: Dict[str, Any]) -> Dict[str, Any]:
     return arch
 
 
-class OCRInference:
-    """Load a checkpoint and recognize text lines."""
+class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
+    """Load a checkpoint and recognize text lines.
+
+    The engine's capability families live in focused modules mixed in
+    here (API unchanged): int8 calibration (`rcnn_ocr_tpu.calibration`),
+    the on-device-preprocess serving path (`rcnn_ocr_tpu.serving_engine`),
+    and unbounded-width long-line decoding (`rcnn_ocr_tpu.long_lines`).
+    """
 
     def __init__(
         self,
@@ -456,116 +409,6 @@ class OCRInference:
             ("ctc_beam_dev", beam_width, prune_k, lm_weight), build
         )
 
-    # -- static activation calibration --------------------------------------
-    def calibrate(self, images: Union[ImageLike, List[ImageLike]], batch_size: int = 32) -> None:
-        """Post-training calibration: switch the int8 path to STATIC
-        activation scales recorded from sample data.
-
-        The dynamic int8 path (the ``quantize=True`` default) computes a
-        per-call abs-max over every quantized conv input — a full-tensor
-        reduction barrier that forces the activation through HBM in float.
-        With calibrated static scales the quantize-to-int8 step is purely
-        elementwise and fuses into the previous conv's epilogue, so hot
-        activations cross HBM once, as int8.
-
-        Call once with a representative sample (>= a few dozen images);
-        subsequent ``predict*`` calls use the static path.  Inputs outside
-        the calibrated range clip at ±127 · scale.
-        """
-        if not self.model.quantize:
-            raise ValueError("calibrate() requires OCRInference(quantize=True)")
-        images_list: List[ImageLike] = (
-            [images] if not isinstance(images, list) else list(images)
-        )
-        if not images_list:
-            raise ValueError("calibration needs at least one image")
-        calib_model = RCNN(**{**self._model_kwargs, "act_quant": "static"})
-        batch_size = self._round_batch(batch_size)
-
-        def record(variables, batch):
-            _, mutated = calib_model.apply(
-                variables,
-                device_normalize(batch),
-                train=False,
-                method=calib_model.encode,
-                mutable=["quant_stats"],
-            )
-            return mutated["quant_stats"]
-
-        # seed a zero quant_stats collection up front (via eval_shape — no
-        # compile) so every loop iteration passes the SAME pytree structure
-        # to the jitted recorder; without it the second chunk retraces
-        # (remote compiles here are minutes each)
-        batch_spec = jax.ShapeDtypeStruct(
-            (batch_size, self.img_h, self.img_w, 3), jnp.uint8
-        )
-        stats_shapes = jax.eval_shape(record, dict(self.variables), batch_spec)
-        zero_stats = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), stats_shapes
-        )
-
-        if self._mesh is None:
-            record = jax.jit(record)
-        else:
-            # abs-max stats are scalars: replicated out, batch sharded in
-            record = jax.jit(
-                record,
-                in_shardings=(self._rep, self._data_sh),
-                out_shardings=self._rep,
-            )
-
-        variables = {**self.variables, "quant_stats": zero_stats}
-        for i in range(0, len(images_list), batch_size):
-            chunk = images_list[i : i + batch_size]
-            arrays, _ = self._pad_rows(
-                [self._preprocess(img) for img in chunk], batch_size
-            )
-            stats = record(variables, self._device_batch(np.stack(arrays)))
-            variables = {**variables, "quant_stats": stats}
-
-        self.variables = variables
-        self.model = calib_model
-        self._jit_cache.clear()  # decode kernels must re-trace the static path
-
-    def save_calibration(self, path: str) -> None:
-        """Persist the calibrated static-int8 scales: writes a copy of the
-        source checkpoint with ``quant_stats`` embedded.  Re-opening that
-        file with ``OCRInference(..., quantize=True)`` activates the static
-        path directly — no re-calibration on process start."""
-        if "quant_stats" not in self.variables:
-            raise ValueError("no calibration recorded; call calibrate() first")
-        from flax import serialization
-
-        from rcnn_ocr_tpu.training.checkpoint import load_checkpoint_blob
-
-        host = jax.tree_util.tree_map(np.asarray, self.variables)
-        if self.model_path.endswith((".pth", ".pt")):
-            # torch sources have no msgpack blob to copy — embed what this
-            # engine already knows so the file re-opens standalone
-            from rcnn_ocr_tpu.training.checkpoint import CHECKPOINT_FORMAT_VERSION
-
-            blob: Dict[str, Any] = {
-                "format_version": CHECKPOINT_FORMAT_VERSION,
-                "itos": list(self.charset.itos),
-                "stoi": {str(k): int(v) for k, v in self.charset.stoi.items()},
-                "config": {
-                    "img_h": self.img_h,
-                    "img_w": self.img_w,
-                    "hidden_size": self._model_kwargs["hidden_size"],
-                },
-            }
-        else:
-            blob = dict(load_checkpoint_blob(self.model_path))
-        blob["params"] = serialization.to_state_dict(host["params"])
-        blob["batch_stats"] = serialization.to_state_dict(
-            host.get("batch_stats", {})
-        )
-        blob["quant_stats"] = serialization.to_state_dict(host["quant_stats"])
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(serialization.msgpack_serialize(blob))
-        os.replace(tmp, path)
-
     # -- public API --------------------------------------------------------
     def _decode_attention_row(
         self, pred_row: np.ndarray, maxp_row, return_confidence: bool
@@ -757,268 +600,6 @@ class OCRInference:
 
         return results[0] if is_single else results
 
-    def _serving_fn(
-        self,
-        steps: int,
-        target_w: int,
-        ctc: bool = False,
-        beam_width: int = 0,
-        prune_k: int = 16,
-        attn_beam: int = 0,  # attention-head beam width (0 = greedy)
-        length_penalty: float = 0.0,
-        lm_weight: float = 0.0,  # attn_beam / ctc beam shallow fusion (engine lm=)
-    ):
-        lm = self._fusion_lm(lm_weight) if (attn_beam or beam_width) else None
-
-        def build():
-            from rcnn_ocr_tpu.ops.preprocess import resize_pad_normalize
-
-            def run(variables, raw, sizes):
-                x = resize_pad_normalize(raw, sizes, self.img_h, target_w)
-                if not ctc and attn_beam:
-                    return self.model.apply(
-                        variables,
-                        x,
-                        beam_width=attn_beam,
-                        batch_max_length=steps - 1,
-                        length_penalty=length_penalty,
-                        lm_logp=lm,
-                        lm_weight=lm_weight,
-                        method=self.model.beam_decode,
-                    )
-                if ctc:
-                    logits = self.model.apply(
-                        variables, x, train=False, method=self.model.ctc_logits
-                    )
-                    if beam_width:
-                        from rcnn_ocr_tpu.ops.ctc import ctc_beam_search_jax
-
-                        log_probs = jax.nn.log_softmax(logits, axis=-1)
-                        vals, idx = jax.lax.top_k(
-                            log_probs, min(prune_k, self.charset.num_classes)
-                        )
-                        labels, lens, _ = ctc_beam_search_jax(
-                            vals, idx.astype(jnp.int32),
-                            blank_id=self.charset.ctc_blank_id,
-                            beam_width=beam_width,
-                            lm_logp=lm,
-                            lm_weight=lm_weight,
-                            sos_id=self.charset.sos_id,
-                        )
-                        return labels, lens
-                    return ctc_greedy_decode_jnp(logits, self.charset.ctc_blank_id)
-                logits = self.model.apply(
-                    variables, x, train=False, batch_max_length=steps - 1
-                )
-                probs = jax.nn.softmax(logits, axis=-1)
-                return jnp.argmax(logits, axis=-1), jnp.max(probs, axis=-1)
-
-            return self._jit(run, n_batch_args=2)
-
-        # the CTC kernels are steps-independent — key them once per width so
-        # different max_length calls reuse the same compilation
-        key_steps = 0 if ctc else steps
-        return self._cached(
-            ("serving", key_steps, target_w, ctc, beam_width, prune_k,
-             attn_beam, length_penalty, lm_weight),
-            build
-        )
-
-    def serving_kernel(
-        self,
-        method: str = "attention",
-        max_length: int = 25,
-        target_w: Optional[int] = None,
-        beam_width: int = 16,
-        prune_k: int = 16,
-        length_penalty: float = 0.0,  # attention_beam: score / len**p
-        lm_weight: float = 0.0,  # attention_beam shallow fusion (engine lm=)
-    ):
-        """The jitted serving decode kernel for one static configuration.
-
-        Public accessor for ahead-of-time export (`rcnn_ocr_tpu.export`):
-        ``kernel(variables, raw_uint8 [B, Hc, Wc, 3], sizes [B, 5])`` —
-        exactly the function ``predict_serving`` dispatches per chunk.
-        """
-        ctc = method in ("ctc", "ctc_greedy", "ctc_beam")
-        if not ctc and method not in ("attention", "attention_beam"):
-            raise ValueError(f"Unsupported serving decode method: {method}")
-        if ctc and not self.model.with_ctc_head:
-            raise ValueError("this checkpoint has no CTC head")
-        if not ctc and not self.model.with_attention_head:
-            raise ValueError("this checkpoint has no attention head")
-        return self._serving_fn(
-            max_length + 1,
-            target_w or self.img_w,
-            ctc=ctc,
-            beam_width=beam_width if method == "ctc_beam" else 0,
-            prune_k=prune_k,
-            attn_beam=beam_width if method == "attention_beam" else 0,
-            length_penalty=(
-                length_penalty if method == "attention_beam" else 0.0
-            ),
-            lm_weight=(
-                lm_weight if method in ("attention_beam", "ctc_beam") else 0.0
-            ),
-        )
-
-    def predict_serving(
-        self,
-        images: Union[ImageLike, List[ImageLike]],
-        max_length: int = 25,
-        batch_size: int = 256,
-        canvas: Union[Tuple[int, int], str] = (64, 512),
-        method: str = "attention",  # or "attention_beam" / "ctc_greedy" / "ctc_beam"
-        return_confidence: bool = False,  # attention heads only (predict() parity)
-        beam_width: int = 16,  # ctc_beam / attention_beam
-        prune_k: int = 16,  # ctc_beam: top-k frame candidates considered
-        length_penalty: float = 0.0,  # attention_beam: score / len**p
-        lm_weight: float = 0.0,  # attention_beam shallow fusion (engine lm=)
-    ):
-        """High-throughput serving decode with on-device preprocessing.
-
-        The host only letterboxes raw uint8 pixels into a fixed canvas (a
-        memcpy); resize-pad-normalize runs fused on the TPU
-        (`ops/preprocess.py`).  Host->device traffic drops ~4x vs shipping
-        normalized float32, measured 4.2x faster end-to-end through a
-        bandwidth-constrained link.  Images larger than ``canvas`` are
-        cropped to it — size the canvas to your data.
-
-        Double-buffered: the next chunk's host letterbox runs in a worker
-        thread while the device decodes the current one.  Honors
-        ``width_buckets`` (each bucket decodes at its own static width).
-        ``method="ctc_greedy"`` decodes through the CTC head instead (the
-        fastest end-to-end configuration together with int8-static);
-        ``method="ctc_beam"`` swaps the greedy collapse for the fully
-        on-device prefix beam search (``ctc_beam_search_jax``) — same
-        pipeline, one fused kernel, beam-quality decodes at serving rates.
-        ``method="attention_beam"`` runs the seq2seq beam search
-        (`models/attention.py:_beam_search`) behind the same on-device
-        preprocess — ``beam_width`` hypotheses, best per row.
-        Like ``predict_ctc``, the CTC decodes have no ``max_length``
-        notion — output length is bounded by the collapsed frame count, and
-        the ``max_length`` arg only shapes the attention kernel.
-
-        The on-device resize reproduces the host cv2 pipeline exactly
-        (INTER_AREA coverage / clamped INTER_LINEAR as MXU matmuls with
-        uint8 quantization — every pixel within one uint8 step,
-        `ops/preprocess.py`): measured accuracy equals the host-preprocess
-        path (99.05% == 99.05% on the PERF.md full-scale demo).
-        """
-        ctc = method in ("ctc", "ctc_greedy", "ctc_beam")
-        ctc_beam_w = beam_width if method == "ctc_beam" else 0
-        attn_beam = method == "attention_beam"
-        if ctc and return_confidence:
-            raise ValueError("return_confidence requires an attention method")
-        if ctc and not self.model.with_ctc_head:
-            raise ValueError("this checkpoint has no CTC head")
-        if not ctc and method not in ("attention", "attention_beam"):
-            raise ValueError(f"Unsupported serving decode method: {method}")
-        if lm_weight and not (attn_beam or ctc_beam_w):
-            raise ValueError(
-                "lm_weight requires method='attention_beam' or 'ctc_beam'"
-            )
-        if length_penalty and not attn_beam:
-            raise ValueError("length_penalty requires method='attention_beam'")
-        if not ctc and not self.model.with_attention_head:
-            raise ValueError("this checkpoint has no attention head; use predict_ctc()")
-        from concurrent.futures import ThreadPoolExecutor
-
-        from rcnn_ocr_tpu.ops.preprocess import host_letterbox
-
-        is_single = not isinstance(images, list)
-        images_list: List[ImageLike] = [images] if is_single else list(images)
-        if not images_list:
-            return []
-        steps = max_length + 1
-        batch_size = self._round_batch(batch_size)
-        if isinstance(canvas, str):
-            if canvas != "auto":
-                raise ValueError(f"canvas: unknown spec {canvas!r}")
-            # size the letterbox canvas to the data (header probes, no
-            # decode) so nothing is cropped; one static shape per call set
-            sizes = [self._probe_hw(img) for img in images_list]
-            canvas = (max(h for h, _ in sizes), max(w for _, w in sizes))
-            if self._verbose:
-                print(f"Auto serving canvas: {canvas[0]}x{canvas[1]}")
-        canvas_h, canvas_w = canvas
-
-        chunks = self._bucket_chunks(images_list, batch_size)
-
-        from rcnn_ocr_tpu.ops.preprocess import host_resize_geometry
-
-        def letterbox_chunk(chunk):
-            bucket, idxs = chunk
-            rgb = [self._to_rgb(images_list[j]) for j in idxs]
-            rgb, n_real = self._pad_rows(rgb, batch_size)
-            raw, sizes = host_letterbox(rgb, canvas_h, canvas_w)
-            # host-float64 placed-rect geometry rides along with the sizes
-            # so the device resize is bit-identical to the host transform
-            geom = host_resize_geometry(sizes, self.img_h, bucket or self.img_w)
-            sizes = np.concatenate([sizes, geom], axis=1)
-            return bucket, idxs, n_real, raw, sizes
-
-        results: List[Any] = [None] * len(images_list)
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            pending = pool.submit(letterbox_chunk, chunks[0]) if chunks else None
-            for k in range(len(chunks)):
-                bucket, idxs, n_real, raw, sizes = pending.result()
-                if k + 1 < len(chunks):
-                    pending = pool.submit(letterbox_chunk, chunks[k + 1])
-                run = self._serving_fn(
-                    steps, bucket or self.img_w, ctc=ctc,
-                    beam_width=ctc_beam_w, prune_k=prune_k,
-                    attn_beam=beam_width if attn_beam else 0,
-                    length_penalty=length_penalty if attn_beam else 0.0,
-                    lm_weight=lm_weight if (attn_beam or ctc_beam_w) else 0.0,
-                )
-                pred, aux = run(
-                    self.variables,
-                    self._device_batch(raw),
-                    self._device_batch(sizes),
-                )
-                # np.asarray blocks on device compute while the NEXT chunk
-                # letterboxes in the worker thread (overlap)
-                pred_rows = np.asarray(pred)
-                if ctc:
-                    from rcnn_ocr_tpu.postprocess import (
-                        ctc_skip_ids,
-                        decode_ctc_batch,
-                    )
-
-                    texts = decode_ctc_batch(
-                        pred_rows,
-                        aux,
-                        len(idxs),
-                        self._itos,
-                        ctc_skip_ids(
-                            self.charset.pad_id,
-                            self.charset.sos_id,
-                            self.charset.eos_id,
-                            self.charset.ctc_blank_id,
-                        ),
-                    )
-                    for j, out_idx in enumerate(idxs):
-                        results[out_idx] = texts[j]
-                    continue
-                if attn_beam:
-                    scores = np.asarray(aux) if return_confidence else None
-                    for j, out_idx in enumerate(idxs):
-                        results[out_idx] = self._decode_beam_row(
-                            pred_rows[j],
-                            scores[j] if return_confidence else 0.0,
-                            return_confidence,
-                        )
-                    continue
-                maxp_rows = np.asarray(aux) if return_confidence else None
-                for j, out_idx in enumerate(idxs):
-                    results[out_idx] = self._decode_attention_row(
-                        pred_rows[j],
-                        maxp_rows[j] if return_confidence else None,
-                        return_confidence,
-                    )
-        return results[0] if is_single else results
-
     def predict_ctc(
         self,
         images: Union[ImageLike, List[ImageLike]],
@@ -1108,135 +689,5 @@ class OCRInference:
             texts = ids_to_text(rows, self._itos, skip_ids=skip)
             for j, out_idx in enumerate(chunk_idx):
                 results[out_idx] = texts[j]
-
-        return results[0] if is_single else results
-
-    def predict_ctc_long(
-        self,
-        images: Union[ImageLike, List[ImageLike]],
-        tile_w: Optional[int] = None,
-        overlap: Optional[int] = None,
-        batch_size: int = 32,
-        method: str = "greedy",
-        beam_width: int = 16,
-        prune_k: int = 16,
-    ):
-        """Unbounded-width decode: tile, trim, and concatenate CTC frames.
-
-        Every fixed-width path (here and in the reference,
-        `/root/reference/data/transforms.py:62-120`) squashes the line
-        into one canvas — a 4000 px line at ``img_w=512`` loses ~8x of
-        its horizontal resolution and the accuracy with it.  CTC frames
-        are time-aligned with image x-position, so long lines can decode
-        at FULL resolution: height-normalize preserving aspect, cut
-        ``tile_w``-wide tiles overlapping by ``overlap`` px, run the
-        encoder per tile (tiles batch together — one static shape, one
-        compile), drop half of each junction's overlap frames per side,
-        concatenate the frame sequence, and collapse (``greedy``) or
-        prefix-beam (``beam``) the stitched whole on the host.  Images
-        that fit one tile take the ordinary resize-pad path, so short
-        lines decode identically to ``predict_ctc``.
-
-        The attention head has no frame/position alignment to stitch —
-        this is a CTC-head capability (the head the serving paths use).
-        """
-        if not self.model.with_ctc_head:
-            raise ValueError("this checkpoint has no CTC head")
-        if method not in ("greedy", "beam"):
-            raise ValueError(f"Unsupported decode method: {method}")
-        import cv2
-
-        from rcnn_ocr_tpu.data.loader import scaled_width
-        from rcnn_ocr_tpu.data.transforms import ResizeAndPad
-        from rcnn_ocr_tpu.ops.ctc import ctc_greedy_collapse_np
-        from rcnn_ocr_tpu.postprocess import ctc_skip_ids
-
-        is_single = not isinstance(images, list)
-        images_list: List[ImageLike] = [images] if is_single else list(images)
-        if not images_list:
-            return []
-        tile_w = int(tile_w or self.img_w)
-        # default: 64 px of shared context per junction, clamped so tiny
-        # tile widths (e.g. a 64 px canvas) still leave unique frames
-        overlap = int(overlap) if overlap is not None else min(64, tile_w // 2)
-        if not 0 < overlap < tile_w:
-            raise ValueError(f"overlap must be in (0, {tile_w}), got {overlap}")
-        batch_size = self._round_batch(batch_size)
-        pad_one = ResizeAndPad(img_h=self.img_h, img_w=tile_w)
-
-        # --- plan: height-normalized tiles + per-image start offsets ---
-        tiles: List[np.ndarray] = []
-        plans: List[Tuple[int, List[int]]] = []  # (first tile idx, starts)
-        for img in images_list:
-            rgb = self._to_rgb(img)
-            h, w = rgb.shape[:2]
-            new_w = scaled_width(h, w, self.img_h)
-            if new_w <= tile_w:
-                plans.append((len(tiles), [0]))
-                tiles.append(pad_one(rgb))
-                continue
-            shrinking = self.img_h < h or new_w < w
-            resized = cv2.resize(
-                rgb, (new_w, self.img_h),
-                interpolation=cv2.INTER_AREA if shrinking else cv2.INTER_LINEAR,
-            )
-            step = tile_w - overlap
-            starts = list(range(0, new_w - tile_w, step))
-            if starts[-1] != new_w - tile_w:
-                starts.append(new_w - tile_w)  # right-aligned final tile
-            plans.append((len(tiles), starts))
-            tiles.extend(resized[:, s : s + tile_w] for s in starts)
-
-        # --- batched frame extraction (pruned top-k; slot 0 == argmax) ---
-        k = max(1, min(prune_k, self.charset.num_classes))
-        run = self._ctc_fn(False, k)
-        all_vals: List[np.ndarray] = []
-        all_idx: List[np.ndarray] = []
-        for i in range(0, len(tiles), batch_size):
-            chunk, n_real = self._pad_rows(tiles[i : i + batch_size], batch_size)
-            vals, idx = run(self.variables, self._device_batch(np.stack(chunk)))
-            all_vals.append(np.asarray(vals)[:n_real])
-            all_idx.append(np.asarray(idx)[:n_real])
-        vals = np.concatenate(all_vals)  # [n_tiles, T, k]
-        idx = np.concatenate(all_idx)
-        frames_t = vals.shape[1]
-        # per-tile per-frame blank log-prob (-inf when blank left the
-        # top-k): junction cuts snap to the most blank-dominant frame
-        blank_lp = np.where(
-            idx == self.charset.ctc_blank_id, vals, -np.inf
-        ).max(-1)
-
-        # --- stitch + decode per image ---
-        skip = ctc_skip_ids(
-            self.charset.pad_id, self.charset.sos_id, self.charset.eos_id,
-            self.charset.ctc_blank_id,
-        )
-        results: List[str] = []
-        for first, starts in plans:
-            spans = [
-                (first + j, a, b)
-                for j, a, b in long_line_spans(
-                    starts, tile_w, frames_t,
-                    blank_scores=blank_lp[first : first + len(starts)],
-                )
-            ]
-            v_cat = np.concatenate([vals[t, a:b] for t, a, b in spans])
-            i_cat = np.concatenate([idx[t, a:b] for t, a, b in spans])
-            if method == "greedy":
-                row = ctc_greedy_collapse_np(
-                    i_cat[None, :, 0], self.charset.ctc_blank_id
-                )[0]
-            else:
-                dense = np.full(
-                    (1, v_cat.shape[0], self.charset.num_classes), -1e30,
-                    np.float32,
-                )
-                np.put_along_axis(dense, i_cat[None], v_cat[None], -1)
-                rows, _ = ctc_beam_search(
-                    dense, blank_id=self.charset.ctc_blank_id,
-                    beam_width=beam_width, already_log_probs=True,
-                )
-                row = rows[0]
-            results.append(ids_to_text([row], self._itos, skip_ids=skip)[0])
 
         return results[0] if is_single else results

@@ -1,0 +1,244 @@
+"""Unbounded-width (long-line) decoding: tile, trim, stitch.
+
+Every fixed-width path (here and in the reference,
+`/root/reference/data/transforms.py:62-120`) squashes the line into one
+canvas — a 4000 px line at ``img_w=512`` loses ~8x of its horizontal
+resolution and the accuracy with it.  CTC frames are time-aligned with
+image x-position, so long lines can decode at FULL resolution: cut the
+height-normalized line into overlapping fixed-width tiles (one static
+shape -> one compiled kernel), keep a disjoint frame span per tile, and
+collapse the stitched frame sequence as if it came from one wide encoder
+pass.
+
+This module holds the span geometry (:func:`long_line_spans` — a pure,
+contract-tested function) and the engine-facing decode driver
+(:class:`LongLineMixin`, mixed into
+:class:`rcnn_ocr_tpu.inference.OCRInference`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+ImageLike = Union[np.ndarray, str, "Any"]
+
+
+def long_line_spans(
+    starts: Sequence[int],
+    tile_w: int,
+    frames_t: int,
+    blank_scores: Optional[np.ndarray] = None,  # [n_tiles, frames_t]
+) -> List[Tuple[int, int, int]]:
+    """Per-tile kept frame ranges for long-line CTC stitching.
+
+    ``starts`` are tile x-offsets in the height-normalized image (strictly
+    increasing, consecutive tiles overlapping).  Each junction's overlap
+    is split so every encoder frame of the full line is represented
+    exactly once (up to frame-stride rounding): at the overlap MIDPOINT
+    by default, or — when ``blank_scores`` (per-tile per-frame blank
+    log-probs) is given — at the most blank-dominant shared frame, so the
+    cut lands between characters instead of through one (a character
+    straddling a midpoint cut loses frames on both sides and drops from
+    the decode; measured on the synthetic long-line demo, PERF.md).
+    Returns ``(tile_index, frame_from, frame_to)`` per tile — the
+    contract `tests/test_long_lines.py` pins down.
+    """
+    stride = tile_w / frames_t
+    cuts = []  # per junction: global CUT frame (left keeps < cut)
+    for j in range(1, len(starts)):
+        g_right = starts[j] / stride  # right tile's first global frame
+        g_left_end = starts[j - 1] / stride + frames_t
+        lo = int(np.ceil(g_right)) + 1  # keep >= 1 frame in the right tile
+        hi = int(np.floor(g_left_end)) - 1  # and >= 1 in the left
+        mid = int(round((g_right + g_left_end) / 2))
+        cut = min(max(mid, lo), hi)
+        if blank_scores is not None and hi > lo:
+            g0 = int(round(starts[j - 1] / stride))
+            g1 = int(round(g_right))
+            best, best_score = cut, -np.inf
+            for g in range(lo, hi + 1):
+                fl, fr = g - g0, g - g1  # frame index in left/right tile
+                score = 0.0
+                if 0 <= fl < frames_t:
+                    score += float(blank_scores[j - 1, fl])
+                if 0 <= fr < frames_t:
+                    score += float(blank_scores[j, fr])
+                if score > best_score:
+                    best, best_score = g, score
+            cut = best
+        cuts.append(cut)
+
+    spans = []
+    for j, s in enumerate(starts):
+        g0 = int(round(s / stride))
+        f_from = 0 if j == 0 else min(max(cuts[j - 1] - g0, 0), frames_t - 1)
+        f_to = frames_t if j + 1 == len(starts) else min(
+            max(cuts[j] - g0, f_from + 1), frames_t
+        )
+        spans.append((j, f_from, f_to))
+    return spans
+
+
+def plan_tiles(
+    rgb_images: List[np.ndarray],
+    img_h: int,
+    tile_w: int,
+    overlap: int,
+    pad_one,
+) -> Tuple[List[np.ndarray], List[Tuple[int, List[int]]]]:
+    """Height-normalize and tile a list of decoded RGB images.
+
+    Images whose scaled width fits one tile take the ordinary
+    resize-and-pad path (``pad_one``), so short lines decode identically
+    to the fixed-width engine.  Returns the flat tile list and, per image,
+    ``(first_tile_index, tile_start_offsets)``.
+    """
+    import cv2
+
+    from rcnn_ocr_tpu.data.loader import scaled_width
+
+    tiles: List[np.ndarray] = []
+    plans: List[Tuple[int, List[int]]] = []
+    for rgb in rgb_images:
+        h, w = rgb.shape[:2]
+        new_w = scaled_width(h, w, img_h)
+        if new_w <= tile_w:
+            plans.append((len(tiles), [0]))
+            tiles.append(pad_one(rgb))
+            continue
+        shrinking = img_h < h or new_w < w
+        resized = cv2.resize(
+            rgb, (new_w, img_h),
+            interpolation=cv2.INTER_AREA if shrinking else cv2.INTER_LINEAR,
+        )
+        step = tile_w - overlap
+        starts = list(range(0, new_w - tile_w, step))
+        if starts[-1] != new_w - tile_w:
+            starts.append(new_w - tile_w)  # right-aligned final tile
+        plans.append((len(tiles), starts))
+        tiles.extend(resized[:, s : s + tile_w] for s in starts)
+    return tiles, plans
+
+
+def resolve_tiling(
+    img_w: int, tile_w: Optional[int], overlap: Optional[int]
+) -> Tuple[int, int]:
+    """Default + validate the (tile_w, overlap) pair (shared by the live
+    engine and the exported-artifact long driver)."""
+    tile_w = int(tile_w or img_w)
+    # default: 64 px of shared context per junction, clamped so tiny tile
+    # widths (e.g. a 64 px canvas) still leave unique frames
+    overlap = int(overlap) if overlap is not None else min(64, tile_w // 2)
+    if not 0 < overlap < tile_w:
+        raise ValueError(f"overlap must be in (0, {tile_w}), got {overlap}")
+    return tile_w, overlap
+
+
+class LongLineMixin:
+    """`predict_ctc_long` for :class:`~rcnn_ocr_tpu.inference.OCRInference`."""
+
+    def predict_ctc_long(
+        self,
+        images: Union[ImageLike, List[ImageLike]],
+        tile_w: Optional[int] = None,
+        overlap: Optional[int] = None,
+        batch_size: int = 32,
+        method: str = "greedy",
+        beam_width: int = 16,
+        prune_k: int = 16,
+    ):
+        """Unbounded-width decode: tile, trim, and concatenate CTC frames.
+
+        Height-normalize preserving aspect, cut ``tile_w``-wide tiles
+        overlapping by ``overlap`` px, run the encoder per tile (tiles
+        batch together — one static shape, one compile), drop half of each
+        junction's overlap frames per side (:func:`long_line_spans`),
+        concatenate the frame sequence, and collapse (``greedy``) or
+        prefix-beam (``beam``) the stitched whole on the host.  Images
+        that fit one tile take the ordinary resize-pad path, so short
+        lines decode identically to ``predict_ctc``.
+
+        The attention head has no frame/position alignment to stitch —
+        see ``predict_long`` for its segmentation-based counterpart.
+        """
+        if not self.model.with_ctc_head:
+            raise ValueError("this checkpoint has no CTC head")
+        if method not in ("greedy", "beam"):
+            raise ValueError(f"Unsupported decode method: {method}")
+        from rcnn_ocr_tpu.data.transforms import ResizeAndPad
+        from rcnn_ocr_tpu.ops.ctc import (
+            ctc_beam_search,
+            ctc_greedy_collapse_np,
+            ids_to_text,
+        )
+        from rcnn_ocr_tpu.postprocess import ctc_skip_ids
+
+        is_single = not isinstance(images, list)
+        images_list: List[ImageLike] = [images] if is_single else list(images)
+        if not images_list:
+            return []
+        tile_w, overlap = resolve_tiling(self.img_w, tile_w, overlap)
+        batch_size = self._round_batch(batch_size)
+        pad_one = ResizeAndPad(img_h=self.img_h, img_w=tile_w)
+
+        # --- plan: height-normalized tiles + per-image start offsets ---
+        tiles, plans = plan_tiles(
+            [self._to_rgb(img) for img in images_list],
+            self.img_h, tile_w, overlap, pad_one,
+        )
+
+        # --- batched frame extraction (pruned top-k; slot 0 == argmax) ---
+        k = max(1, min(prune_k, self.charset.num_classes))
+        run = self._ctc_fn(False, k)
+        all_vals: List[np.ndarray] = []
+        all_idx: List[np.ndarray] = []
+        for i in range(0, len(tiles), batch_size):
+            chunk, n_real = self._pad_rows(tiles[i : i + batch_size], batch_size)
+            vals, idx = run(self.variables, self._device_batch(np.stack(chunk)))
+            all_vals.append(np.asarray(vals)[:n_real])
+            all_idx.append(np.asarray(idx)[:n_real])
+        vals = np.concatenate(all_vals)  # [n_tiles, T, k]
+        idx = np.concatenate(all_idx)
+        frames_t = vals.shape[1]
+        # per-tile per-frame blank log-prob (-inf when blank left the
+        # top-k): junction cuts snap to the most blank-dominant frame
+        blank_lp = np.where(
+            idx == self.charset.ctc_blank_id, vals, -np.inf
+        ).max(-1)
+
+        # --- stitch + decode per image ---
+        skip = ctc_skip_ids(
+            self.charset.pad_id, self.charset.sos_id, self.charset.eos_id,
+            self.charset.ctc_blank_id,
+        )
+        results: List[str] = []
+        for first, starts in plans:
+            spans = [
+                (first + j, a, b)
+                for j, a, b in long_line_spans(
+                    starts, tile_w, frames_t,
+                    blank_scores=blank_lp[first : first + len(starts)],
+                )
+            ]
+            v_cat = np.concatenate([vals[t, a:b] for t, a, b in spans])
+            i_cat = np.concatenate([idx[t, a:b] for t, a, b in spans])
+            if method == "greedy":
+                row = ctc_greedy_collapse_np(
+                    i_cat[None, :, 0], self.charset.ctc_blank_id
+                )[0]
+            else:
+                dense = np.full(
+                    (1, v_cat.shape[0], self.charset.num_classes), -1e30,
+                    np.float32,
+                )
+                np.put_along_axis(dense, i_cat[None], v_cat[None], -1)
+                rows, _ = ctc_beam_search(
+                    dense, blank_id=self.charset.ctc_blank_id,
+                    beam_width=beam_width, already_log_probs=True,
+                )
+                row = rows[0]
+            results.append(ids_to_text([row], self._itos, skip_ids=skip)[0])
+
+        return results[0] if is_single else results

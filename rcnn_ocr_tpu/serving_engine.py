@@ -1,0 +1,296 @@
+"""The engine-side serving path: on-device preprocess + pipelined decode.
+
+Holds the jitted serving kernel builder (``serving_kernel`` — also the
+ahead-of-time export surface, `rcnn_ocr_tpu/export.py`) and the
+double-buffered ``predict_serving`` driver.  Mixed into
+:class:`rcnn_ocr_tpu.inference.OCRInference`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ImageLike = Union[np.ndarray, str, "Any"]
+
+
+class ServingEngineMixin:
+    """``serving_kernel`` / ``predict_serving`` for ``OCRInference``."""
+
+    def _serving_fn(
+        self,
+        steps: int,
+        target_w: int,
+        ctc: bool = False,
+        beam_width: int = 0,
+        prune_k: int = 16,
+        attn_beam: int = 0,  # attention-head beam width (0 = greedy)
+        length_penalty: float = 0.0,
+        lm_weight: float = 0.0,  # attn_beam / ctc beam shallow fusion (engine lm=)
+    ):
+        from rcnn_ocr_tpu.ops.ctc import ctc_greedy_decode_jnp
+
+        lm = self._fusion_lm(lm_weight) if (attn_beam or beam_width) else None
+
+        def build():
+            from rcnn_ocr_tpu.ops.preprocess import resize_pad_normalize
+
+            def run(variables, raw, sizes):
+                x = resize_pad_normalize(raw, sizes, self.img_h, target_w)
+                if not ctc and attn_beam:
+                    return self.model.apply(
+                        variables,
+                        x,
+                        beam_width=attn_beam,
+                        batch_max_length=steps - 1,
+                        length_penalty=length_penalty,
+                        lm_logp=lm,
+                        lm_weight=lm_weight,
+                        method=self.model.beam_decode,
+                    )
+                if ctc:
+                    logits = self.model.apply(
+                        variables, x, train=False, method=self.model.ctc_logits
+                    )
+                    if beam_width:
+                        from rcnn_ocr_tpu.ops.ctc import ctc_beam_search_jax
+
+                        log_probs = jax.nn.log_softmax(logits, axis=-1)
+                        vals, idx = jax.lax.top_k(
+                            log_probs, min(prune_k, self.charset.num_classes)
+                        )
+                        labels, lens, _ = ctc_beam_search_jax(
+                            vals, idx.astype(jnp.int32),
+                            blank_id=self.charset.ctc_blank_id,
+                            beam_width=beam_width,
+                            lm_logp=lm,
+                            lm_weight=lm_weight,
+                            sos_id=self.charset.sos_id,
+                        )
+                        return labels, lens
+                    return ctc_greedy_decode_jnp(logits, self.charset.ctc_blank_id)
+                logits = self.model.apply(
+                    variables, x, train=False, batch_max_length=steps - 1
+                )
+                probs = jax.nn.softmax(logits, axis=-1)
+                return jnp.argmax(logits, axis=-1), jnp.max(probs, axis=-1)
+
+            return self._jit(run, n_batch_args=2)
+
+        # the CTC kernels are steps-independent — key them once per width so
+        # different max_length calls reuse the same compilation
+        key_steps = 0 if ctc else steps
+        return self._cached(
+            ("serving", key_steps, target_w, ctc, beam_width, prune_k,
+             attn_beam, length_penalty, lm_weight),
+            build
+        )
+
+    def serving_kernel(
+        self,
+        method: str = "attention",
+        max_length: int = 25,
+        target_w: Optional[int] = None,
+        beam_width: int = 16,
+        prune_k: int = 16,
+        length_penalty: float = 0.0,  # attention_beam: score / len**p
+        lm_weight: float = 0.0,  # attention_beam shallow fusion (engine lm=)
+    ):
+        """The jitted serving decode kernel for one static configuration.
+
+        Public accessor for ahead-of-time export (`rcnn_ocr_tpu.export`):
+        ``kernel(variables, raw_uint8 [B, Hc, Wc, 3], sizes [B, 5])`` —
+        exactly the function ``predict_serving`` dispatches per chunk.
+        """
+        ctc = method in ("ctc", "ctc_greedy", "ctc_beam")
+        if not ctc and method not in ("attention", "attention_beam"):
+            raise ValueError(f"Unsupported serving decode method: {method}")
+        if ctc and not self.model.with_ctc_head:
+            raise ValueError("this checkpoint has no CTC head")
+        if not ctc and not self.model.with_attention_head:
+            raise ValueError("this checkpoint has no attention head")
+        return self._serving_fn(
+            max_length + 1,
+            target_w or self.img_w,
+            ctc=ctc,
+            beam_width=beam_width if method == "ctc_beam" else 0,
+            prune_k=prune_k,
+            attn_beam=beam_width if method == "attention_beam" else 0,
+            length_penalty=(
+                length_penalty if method == "attention_beam" else 0.0
+            ),
+            lm_weight=(
+                lm_weight if method in ("attention_beam", "ctc_beam") else 0.0
+            ),
+        )
+
+    def tile_kernel(self, prune_k: int = 16):
+        """The per-tile frame-extraction kernel long-line decoding runs:
+        ``kernel(variables, uint8 tiles [B, H, tile_w, 3]) -> (top-k frame
+        log-probs [B, T, k], class ids [B, T, k])``.  Public accessor so
+        the AOT export can ship the long-line path (`rcnn_ocr_tpu.export`).
+        """
+        if not self.model.with_ctc_head:
+            raise ValueError("this checkpoint has no CTC head")
+        k = max(1, min(prune_k, self.charset.num_classes))
+        return self._ctc_fn(False, k)
+
+    def predict_serving(
+        self,
+        images: Union[ImageLike, List[ImageLike]],
+        max_length: int = 25,
+        batch_size: int = 256,
+        canvas: Union[Tuple[int, int], str] = (64, 512),
+        method: str = "attention",  # or "attention_beam" / "ctc_greedy" / "ctc_beam"
+        return_confidence: bool = False,  # attention heads only (predict() parity)
+        beam_width: int = 16,  # ctc_beam / attention_beam
+        prune_k: int = 16,  # ctc_beam: top-k frame candidates considered
+        length_penalty: float = 0.0,  # attention_beam: score / len**p
+        lm_weight: float = 0.0,  # attention_beam shallow fusion (engine lm=)
+    ):
+        """High-throughput serving decode with on-device preprocessing.
+
+        The host only letterboxes raw uint8 pixels into a fixed canvas (a
+        memcpy); resize-pad-normalize runs fused on the TPU
+        (`ops/preprocess.py`).  Host->device traffic drops ~4x vs shipping
+        normalized float32, measured 4.2x faster end-to-end through a
+        bandwidth-constrained link.  Images larger than ``canvas`` are
+        cropped to it — size the canvas to your data.
+
+        Double-buffered: the next chunk's host letterbox runs in a worker
+        thread while the device decodes the current one.  Honors
+        ``width_buckets`` (each bucket decodes at its own static width).
+        ``method="ctc_greedy"`` decodes through the CTC head instead (the
+        fastest end-to-end configuration together with int8-static);
+        ``method="ctc_beam"`` swaps the greedy collapse for the fully
+        on-device prefix beam search (``ctc_beam_search_jax``) — same
+        pipeline, one fused kernel, beam-quality decodes at serving rates.
+        ``method="attention_beam"`` runs the seq2seq beam search
+        (`models/attention.py:_beam_search`) behind the same on-device
+        preprocess — ``beam_width`` hypotheses, best per row.
+        Like ``predict_ctc``, the CTC decodes have no ``max_length``
+        notion — output length is bounded by the collapsed frame count, and
+        the ``max_length`` arg only shapes the attention kernel.
+
+        The on-device resize reproduces the host cv2 pipeline exactly
+        (INTER_AREA coverage / clamped INTER_LINEAR as MXU matmuls with
+        uint8 quantization — every pixel within one uint8 step,
+        `ops/preprocess.py`): measured accuracy equals the host-preprocess
+        path (99.05% == 99.05% on the PERF.md full-scale demo).
+        """
+        ctc = method in ("ctc", "ctc_greedy", "ctc_beam")
+        ctc_beam_w = beam_width if method == "ctc_beam" else 0
+        attn_beam = method == "attention_beam"
+        if ctc and return_confidence:
+            raise ValueError("return_confidence requires an attention method")
+        if ctc and not self.model.with_ctc_head:
+            raise ValueError("this checkpoint has no CTC head")
+        if not ctc and method not in ("attention", "attention_beam"):
+            raise ValueError(f"Unsupported serving decode method: {method}")
+        if lm_weight and not (attn_beam or ctc_beam_w):
+            raise ValueError(
+                "lm_weight requires method='attention_beam' or 'ctc_beam'"
+            )
+        if length_penalty and not attn_beam:
+            raise ValueError("length_penalty requires method='attention_beam'")
+        if not ctc and not self.model.with_attention_head:
+            raise ValueError("this checkpoint has no attention head; use predict_ctc()")
+        from concurrent.futures import ThreadPoolExecutor
+
+        from rcnn_ocr_tpu.ops.preprocess import host_letterbox
+
+        is_single = not isinstance(images, list)
+        images_list: List[ImageLike] = [images] if is_single else list(images)
+        if not images_list:
+            return []
+        steps = max_length + 1
+        batch_size = self._round_batch(batch_size)
+        if isinstance(canvas, str):
+            if canvas != "auto":
+                raise ValueError(f"canvas: unknown spec {canvas!r}")
+            # size the letterbox canvas to the data (header probes, no
+            # decode) so nothing is cropped; one static shape per call set
+            sizes = [self._probe_hw(img) for img in images_list]
+            canvas = (max(h for h, _ in sizes), max(w for _, w in sizes))
+            if self._verbose:
+                print(f"Auto serving canvas: {canvas[0]}x{canvas[1]}")
+        canvas_h, canvas_w = canvas
+
+        chunks = self._bucket_chunks(images_list, batch_size)
+
+        from rcnn_ocr_tpu.ops.preprocess import host_resize_geometry
+
+        def letterbox_chunk(chunk):
+            bucket, idxs = chunk
+            rgb = [self._to_rgb(images_list[j]) for j in idxs]
+            rgb, n_real = self._pad_rows(rgb, batch_size)
+            raw, sizes = host_letterbox(rgb, canvas_h, canvas_w)
+            # host-float64 placed-rect geometry rides along with the sizes
+            # so the device resize is bit-identical to the host transform
+            geom = host_resize_geometry(sizes, self.img_h, bucket or self.img_w)
+            sizes = np.concatenate([sizes, geom], axis=1)
+            return bucket, idxs, n_real, raw, sizes
+
+        results: List[Any] = [None] * len(images_list)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = pool.submit(letterbox_chunk, chunks[0]) if chunks else None
+            for k in range(len(chunks)):
+                bucket, idxs, n_real, raw, sizes = pending.result()
+                if k + 1 < len(chunks):
+                    pending = pool.submit(letterbox_chunk, chunks[k + 1])
+                run = self._serving_fn(
+                    steps, bucket or self.img_w, ctc=ctc,
+                    beam_width=ctc_beam_w, prune_k=prune_k,
+                    attn_beam=beam_width if attn_beam else 0,
+                    length_penalty=length_penalty if attn_beam else 0.0,
+                    lm_weight=lm_weight if (attn_beam or ctc_beam_w) else 0.0,
+                )
+                pred, aux = run(
+                    self.variables,
+                    self._device_batch(raw),
+                    self._device_batch(sizes),
+                )
+                # np.asarray blocks on device compute while the NEXT chunk
+                # letterboxes in the worker thread (overlap)
+                pred_rows = np.asarray(pred)
+                if ctc:
+                    from rcnn_ocr_tpu.postprocess import (
+                        ctc_skip_ids,
+                        decode_ctc_batch,
+                    )
+
+                    texts = decode_ctc_batch(
+                        pred_rows,
+                        aux,
+                        len(idxs),
+                        self._itos,
+                        ctc_skip_ids(
+                            self.charset.pad_id,
+                            self.charset.sos_id,
+                            self.charset.eos_id,
+                            self.charset.ctc_blank_id,
+                        ),
+                    )
+                    for j, out_idx in enumerate(idxs):
+                        results[out_idx] = texts[j]
+                    continue
+                if attn_beam:
+                    scores = np.asarray(aux) if return_confidence else None
+                    for j, out_idx in enumerate(idxs):
+                        results[out_idx] = self._decode_beam_row(
+                            pred_rows[j],
+                            scores[j] if return_confidence else 0.0,
+                            return_confidence,
+                        )
+                    continue
+                maxp_rows = np.asarray(aux) if return_confidence else None
+                for j, out_idx in enumerate(idxs):
+                    results[out_idx] = self._decode_attention_row(
+                        pred_rows[j],
+                        maxp_rows[j] if return_confidence else None,
+                        return_confidence,
+                    )
+        return results[0] if is_single else results
