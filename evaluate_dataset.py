@@ -70,10 +70,10 @@ def load_dataset(csv_path: str, root_path: str) -> Tuple[List[str], List[str]]:
 
 
 def evaluate_model(
-    model_path: str,
-    charset_path: str,
-    csv_path: str,
-    root_path: str,
+    model_path: Optional[str] = None,
+    charset_path: Optional[str] = None,
+    csv_path: str = "",
+    root_path: str = "",
     batch_size: int = 16,
     max_samples: int | None = None,
     img_h: int = 32,
@@ -89,21 +89,28 @@ def evaluate_model(
     serving: bool = False,
     static_quant: bool = False,
     save_calibration: Optional[str] = None,
+    artifact: Optional[str] = None,
 ):
     if serving and decode not in (
         "attention", "attention_beam", "ctc_greedy", "ctc_beam"
     ):
         raise ValueError(f"--serving does not support --decode {decode!r}")
     print("Evaluating model on dataset")
-    print(f"  model:   {model_path}")
-    print(f"  charset: {charset_path}")
+    if artifact:
+        # deployment-unit certification: the decode configuration is baked
+        # into the artifact manifest at export time
+        print(f"  artifact: {artifact}")
+    else:
+        print(f"  model:   {model_path}")
+        print(f"  charset: {charset_path}")
     print(f"  csv:     {csv_path}")
     print(f"  images:  {root_path}")
-    print(
-        f"  size:    {img_h}x{img_w}   decode: {decode}"
-        f"{'   int8' if quantize else ''}{'-static' if static_quant else ''}"
-        f"{'   serving' if serving else ''}"
-    )
+    if not artifact:
+        print(
+            f"  size:    {img_h}x{img_w}   decode: {decode}"
+            f"{'   int8' if quantize else ''}{'-static' if static_quant else ''}"
+            f"{'   serving' if serving else ''}"
+        )
     print("-" * 60)
 
     image_paths, true_texts = load_dataset(csv_path, root_path)
@@ -128,6 +135,23 @@ def evaluate_model(
             scaled, k, multiple=8, max_width=img_w
         )
         print(f"Auto width buckets (k={k}): {width_buckets}")
+
+    if artifact:
+        from rcnn_ocr_tpu.export import ServingArtifact
+
+        art = ServingArtifact.load(artifact)
+        print(
+            f"  artifact method: {art.method}   batch: {art.batch_size}"
+        )
+        from tqdm import tqdm as _tqdm
+
+        predicted: List[str] = []
+        for i in _tqdm(range(0, len(image_paths), art.batch_size), desc="Predict"):
+            out = art.predict(image_paths[i : i + art.batch_size])
+            predicted.extend(out if isinstance(out, list) else [out])
+        return _report_metrics(
+            true_texts, predicted, image_paths, os.path.basename(artifact.rstrip("/"))
+        )
 
     if lm_weight and decode not in ("attention_beam", "ctc_beam"):
         raise ValueError(
@@ -188,6 +212,14 @@ def evaluate_model(
         else:
             raise ValueError(f"unknown decode mode: {decode}")
 
+    return _report_metrics(
+        true_texts, predicted, image_paths, os.path.basename(model_path)
+    )
+
+
+def _report_metrics(true_texts, predicted, image_paths, result_name):
+    """Accuracy/CER/WER summary + per-sample CSV (shared by the live-engine
+    and --artifact evaluation paths)."""
     accuracy = compute_accuracy(true_texts, predicted)
     cers = [character_error_rate(t, p) for t, p in zip(true_texts, predicted)]
     wers = []
@@ -228,7 +260,7 @@ def evaluate_model(
             "exact_match": [t == p for t, p in zip(true_texts, predicted)],
         }
     )
-    output_path = f"evaluation_results_{os.path.basename(model_path)}.csv"
+    output_path = f"evaluation_results_{result_name}.csv"
     results_df.to_csv(output_path, index=False, encoding="utf-8")
     print(f"Per-sample results written to: {output_path}")
     return {"accuracy": accuracy, "cer": avg_cer, "wer": avg_wer, "n": len(image_paths)}
@@ -236,8 +268,14 @@ def evaluate_model(
 
 def main() -> int:
     parser = argparse.ArgumentParser(description="Evaluate an OCR model on a dataset")
-    parser.add_argument("--model", type=str, required=True, help="model checkpoint (.msgpack or .pth)")
-    parser.add_argument("--charset", type=str, required=True, help="charset file")
+    parser.add_argument("--model", type=str, default=None, help="model checkpoint (.msgpack or .pth)")
+    parser.add_argument("--charset", type=str, default=None, help="charset file (with --model)")
+    parser.add_argument(
+        "--artifact", type=str, default=None,
+        help="evaluate an exported serving artifact directory instead of a "
+        "checkpoint — certifies the actual deployment unit (decode "
+        "method/settings come from its manifest)",
+    )
     parser.add_argument("--csv", type=str, required=True, help="labels CSV")
     parser.add_argument("--root", type=str, required=True, help="images folder")
     parser.add_argument("--batch-size", type=int, default=16)
@@ -302,12 +340,45 @@ def main() -> int:
 
         enable_compile_cache(args.compile_cache_dir)
 
-    if not os.path.exists(args.model):
-        print(f"Model not found: {args.model}")
+    if bool(args.artifact) == bool(args.model):
+        print("Pass exactly one of --model or --artifact")
         return 1
-    if not os.path.exists(args.charset):
-        print(f"Charset not found: {args.charset}")
-        return 1
+    if args.artifact:
+        # the artifact bakes its decode configuration at export time —
+        # refuse knobs that cannot apply instead of silently ignoring them
+        baked = {
+            "--charset": args.charset is not None,
+            "--decode": args.decode != parser.get_default("decode"),
+            "--beam-width": args.beam_width != parser.get_default("beam_width"),
+            "--max-length": args.max_length != parser.get_default("max_length"),
+            "--lm": args.lm is not None,
+            "--lm-weight": str(args.lm_weight) != parser.get_default("lm_weight"),
+            "--length-penalty": args.length_penalty != 0.0,
+            "--width-buckets": args.width_buckets is not None,
+            "--quantize": args.quantize,
+            "--serving": args.serving,
+            "--static-quant": args.static_quant,
+        }
+        conflicting = [flag for flag, given in baked.items() if given]
+        if conflicting:
+            print(
+                f"{', '.join(conflicting)} cannot be used with --artifact "
+                "(baked in at export time; re-export to change them)"
+            )
+            return 1
+        if not os.path.exists(os.path.join(args.artifact, "manifest.json")):
+            print(f"Artifact not found: {args.artifact}")
+            return 1
+    else:
+        if args.charset is None:
+            print("--charset is required with --model")
+            return 1
+        if not os.path.exists(args.model):
+            print(f"Model not found: {args.model}")
+            return 1
+        if not os.path.exists(args.charset):
+            print(f"Charset not found: {args.charset}")
+            return 1
     lm_weights = [float(v) for v in str(args.lm_weight).split(",") if v != ""]
     if not lm_weights:
         print(f"--lm-weight parsed to an empty sweep: {args.lm_weight!r}")
@@ -343,6 +414,7 @@ def main() -> int:
                 serving=args.serving,
                 static_quant=args.static_quant,
                 save_calibration=args.save_calibration,
+                artifact=args.artifact,
             )
             sweep.append((w, metrics))
         if len(sweep) > 1:

@@ -40,6 +40,9 @@ import numpy as np
 MANIFEST_VERSION = 2
 
 
+LONG_METHODS = ("ctc_long", "ctc_long_beam")
+
+
 def export_serving_artifact(
     ocr,  # OCRInference
     out_dir: str,
@@ -53,6 +56,8 @@ def export_serving_artifact(
     lm_weight: float = 0.0,  # attention_beam shallow fusion (engine lm=)
     width_buckets: Optional[Sequence[int]] = None,
     platforms: Optional[Sequence[str]] = None,
+    tile_w: Optional[int] = None,  # ctc_long*: tile width (default img_w)
+    overlap: Optional[int] = None,  # ctc_long*: junction overlap px
 ) -> str:
     """Export an :class:`OCRInference` serving configuration to disk.
 
@@ -60,6 +65,13 @@ def export_serving_artifact(
     ``img_w``); every width becomes one exported kernel.  ``platforms``
     (e.g. ``("tpu", "cpu")``) requests multi-platform lowering — default is
     the exporting process's backend.  Returns ``out_dir``.
+
+    ``method="ctc_long"`` / ``"ctc_long_beam"`` exports the unbounded-width
+    stitched decode (`rcnn_ocr_tpu.long_lines`): the artifact carries the
+    per-tile frame-extraction kernel (one static ``tile_w``) plus the
+    tiling/stitch policy in the manifest; the host side of
+    :class:`ServingArtifact` then runs the SAME tiling + blank-snap stitch
+    driver as the live engine.
     """
     import jax
     from flax import serialization
@@ -67,15 +79,23 @@ def export_serving_artifact(
     if getattr(ocr, "_mesh", None) is not None:
         raise ValueError(
             "export requires a single-device OCRInference (mesh=None); "
-            "shard the exported artifact at load time instead"
+            "shard the exported artifact at load time instead: "
+            "ServingArtifact.load(dir, mesh=True)"
         )
-    widths = [int(w) for w in (width_buckets or ocr.width_buckets or [ocr.img_w])]
+    long_mode = method in LONG_METHODS
+    if long_mode:
+        from rcnn_ocr_tpu.long_lines import resolve_tiling
+
+        tile_w, overlap = resolve_tiling(ocr.img_w, tile_w, overlap)
+        widths = [int(tile_w)]
+    else:
+        widths = [int(w) for w in (width_buckets or ocr.width_buckets or [ocr.img_w])]
     canvas_h, canvas_w = int(canvas[0]), int(canvas[1])
     os.makedirs(out_dir, exist_ok=True)
     # re-export into the same directory must not leave dead kernels from a
     # previous width set — the directory IS the deployment unit
     for fname in os.listdir(out_dir):
-        if fname.startswith("serving_w") and fname.endswith(".stablehlo"):
+        if fname.startswith(("serving_w", "tiles_w")) and fname.endswith(".stablehlo"):
             os.remove(os.path.join(out_dir, fname))
 
     var_specs = jax.tree_util.tree_map(
@@ -89,19 +109,31 @@ def export_serving_artifact(
 
     files: Dict[str, str] = {}
     for w in widths:
-        kernel = ocr.serving_kernel(
-            method=method,
-            max_length=max_length,
-            target_w=w,
-            beam_width=beam_width,
-            prune_k=prune_k,
-            length_penalty=length_penalty,
-            lm_weight=lm_weight,  # the LM table bakes into the kernel bytes
-        )
-        exported = jax.export.export(
-            kernel, platforms=list(platforms) if platforms else None
-        )(var_specs, raw_spec, sizes_spec)
-        fname = f"serving_w{w}.stablehlo"
+        if long_mode:
+            # per-tile kernel: resize-padded uint8 tiles in, top-k frame
+            # candidates out (the stitch/collapse runs on the serving host)
+            kernel = ocr.tile_kernel(prune_k=prune_k)
+            tiles_spec = jax.ShapeDtypeStruct(
+                (batch_size, ocr.img_h, w, 3), np.uint8
+            )
+            exported = jax.export.export(
+                kernel, platforms=list(platforms) if platforms else None
+            )(var_specs, tiles_spec)
+            fname = f"tiles_w{w}.stablehlo"
+        else:
+            kernel = ocr.serving_kernel(
+                method=method,
+                max_length=max_length,
+                target_w=w,
+                beam_width=beam_width,
+                prune_k=prune_k,
+                length_penalty=length_penalty,
+                lm_weight=lm_weight,  # the LM table bakes into the kernel bytes
+            )
+            exported = jax.export.export(
+                kernel, platforms=list(platforms) if platforms else None
+            )(var_specs, raw_spec, sizes_spec)
+            fname = f"serving_w{w}.stablehlo"
         with open(os.path.join(out_dir, fname), "wb") as f:
             f.write(bytes(exported.serialize()))
         files[str(w)] = fname
@@ -143,6 +175,11 @@ def export_serving_artifact(
         "jax_version": jax.__version__,
         "files": files,
     }
+    if long_mode:
+        # tiling/stitch policy: the host driver reconstructs the live
+        # engine's predict_ctc_long exactly from these
+        manifest["tile_w"] = int(tile_w)
+        manifest["overlap"] = int(overlap)
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(manifest, f, ensure_ascii=False, indent=1)
@@ -158,7 +195,7 @@ class ServingArtifact:
     device side runs the deserialized StableHLO kernel.
     """
 
-    def __init__(self, base_dir: str):
+    def __init__(self, base_dir: str, mesh: Any = None):
         import jax
         from flax import serialization
 
@@ -170,29 +207,75 @@ class ServingArtifact:
                 f"artifact format {m['format_version']} is newer than this "
                 f"loader ({MANIFEST_VERSION})"
             )
+        self.method: str = m["method"]
+        self.batch_size: int = int(m["batch_size"])
+        # multi-chip serving from the deployment unit (mirror of
+        # OCRInference(mesh=True)): params replicated, every batch sharded
+        # over the data axis — GSPMD partitions the deserialized StableHLO
+        # module exactly like a live-traced kernel (the module is inlined
+        # into the jitted caller, so sharding propagation sees plain ops)
+        self._mesh = None
+        rep = data_sh = None
+        if mesh is not None and mesh is not False:
+            from jax.sharding import Mesh
+
+            from rcnn_ocr_tpu.parallel.mesh import (
+                batch_sharding,
+                data_axis,
+                make_mesh,
+                replicated_sharding,
+            )
+
+            self._mesh = mesh if isinstance(mesh, Mesh) else make_mesh()
+            rep = replicated_sharding(self._mesh)
+            data_sh = batch_sharding(self._mesh)
+            n = int(self._mesh.shape[data_axis(self._mesh)])
+            if self.batch_size % n:
+                raise ValueError(
+                    f"artifact batch_size {self.batch_size} does not tile "
+                    f"the mesh data axis ({n} devices); re-export with a "
+                    "divisible batch size"
+                )
+        self._rep, self._data_sh = rep, data_sh
         with open(os.path.join(base_dir, "params.msgpack"), "rb") as f:
             restored = serialization.msgpack_restore(f.read())
         # commit params to the device ONCE — msgpack_restore yields host
         # numpy arrays, and passing those into a jitted call re-transfers
         # every weight on every batch (measured 15x end-to-end on the TPU
         # tunnel: 190 -> 2900+ img/s at production shape)
-        self.variables = jax.device_put(restored)
+        self.variables = jax.device_put(restored, rep)
         self._itos: List[str] = list(m["itos"])
         self._ids = m["ids"]
-        self.method: str = m["method"]
-        self.batch_size: int = int(m["batch_size"])
         self.canvas: Tuple[int, int] = (int(m["canvas"][0]), int(m["canvas"][1]))
         self.img_h: int = int(m["img_h"])
         self.widths: List[int] = [int(w) for w in m["widths"]]
+        self.tile_w: Optional[int] = (
+            int(m["tile_w"]) if "tile_w" in m else None
+        )
+        self.overlap: Optional[int] = (
+            int(m["overlap"]) if "overlap" in m else None
+        )
+        n_batch_args = 1 if self.method in LONG_METHODS else 2
         self._calls: Dict[int, Any] = {}
         for w_str, fname in m["files"].items():
             with open(os.path.join(base_dir, fname), "rb") as f:
                 exported = jax.export.deserialize(bytearray(f.read()))
-            self._calls[int(w_str)] = jax.jit(exported.call)
+            if self._mesh is None:
+                self._calls[int(w_str)] = jax.jit(exported.call)
+            else:
+                self._calls[int(w_str)] = jax.jit(
+                    exported.call,
+                    in_shardings=(rep,) + (data_sh,) * n_batch_args,
+                    out_shardings=data_sh,
+                )
 
     @classmethod
-    def load(cls, base_dir: str) -> "ServingArtifact":
-        return cls(base_dir)
+    def load(cls, base_dir: str, mesh: Any = None) -> "ServingArtifact":
+        """Open an artifact directory.  ``mesh=True`` (or an explicit
+        ``jax.sharding.Mesh``) serves it data-parallel across the mesh —
+        the multi-chip deployment story promised by the export-time
+        mesh-engine rejection."""
+        return cls(base_dir, mesh=mesh)
 
     # -- host pipeline (predict_serving parity) -----------------------------
     def _decode_rows(self, pred, aux, n_real: int, return_confidence: bool):
@@ -254,6 +337,55 @@ class ServingArtifact:
             for j in range(n_real)
         ]
 
+    def _predict_long(self, images_list: List[Any]) -> List[str]:
+        """Unbounded-width stitched decode from the exported tile kernel.
+
+        Runs the SAME host driver as the live engine's ``predict_ctc_long``
+        (`rcnn_ocr_tpu.long_lines`: plan_tiles -> per-tile frames ->
+        blank-snap junction cuts -> stitched collapse), with the per-tile
+        frame extraction going through the deserialized StableHLO kernel —
+        so artifact and live long-line decodes cannot diverge.
+        """
+        from rcnn_ocr_tpu.data.transforms import ResizeAndPad, load_rgb_uint8
+        from rcnn_ocr_tpu.long_lines import (
+            decode_stitched,
+            extract_tile_frames,
+            plan_tiles,
+        )
+        from rcnn_ocr_tpu.postprocess import ctc_skip_ids
+
+        m = self.manifest
+        tile_w, overlap = self.tile_w, self.overlap
+        pad_one = ResizeAndPad(img_h=self.img_h, img_w=tile_w)
+        tiles, plans = plan_tiles(
+            [load_rgb_uint8(img) for img in images_list],
+            self.img_h, tile_w, overlap, pad_one,
+        )
+        call = self._calls[tile_w]
+        vals, idx = extract_tile_frames(
+            tiles, self.batch_size,
+            lambda batch: call(self.variables, self._device_batch(batch)),
+        )
+        ids = self._ids
+        return decode_stitched(
+            vals, idx, plans, tile_w,
+            blank_id=ids["ctc_blank"],
+            num_classes=len(self._itos),
+            itos=self._itos,
+            skip_ids=ctc_skip_ids(
+                ids["pad"], ids["sos"], ids["eos"], ids["ctc_blank"]
+            ),
+            method="beam" if self.method == "ctc_long_beam" else "greedy",
+            beam_width=int(m.get("beam_width", 16)),
+        )
+
+    def _device_batch(self, arr: np.ndarray):
+        import jax
+
+        if self._mesh is not None:
+            return jax.device_put(arr, self._data_sh)
+        return arr
+
     def predict(
         self,
         images: Union[Any, List[Any]],
@@ -276,6 +408,9 @@ class ServingArtifact:
         images_list = [images] if is_single else list(images)
         if not images_list:
             return []
+        if self.method in LONG_METHODS:
+            results_long = self._predict_long(images_list)
+            return results_long[0] if is_single else results_long
 
         rgb = [load_rgb_uint8(img) for img in images_list]
         groups: Dict[int, List[int]] = {}

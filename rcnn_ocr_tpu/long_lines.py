@@ -136,6 +136,88 @@ def resolve_tiling(
     return tile_w, overlap
 
 
+def extract_tile_frames(
+    tiles: List[np.ndarray],
+    batch_size: int,
+    run,  # (tile_batch uint8 [B, H, W, 3]) -> (top-k vals, ids) device arrays
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Run the per-tile frame kernel over all tiles in static batches.
+
+    Returns ``(vals [n_tiles, T, k], idx [n_tiles, T, k])`` host arrays.
+    Shared by the live engine and the exported artifact so the batching /
+    padding semantics cannot diverge.
+    """
+    from rcnn_ocr_tpu.postprocess import pad_rows
+
+    all_vals: List[np.ndarray] = []
+    all_idx: List[np.ndarray] = []
+    for i in range(0, len(tiles), batch_size):
+        chunk, n_real = pad_rows(tiles[i : i + batch_size], batch_size)
+        vals, idx = run(np.stack(chunk))
+        all_vals.append(np.asarray(vals)[:n_real])
+        all_idx.append(np.asarray(idx)[:n_real])
+    return np.concatenate(all_vals), np.concatenate(all_idx)
+
+
+def decode_stitched(
+    vals: np.ndarray,  # [n_tiles, T, k] top-k frame log-probs
+    idx: np.ndarray,  # [n_tiles, T, k] their class ids
+    plans: List[Tuple[int, List[int]]],  # per image: (first tile, starts)
+    tile_w: int,
+    *,
+    blank_id: int,
+    num_classes: int,
+    itos: List[str],
+    skip_ids,
+    method: str = "greedy",
+    beam_width: int = 16,
+) -> List[str]:
+    """Stitch per-tile frames into one sequence per image and collapse it.
+
+    The ONE stitched-decode implementation shared by
+    ``OCRInference.predict_ctc_long`` and the exported
+    ``ServingArtifact`` — junction cuts snap to the most blank-dominant
+    shared frame (:func:`long_line_spans`), then the concatenated frame
+    sequence collapses greedily or through the host prefix beam.
+    """
+    from rcnn_ocr_tpu.ops.ctc import (
+        ctc_beam_search,
+        ctc_greedy_collapse_np,
+        ids_to_text,
+    )
+
+    frames_t = vals.shape[1]
+    # per-tile per-frame blank log-prob (-inf when blank left the top-k):
+    # junction cuts snap to the most blank-dominant frame
+    blank_lp = np.where(idx == blank_id, vals, -np.inf).max(-1)
+
+    results: List[str] = []
+    for first, starts in plans:
+        spans = [
+            (first + j, a, b)
+            for j, a, b in long_line_spans(
+                starts, tile_w, frames_t,
+                blank_scores=blank_lp[first : first + len(starts)],
+            )
+        ]
+        v_cat = np.concatenate([vals[t, a:b] for t, a, b in spans])
+        i_cat = np.concatenate([idx[t, a:b] for t, a, b in spans])
+        if method == "greedy":
+            row = ctc_greedy_collapse_np(i_cat[None, :, 0], blank_id)[0]
+        else:
+            dense = np.full(
+                (1, v_cat.shape[0], num_classes), -1e30, np.float32
+            )
+            np.put_along_axis(dense, i_cat[None], v_cat[None], -1)
+            rows, _ = ctc_beam_search(
+                dense, blank_id=blank_id, beam_width=beam_width,
+                already_log_probs=True,
+            )
+            row = rows[0]
+        results.append(ids_to_text([row], itos, skip_ids=skip_ids)[0])
+    return results
+
+
 class LongLineMixin:
     """`predict_ctc_long` for :class:`~rcnn_ocr_tpu.inference.OCRInference`."""
 
@@ -168,11 +250,6 @@ class LongLineMixin:
         if method not in ("greedy", "beam"):
             raise ValueError(f"Unsupported decode method: {method}")
         from rcnn_ocr_tpu.data.transforms import ResizeAndPad
-        from rcnn_ocr_tpu.ops.ctc import (
-            ctc_beam_search,
-            ctc_greedy_collapse_np,
-            ids_to_text,
-        )
         from rcnn_ocr_tpu.postprocess import ctc_skip_ids
 
         is_single = not isinstance(images, list)
@@ -191,54 +268,23 @@ class LongLineMixin:
 
         # --- batched frame extraction (pruned top-k; slot 0 == argmax) ---
         k = max(1, min(prune_k, self.charset.num_classes))
-        run = self._ctc_fn(False, k)
-        all_vals: List[np.ndarray] = []
-        all_idx: List[np.ndarray] = []
-        for i in range(0, len(tiles), batch_size):
-            chunk, n_real = self._pad_rows(tiles[i : i + batch_size], batch_size)
-            vals, idx = run(self.variables, self._device_batch(np.stack(chunk)))
-            all_vals.append(np.asarray(vals)[:n_real])
-            all_idx.append(np.asarray(idx)[:n_real])
-        vals = np.concatenate(all_vals)  # [n_tiles, T, k]
-        idx = np.concatenate(all_idx)
-        frames_t = vals.shape[1]
-        # per-tile per-frame blank log-prob (-inf when blank left the
-        # top-k): junction cuts snap to the most blank-dominant frame
-        blank_lp = np.where(
-            idx == self.charset.ctc_blank_id, vals, -np.inf
-        ).max(-1)
-
-        # --- stitch + decode per image ---
-        skip = ctc_skip_ids(
-            self.charset.pad_id, self.charset.sos_id, self.charset.eos_id,
-            self.charset.ctc_blank_id,
+        kernel = self._ctc_fn(False, k)
+        vals, idx = extract_tile_frames(
+            tiles, batch_size,
+            lambda batch: kernel(self.variables, self._device_batch(batch)),
         )
-        results: List[str] = []
-        for first, starts in plans:
-            spans = [
-                (first + j, a, b)
-                for j, a, b in long_line_spans(
-                    starts, tile_w, frames_t,
-                    blank_scores=blank_lp[first : first + len(starts)],
-                )
-            ]
-            v_cat = np.concatenate([vals[t, a:b] for t, a, b in spans])
-            i_cat = np.concatenate([idx[t, a:b] for t, a, b in spans])
-            if method == "greedy":
-                row = ctc_greedy_collapse_np(
-                    i_cat[None, :, 0], self.charset.ctc_blank_id
-                )[0]
-            else:
-                dense = np.full(
-                    (1, v_cat.shape[0], self.charset.num_classes), -1e30,
-                    np.float32,
-                )
-                np.put_along_axis(dense, i_cat[None], v_cat[None], -1)
-                rows, _ = ctc_beam_search(
-                    dense, blank_id=self.charset.ctc_blank_id,
-                    beam_width=beam_width, already_log_probs=True,
-                )
-                row = rows[0]
-            results.append(ids_to_text([row], self._itos, skip_ids=skip)[0])
 
+        # --- stitch + decode per image (shared with ServingArtifact) ---
+        results = decode_stitched(
+            vals, idx, plans, tile_w,
+            blank_id=self.charset.ctc_blank_id,
+            num_classes=self.charset.num_classes,
+            itos=self._itos,
+            skip_ids=ctc_skip_ids(
+                self.charset.pad_id, self.charset.sos_id, self.charset.eos_id,
+                self.charset.ctc_blank_id,
+            ),
+            method=method,
+            beam_width=beam_width,
+        )
         return results[0] if is_single else results

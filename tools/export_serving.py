@@ -27,7 +27,10 @@ def main() -> None:
     p.add_argument(
         "--method",
         default="ctc_greedy",
-        choices=["attention", "attention_beam", "ctc_greedy", "ctc_beam"],
+        choices=[
+            "attention", "attention_beam", "ctc_greedy", "ctc_beam",
+            "ctc_long", "ctc_long_beam",  # unbounded-width stitched decode
+        ],
     )
     p.add_argument("--img-h", type=int, default=None)
     p.add_argument("--img-w", type=int, default=None)
@@ -52,6 +55,14 @@ def main() -> None:
         "--width-buckets",
         default=None,
         help="comma-separated static decode widths (default: the model img_w)",
+    )
+    p.add_argument(
+        "--tile-w", type=int, default=None,
+        help="ctc_long*: tile width in px (default: the model img_w)",
+    )
+    p.add_argument(
+        "--overlap", type=int, default=None,
+        help="ctc_long*: junction overlap in px (default: min(64, tile_w/2))",
     )
     p.add_argument(
         "--platforms",
@@ -79,6 +90,10 @@ def main() -> None:
 
     if args.lm_weight and args.method not in ("attention_beam", "ctc_beam"):
         p.error("--lm-weight requires --method attention_beam or ctc_beam")
+    if (args.tile_w or args.overlap) and args.method not in (
+        "ctc_long", "ctc_long_beam"
+    ):
+        p.error("--tile-w/--overlap require --method ctc_long or ctc_long_beam")
     if args.length_penalty and args.method != "attention_beam":
         p.error("--length-penalty requires --method attention_beam")
     ocr = OCRInference(
@@ -103,6 +118,8 @@ def main() -> None:
         lm_weight=args.lm_weight,
         width_buckets=buckets,
         platforms=platforms,
+        tile_w=args.tile_w,
+        overlap=args.overlap,
     )
     print(f"Artifact written to: {out}")
 
