@@ -58,6 +58,7 @@ def export_serving_artifact(
     platforms: Optional[Sequence[str]] = None,
     tile_w: Optional[int] = None,  # ctc_long*: tile width (default img_w)
     overlap: Optional[int] = None,  # ctc_long*: junction overlap px
+    snap: str = "midpoint",  # ctc_long*: junction cuts ("midpoint"|"blank")
 ) -> str:
     """Export an :class:`OCRInference` serving configuration to disk.
 
@@ -178,8 +179,11 @@ def export_serving_artifact(
     if long_mode:
         # tiling/stitch policy: the host driver reconstructs the live
         # engine's predict_ctc_long exactly from these
+        if snap not in ("midpoint", "blank"):
+            raise ValueError(f"snap must be 'midpoint' or 'blank', got {snap!r}")
         manifest["tile_w"] = int(tile_w)
         manifest["overlap"] = int(overlap)
+        manifest["snap"] = snap
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(manifest, f, ensure_ascii=False, indent=1)
@@ -377,6 +381,7 @@ class ServingArtifact:
             ),
             method="beam" if self.method == "ctc_long_beam" else "greedy",
             beam_width=int(m.get("beam_width", 16)),
+            snap=m.get("snap", "midpoint"),
         )
 
     def _device_batch(self, arr: np.ndarray):

@@ -159,6 +159,43 @@ def extract_tile_frames(
     return np.concatenate(all_vals), np.concatenate(all_idx)
 
 
+def merge_tile_texts(
+    texts: List[str], tile_w: int, starts: Sequence[int]
+) -> str:
+    """Overlap-aware merge of adjacent tiles' decoded texts.
+
+    The attention head has no frame/position alignment to stitch, so the
+    junction is resolved in TEXT space: both tiles decoded the shared
+    ``overlap`` pixels, so the right tile's prefix repeats the left
+    tile's suffix.  For each junction the candidate overlap length ``c``
+    maximizing ``c - 2 * edit_distance(left[-c:], right[:c])`` wins (an
+    exact repeat scores ``c``; a junction decoding nothing twice scores 0
+    and concatenates plainly), bounded by the geometric estimate of how
+    many characters the overlap pixels can hold (chars-per-pixel from the
+    two tiles' own decode lengths) so repeated-pattern text cannot
+    over-merge beyond the shared region.
+    """
+    from rcnn_ocr_tpu.training.metrics import levenshtein
+
+    merged = texts[0]
+    for i in range(1, len(texts)):
+        # actual shared pixels at this junction (the right-aligned final
+        # tile can overlap more than the nominal step)
+        shared_px = starts[i - 1] + tile_w - starts[i]
+        cpp = (len(texts[i - 1]) + len(texts[i])) / (2.0 * tile_w)
+        max_c = int(np.ceil(shared_px * cpp * 1.5)) + 2
+        right = texts[i]
+        limit = min(max_c, len(merged), len(right))
+        best_c, best_score = 0, 0.0
+        for c in range(1, limit + 1):
+            dist = levenshtein(merged[len(merged) - c :], right[:c])
+            score = c - 2.0 * dist
+            if score > best_score:
+                best_score, best_c = score, c
+        merged = merged + right[best_c:]
+    return merged
+
+
 def decode_stitched(
     vals: np.ndarray,  # [n_tiles, T, k] top-k frame log-probs
     idx: np.ndarray,  # [n_tiles, T, k] their class ids
@@ -171,14 +208,20 @@ def decode_stitched(
     skip_ids,
     method: str = "greedy",
     beam_width: int = 16,
+    snap: str = "midpoint",  # junction cuts: "midpoint" | "blank" (snap)
 ) -> List[str]:
     """Stitch per-tile frames into one sequence per image and collapse it.
 
     The ONE stitched-decode implementation shared by
     ``OCRInference.predict_ctc_long`` and the exported
-    ``ServingArtifact`` — junction cuts snap to the most blank-dominant
-    shared frame (:func:`long_line_spans`), then the concatenated frame
+    ``ServingArtifact`` — junction cuts land at the overlap midpoint
+    (default) or, with ``snap="blank"``, at the most blank-dominant
+    shared frame (:func:`long_line_spans`); then the concatenated frame
     sequence collapses greedily or through the host prefix beam.
+    Measured twice (round 3 toy model; round 4 character-dense model,
+    `tools/long_line_demo.py`, PERF.md): the two policies differ within
+    noise (CER 0.2643 vs 0.2635), so the simpler midpoint is the
+    default and blank-snap is the opt-in.
     """
     from rcnn_ocr_tpu.ops.ctc import (
         ctc_beam_search,
@@ -186,10 +229,16 @@ def decode_stitched(
         ids_to_text,
     )
 
+    if snap not in ("blank", "midpoint"):
+        raise ValueError(f"snap must be 'blank' or 'midpoint', got {snap!r}")
     frames_t = vals.shape[1]
     # per-tile per-frame blank log-prob (-inf when blank left the top-k):
     # junction cuts snap to the most blank-dominant frame
-    blank_lp = np.where(idx == blank_id, vals, -np.inf).max(-1)
+    blank_lp = (
+        np.where(idx == blank_id, vals, -np.inf).max(-1)
+        if snap == "blank"
+        else None
+    )
 
     results: List[str] = []
     for first, starts in plans:
@@ -197,7 +246,11 @@ def decode_stitched(
             (first + j, a, b)
             for j, a, b in long_line_spans(
                 starts, tile_w, frames_t,
-                blank_scores=blank_lp[first : first + len(starts)],
+                blank_scores=(
+                    blank_lp[first : first + len(starts)]
+                    if blank_lp is not None
+                    else None
+                ),
             )
         ]
         v_cat = np.concatenate([vals[t, a:b] for t, a, b in spans])
@@ -230,6 +283,7 @@ class LongLineMixin:
         method: str = "greedy",
         beam_width: int = 16,
         prune_k: int = 16,
+        snap: str = "midpoint",  # junction cuts: "midpoint" | "blank" (snap)
     ):
         """Unbounded-width decode: tile, trim, and concatenate CTC frames.
 
@@ -286,5 +340,97 @@ class LongLineMixin:
             ),
             method=method,
             beam_width=beam_width,
+            snap=snap,
         )
+        return results[0] if is_single else results
+
+    def predict_long(
+        self,
+        images: Union[ImageLike, List[ImageLike]],
+        method: str = "attention",
+        tile_w: Optional[int] = None,
+        overlap: Optional[int] = None,
+        batch_size: int = 32,
+        max_length: int = 25,
+        beam_width: int = 16,
+        length_penalty: float = 0.0,
+        lm_weight: float = 0.0,
+        prune_k: int = 16,
+        snap: str = "midpoint",
+    ):
+        """Unbounded-width decode for EVERY head (one entry point).
+
+        ``method="ctc_greedy"`` / ``"ctc_beam"`` route to the frame-level
+        stitcher (:meth:`predict_ctc_long`).  ``method="attention"`` /
+        ``"attention_beam"`` give the reference's primary (and sometimes
+        only) decode head (`/root/reference/model/model.py:91-112`) a
+        long-line story of its own: the same overlapping tiles, each
+        decoded by the seq2seq head through the engine's ordinary kernels
+        (short lines therefore decode IDENTICALLY to ``predict``), then
+        merged in text space at the junctions
+        (:func:`merge_tile_texts` — the overlap pixels decode in both
+        tiles, so the best suffix/prefix edit alignment locates the
+        repeat).  Unlike CTC stitching there is no frame alignment to
+        lean on; the merge is a text heuristic, measured on the PERF.md
+        long-line demo (`tools/long_line_demo.py`).
+
+        ``max_length`` bounds the PER-TILE decode (a tile holds at most
+        ~tile_w/char_w characters, so the default is usually ample).
+        """
+        if method in ("ctc_greedy", "ctc_beam", "greedy", "beam"):
+            return self.predict_ctc_long(
+                images, tile_w=tile_w, overlap=overlap,
+                batch_size=batch_size,
+                method="beam" if method.endswith("beam") else "greedy",
+                beam_width=beam_width, prune_k=prune_k, snap=snap,
+            )
+        if method not in ("attention", "attention_beam"):
+            raise ValueError(f"Unsupported decode method: {method}")
+        if not self.model.with_attention_head:
+            raise ValueError("this checkpoint has no attention head")
+        from rcnn_ocr_tpu.data.transforms import ResizeAndPad
+
+        is_single = not isinstance(images, list)
+        images_list: List[ImageLike] = [images] if is_single else list(images)
+        if not images_list:
+            return []
+        tile_w, overlap = resolve_tiling(self.img_w, tile_w, overlap)
+        batch_size = self._round_batch(batch_size)
+        pad_one = ResizeAndPad(img_h=self.img_h, img_w=tile_w)
+        tiles, plans = plan_tiles(
+            [self._to_rgb(img) for img in images_list],
+            self.img_h, tile_w, overlap, pad_one,
+        )
+
+        # decode every tile through the ordinary attention kernels (one
+        # static shape -> one compile; the same kernels `predict` uses)
+        steps = max_length + 1
+        beam = method == "attention_beam"
+        run = (
+            self._attn_beam_fn(steps, int(beam_width), length_penalty, lm_weight)
+            if beam
+            else self._greedy_fn(steps)
+        )
+        tile_texts: List[str] = []
+        from rcnn_ocr_tpu.postprocess import pad_rows
+
+        for i in range(0, len(tiles), batch_size):
+            chunk, n_real = pad_rows(tiles[i : i + batch_size], batch_size)
+            pred, aux = run(self.variables, self._device_batch(np.stack(chunk)))
+            pred, aux = np.asarray(pred)[:n_real], np.asarray(aux)[:n_real]
+            for j in range(n_real):
+                tile_texts.append(
+                    self._decode_beam_row(pred[j], aux[j], False)
+                    if beam
+                    else self._decode_attention_row(pred[j], aux[j], False)
+                )
+
+        results: List[str] = []
+        for first, starts in plans:
+            texts = tile_texts[first : first + len(starts)]
+            results.append(
+                texts[0]
+                if len(texts) == 1
+                else merge_tile_texts(texts, tile_w, starts)
+            )
         return results[0] if is_single else results

@@ -505,6 +505,32 @@ def serving_predict_fn(
 
         return fn_long
 
+    if method in ("attention_long", "attention_long_beam"):
+        # attention-head long lines: per-tile seq2seq decode + text-space
+        # junction merge (predict_long).  The per-tile BEAM kernel carries
+        # the fusion/rank knobs; the greedy variant has none to carry.
+        attn_long_beam = method == "attention_long_beam"
+        if lm_weight and not attn_long_beam:
+            raise ValueError(f"lm_weight is not supported with method={method!r}")
+        if length_penalty and not attn_long_beam:
+            raise ValueError(
+                f"length_penalty is not supported with method={method!r}"
+            )
+
+        def fn_attn_long(images: List[Any]) -> List[str]:
+            out = engine.predict_long(
+                images,
+                method="attention_beam" if attn_long_beam else "attention",
+                batch_size=batch_size,
+                max_length=max_length,
+                beam_width=beam_width,
+                length_penalty=length_penalty,
+                lm_weight=lm_weight,
+            )
+            return out if isinstance(out, list) else [out]
+
+        return fn_attn_long
+
     def fn(images: List[Any]) -> List[str]:
         out = engine.predict_serving(
             images,

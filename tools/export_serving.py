@@ -65,6 +65,11 @@ def main() -> None:
         help="ctc_long*: junction overlap in px (default: min(64, tile_w/2))",
     )
     p.add_argument(
+        "--snap", default="midpoint", choices=["midpoint", "blank"],
+        help="ctc_long*: junction cut policy (measured within noise of "
+        "each other; midpoint is the simpler default)",
+    )
+    p.add_argument(
         "--platforms",
         default=None,
         help="comma-separated lowering targets, e.g. tpu,cpu "
@@ -120,6 +125,7 @@ def main() -> None:
         platforms=platforms,
         tile_w=args.tile_w,
         overlap=args.overlap,
+        snap=args.snap,
     )
     print(f"Artifact written to: {out}")
 

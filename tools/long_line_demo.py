@@ -1,0 +1,159 @@
+"""Long-line decoding demo: squash vs tiled, blank-snap vs midpoint cuts.
+
+Reproducible version of the PERF.md long-line measurement (round 3 ran it
+ad hoc): train a small aspect-native model on SHORT synthetic lines, then
+decode LONG lines (8/16/24 chars rendered at natural width) through every
+path and report CER:
+
+* ``squash_attention`` / ``squash_ctc`` — the fixed-canvas resize every
+  fixed-width engine (and the reference) applies; the only baseline.
+* ``ctc_long_blank`` / ``ctc_long_midpoint`` — the frame-stitched decode
+  with blank-snap vs midpoint junction cuts (the A/B VERDICT r3 weak #6
+  asks for, on a model trained on character-dense renders).
+* ``ctc_long_beam`` — stitched + host prefix beam.
+* ``attention_long`` — per-tile seq2seq decode + text-space junction
+  merge (`predict_long`, VERDICT r3 missing #2).
+
+Usage (CPU, ~10 min with training; cache the model dir to re-measure):
+
+    JAX_PLATFORMS=cpu python tools/long_line_demo.py --work /tmp/lld
+    JAX_PLATFORMS=cpu python tools/long_line_demo.py --work /tmp/lld --skip-train
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+ALPHABET = "abcdefghij"
+CHARSET = ["<PAD>", "<SOS>", "<EOS>", "<BLANK>"] + list(ALPHABET)
+
+
+def render(text: str, rng) -> np.ndarray:
+    from helpers import render_text_image
+
+    # ~10 px per char at FONT_HERSHEY_SIMPLEX 0.5 -> aspect-native width
+    return render_text_image(text, h=24, w=10 * len(text) + 8, rng=rng)
+
+
+def build_train_set(work: str, n: int, rng) -> tuple:
+    import csv
+
+    import cv2
+
+    root = os.path.join(work, "train")
+    os.makedirs(root, exist_ok=True)
+    csv_path = os.path.join(root, "labels.csv")
+    with open(csv_path, "w", newline="", encoding="utf-8") as f:
+        wr = csv.writer(f)
+        for i in range(n):
+            text = "".join(rng.choice(list(ALPHABET), rng.integers(1, 5)))
+            img = render(text, rng)
+            cv2.imwrite(os.path.join(root, f"im{i:05d}.png"), img)
+            wr.writerow([f"im{i:05d}.png", text])
+    return csv_path, root
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--work", default="/tmp/long_line_demo")
+    ap.add_argument("--train-samples", type=int, default=768)
+    ap.add_argument("--eval-per-length", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse the model already in --work")
+    ap.add_argument("--tile-w", type=int, default=64)
+    ap.add_argument("--overlap", type=int, default=24)
+    args = ap.parse_args()
+
+    os.makedirs(args.work, exist_ok=True)
+    rng = np.random.default_rng(0)
+    charset_path = os.path.join(args.work, "charset.txt")
+    with open(charset_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(CHARSET) + "\n")
+
+    exp_dir = os.path.join(args.work, "exp")
+    ckpt = os.path.join(exp_dir, "best_acc_weights.msgpack")
+    if not args.skip_train or not os.path.exists(ckpt):
+        csv_path, root = build_train_set(args.work, args.train_samples, rng)
+        from rcnn_ocr_tpu.training.config import Config
+        from rcnn_ocr_tpu.training.train import run_training
+
+        cfg = Config(
+            {
+                "exp_dir": exp_dir,
+                "train_csvs": [csv_path],
+                "train_roots": [root],
+                "charset_path": charset_path,
+                "img_h": 32,
+                "img_w": args.tile_w,
+                "max_len": 6,
+                "batch_size": 32,
+                "epochs": args.epochs,
+                "width_mult": 0.125,
+                "hidden_size": 32,
+                "compute_dtype": "float32",
+                "use_pallas": False,
+                "head": "both",
+                "val_size": 96,
+            }
+        )
+        run_training(cfg)
+
+    import jax.numpy as jnp
+
+    from rcnn_ocr_tpu.inference import OCRInference
+    from rcnn_ocr_tpu.training.metrics import character_error_rate
+
+    ocr = OCRInference(
+        ckpt, charset_path, img_h=32, img_w=args.tile_w, verbose=False,
+        dtype=jnp.float32,
+    )
+
+    # long-line eval corpus at natural width
+    eval_rng = np.random.default_rng(1)
+    truths, images = [], []
+    for length in (8, 16, 24):
+        for _ in range(args.eval_per_length):
+            text = "".join(eval_rng.choice(list(ALPHABET), length))
+            truths.append(text)
+            images.append(render(text, eval_rng))
+
+    tw, ov = args.tile_w, args.overlap
+
+    def cer(preds):
+        return float(np.mean([
+            character_error_rate(t, p) for t, p in zip(truths, preds)
+        ]))
+
+    results = {
+        "squash_attention": cer(ocr.predict(images, max_length=30, batch_size=16)),
+        "squash_ctc": cer(ocr.predict_ctc(images, batch_size=16)),
+        "ctc_long_blank": cer(ocr.predict_ctc_long(
+            images, tile_w=tw, overlap=ov, snap="blank")),
+        "ctc_long_midpoint": cer(ocr.predict_ctc_long(
+            images, tile_w=tw, overlap=ov, snap="midpoint")),
+        "ctc_long_beam": cer(ocr.predict_ctc_long(
+            images, tile_w=tw, overlap=ov, method="beam", beam_width=8)),
+        "attention_long": cer(ocr.predict_long(
+            images, method="attention", tile_w=tw, overlap=ov, max_length=12)),
+    }
+    for k, v in results.items():
+        print(f"[long_line_demo] {k:20s} CER {v:.4f}", file=sys.stderr)
+    print(json.dumps({
+        "long_line_cer": results, "tile_w": tw, "overlap": ov,
+        "n_eval": len(truths), "ckpt": ckpt,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -37,6 +37,7 @@ def main() -> None:
         choices=[
             "attention", "attention_beam", "ctc_greedy", "ctc_beam",
             "ctc_long", "ctc_long_beam",  # unbounded-width stitched decode
+            "attention_long", "attention_long_beam",  # tiled seq2seq + merge
         ],
     )
     p.add_argument("--canvas", default="64,512")
