@@ -36,6 +36,11 @@ def main() -> int:
         help="run N trials concurrently, each on its own 1/N submesh of the "
         "slice (default 1: sequential trials over the full mesh)",
     )
+    ap.add_argument(
+        "--no-prune", action="store_true",
+        help="disable epoch-level trial pruning (MedianPruner with Optuna, "
+        "successive halving in the builtin backend)",
+    )
     args = ap.parse_args()
 
     with open(args.config, "r", encoding="utf-8") as f:
@@ -53,7 +58,13 @@ def main() -> int:
         space=DEFAULT_SPACE,
         seed=args.seed,
         parallel_trials=args.parallel_trials,
+        prune=not args.no_prune,
     )
+    n_pruned = sum(1 for t in out["trials"] if t.get("pruned"))
+    if n_pruned:
+        total_ep = sum(t.get("epochs_run") or 0 for t in out["trials"])
+        print(f"pruned {n_pruned}/{len(out['trials'])} trials "
+              f"({total_ep} total epochs run)")
     print(f"best value: {out['best_value']}")
     print(f"best params: {json.dumps(out['best_params'], indent=2)}")
     return 0

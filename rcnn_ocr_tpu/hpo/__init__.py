@@ -1,1 +1,6 @@
-from rcnn_ocr_tpu.hpo.driver import run_hpo  # noqa: F401
+from rcnn_ocr_tpu.hpo.driver import (  # noqa: F401
+    DEFAULT_SPACE,
+    PrunedTrial,
+    SuccessiveHalvingPruner,
+    run_hpo,
+)

@@ -103,15 +103,96 @@ def sample_params(trial, space: SearchSpace) -> Dict[str, Any]:
     return out
 
 
-def _default_objective(base_config: Dict[str, Any], params: Dict[str, Any], trial_dir: str):
+class PrunedTrial(Exception):
+    """A trial stopped early by the pruner; carries its best value so far.
+
+    Raised by the default objective AFTER ``run_training`` returned
+    cleanly (checkpoints drained, signal handlers restored) — pruning is
+    cooperative, never an exception thrown through the training loop.
+    """
+
+    def __init__(self, value: float, epochs_run: int):
+        super().__init__(f"pruned at epoch {epochs_run} (value {value})")
+        self.value = float(value)
+        self.epochs_run = int(epochs_run)
+
+
+def _default_objective(
+    base_config: Dict[str, Any],
+    params: Dict[str, Any],
+    trial_dir: str,
+    report: Optional[Callable[[int, float], bool]] = None,
+):
+    """Train one trial; ``report(epoch, val_acc) -> should_prune`` wires
+    the backend's pruner into ``run_training``'s eval cadence."""
     from rcnn_ocr_tpu.training.config import Config
     from rcnn_ocr_tpu.training.train import run_training
 
     cfg_dict = dict(base_config)
     cfg_dict.update(params)
     cfg_dict["exp_dir"] = trial_dir
-    result = run_training(Config(cfg_dict))
-    return float(result["val_acc"])
+
+    eval_callback = None
+    if report is not None:
+
+        def eval_callback(epoch, metrics):
+            return bool(report(epoch, float(metrics["val_acc"])))
+
+    result = run_training(Config(cfg_dict), eval_callback=eval_callback)
+    value = float(result["val_acc"])
+    if result.get("pruned"):
+        raise PrunedTrial(value, int(result.get("epochs_run", 0)))
+    return value
+
+
+def _call_objective(objective, base_config, params, trial_dir, report):
+    """Invoke an objective, passing ``report`` only if it accepts it
+    (user objectives keep the documented 3-arg signature)."""
+    import inspect
+
+    try:
+        accepts_report = len(inspect.signature(objective).parameters) >= 4
+    except (TypeError, ValueError):
+        accepts_report = False
+    if accepts_report:
+        return objective(base_config, params, trial_dir, report)
+    return objective(base_config, params, trial_dir)
+
+
+class SuccessiveHalvingPruner:
+    """ASHA-style pruner for the builtin backend (no Optuna needed).
+
+    Rungs sit at epochs ``min_resource * eta^k``.  A trial reaching a rung
+    is pruned when its value falls below the top ``1/eta`` quantile of
+    every value reported at that rung so far (asynchronous successive
+    halving: early trials see thin history and run long; later trials are
+    culled against it).  Thread-safe — parallel trials share the rungs.
+    """
+
+    def __init__(self, min_resource: int = 1, eta: int = 3, max_rung_epoch: int = 10_000):
+        import threading
+
+        self.eta = int(eta)
+        self.rungs: Dict[int, List[float]] = {}
+        r = int(min_resource)
+        self._rung_epochs = set()
+        while r <= max_rung_epoch:
+            self._rung_epochs.add(r)
+            r *= self.eta
+        self._lock = threading.Lock()
+
+    def report(self, epoch: int, value: float) -> bool:
+        if epoch not in self._rung_epochs:
+            return False
+        with self._lock:
+            hist = self.rungs.setdefault(epoch, [])
+            hist.append(float(value))
+            if len(hist) < self.eta:
+                return False  # not enough rung history to judge
+            srt = sorted(hist)
+            # keep the top 1/eta: prune below that quantile's threshold
+            threshold = srt[max(0, len(srt) - max(1, len(srt) // self.eta))]
+            return float(value) < threshold
 
 
 def _device_groups(parallel_trials: int) -> List[list]:
@@ -150,17 +231,30 @@ def run_hpo(
     objective: Optional[Callable[[Dict[str, Any], Dict[str, Any], str], float]] = None,
     seed: int = 0,
     parallel_trials: int = 1,
+    prune: bool = True,
+    pruner: Any = None,
 ) -> Dict[str, Any]:
     """Run the study; returns {"best_value", "best_params", "trials"}.
 
     ``parallel_trials=K > 1`` runs K trials concurrently, each pinned to
-    its own ``len(devices)/K``-chip submesh (see module docstring)."""
+    its own ``len(devices)/K``-chip submesh (see module docstring).
+
+    ``prune=True`` (default) stops unpromising trials at epoch level
+    through ``run_training``'s eval cadence — Optuna's MedianPruner in
+    the Optuna backend, :class:`SuccessiveHalvingPruner` in the builtin
+    one (pass ``pruner=`` to override either).  The reference's own
+    Optuna study (`/root/reference/README.md:11-12`, best variant 54.84%)
+    implies many bad trials; pruning is what makes a big study cheap.
+    Trials log entries carry ``pruned`` and ``epochs_run``.
+    """
     space = space or DEFAULT_SPACE
     objective = objective or _default_objective
     os.makedirs(storage_dir, exist_ok=True)
     results_path = os.path.join(storage_dir, f"{study_name}_results.json")
 
-    run_objective = objective
+    def run_objective(base, params, trial_dir, report=None):
+        return _call_objective(objective, base, params, trial_dir, report)
+
     if parallel_trials > 1:
         import queue as queue_mod
 
@@ -172,11 +266,13 @@ def run_hpo(
         for g in groups:
             group_pool.put(g)
 
-        def run_objective(base, params, trial_dir):  # noqa: F811
+        def run_objective(base, params, trial_dir, report=None):  # noqa: F811
             group = group_pool.get()
             try:
                 with device_scope(group):
-                    return objective(base, params, trial_dir)
+                    return _call_objective(
+                        objective, base, params, trial_dir, report
+                    )
             finally:
                 group_pool.put(group)
 
@@ -197,17 +293,53 @@ def run_hpo(
             direction="maximize",
             load_if_exists=True,
             sampler=optuna.samplers.TPESampler(seed=seed),
+            pruner=(
+                pruner
+                if pruner is not None
+                else optuna.pruners.MedianPruner(n_startup_trials=4)
+                if prune
+                else optuna.pruners.NopPruner()
+            ),
         )
 
         def opt_objective(trial):
             params = sample_params(trial, space)
             trial_dir = os.path.join(storage_dir, f"{study_name}_trial{trial.number}")
-            return run_objective(base_config, params, trial_dir)
+            epochs_seen = {"n": 0}
 
-        study.optimize(opt_objective, n_trials=n_trials, n_jobs=parallel_trials)
-        best = {"best_value": study.best_value, "best_params": study.best_params}
+            def report(epoch, value):
+                epochs_seen["n"] = epoch
+                if not prune:
+                    return False
+                trial.report(value, step=epoch)
+                return trial.should_prune()
+
+            try:
+                value = run_objective(base_config, params, trial_dir, report)
+            except PrunedTrial as p:
+                trial.set_user_attr("epochs_run", p.epochs_run)
+                raise optuna.TrialPruned() from p
+            trial.set_user_attr("epochs_run", epochs_seen["n"])
+            return value
+
+        study.optimize(
+            opt_objective,
+            n_trials=n_trials,
+            n_jobs=parallel_trials,
+            catch=(),
+        )
+        try:
+            best = {"best_value": study.best_value, "best_params": study.best_params}
+        except ValueError:  # every trial pruned before its first report
+            best = {"best_value": -math.inf, "best_params": None}
         trials_log = [
-            {"number": t.number, "value": t.value, "params": t.params}
+            {
+                "number": t.number,
+                "value": t.value,
+                "params": t.params,
+                "pruned": t.state == optuna.trial.TrialState.PRUNED,
+                "epochs_run": t.user_attrs.get("epochs_run"),
+            }
             for t in study.trials
         ]
     else:
@@ -223,14 +355,36 @@ def run_hpo(
 
         best = {"best_value": -math.inf, "best_params": None}
         log_lock = __import__("threading").Lock()
+        builtin_pruner = (
+            pruner
+            if pruner is not None
+            else SuccessiveHalvingPruner()
+            if prune
+            else None
+        )
 
         def run_one(i: int) -> None:
             nonlocal best
             params = sampled[i]
             trial_dir = os.path.join(storage_dir, f"{study_name}_trial{i}")
             t0 = time.time()
+            epochs_seen = {"n": 0}
+
+            def report(epoch, value):
+                epochs_seen["n"] = epoch
+                if builtin_pruner is None:
+                    return False
+                return bool(builtin_pruner.report(epoch, value))
+
+            pruned = False
             try:
-                value = run_objective(base_config, params, trial_dir)
+                value = run_objective(base_config, params, trial_dir, report)
+            except PrunedTrial as p:
+                # a pruned trial still reports its best value: the study's
+                # best must not regress just because a trial stopped early
+                value, pruned = p.value, True
+                epochs_seen["n"] = p.epochs_run
+                print(f"[hpo] trial {i} pruned at epoch {p.epochs_run}")
             except Exception as e:  # a diverged trial must not kill the study
                 print(f"[hpo] trial {i} failed: {e}")
                 value = -math.inf
@@ -241,6 +395,8 @@ def run_hpo(
                         "value": value,
                         "params": params,
                         "seconds": round(time.time() - t0, 1),
+                        "pruned": pruned,
+                        "epochs_run": epochs_seen["n"],
                     }
                 )
                 if value > best["best_value"]:

@@ -96,7 +96,15 @@ def _dtype_from_name(name: str):
     ]
 
 
-def run_training(cfg: Config, device: str = "tpu") -> Dict:
+def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
+    """Train per ``cfg``; returns {"val_acc", "val_loss", "exp_dir", ...}.
+
+    ``eval_callback(epoch, metrics) -> bool`` (optional) fires after every
+    evaluated epoch with ``{"val_acc", "val_loss", "val_cer", "val_wer"}``;
+    returning True stops the run cleanly (checkpoints drained, handlers
+    restored) with ``result["pruned"] = True`` — the hook HPO trial
+    pruning rides (`rcnn_ocr_tpu.hpo`).
+    """
     seed = cfg.get("seed", 42)
     set_seed(seed)
 
@@ -866,6 +874,21 @@ def run_training(cfg: Config, device: str = "tpu") -> Dict:
                 best_val_acc = val_acc
                 save_slot("best_acc", epoch, best_val_loss, best_val_acc)
                 logger.info(f"New best acc: {best_val_acc:.4f} (epoch {epoch})")
+            if eval_callback is not None and bool(
+                eval_callback(
+                    epoch,
+                    {
+                        "val_acc": val_acc,
+                        "val_loss": avg_val_loss,
+                        "val_cer": val_cer,
+                        "val_wer": val_wer,
+                    },
+                )
+            ):
+                logger.info(f"Eval callback requested stop at epoch {epoch} (pruned)")
+                result["pruned"] = True
+                result["epochs_run"] = epoch
+                break
 
         if scheduler is not None:
             from rcnn_ocr_tpu.training.optim import ReduceLROnPlateau

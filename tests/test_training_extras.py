@@ -217,3 +217,190 @@ def test_hpo_parallel_real_training(tmp_path):
     )
     assert len(out["trials"]) == 2
     assert all(np.isfinite(t["value"]) for t in out["trials"])
+
+
+def test_successive_halving_pruner_logic():
+    """Rungs at 1/3/9...; a value below the rung's top-1/eta threshold is
+    pruned once the rung has eta reports; non-rung epochs never prune."""
+    from rcnn_ocr_tpu.hpo import SuccessiveHalvingPruner
+
+    pr = SuccessiveHalvingPruner(min_resource=1, eta=3)
+    assert pr.report(2, 0.1) is False  # not a rung epoch
+    assert pr.report(1, 0.9) is False  # thin history: first two never prune
+    assert pr.report(1, 0.8) is False
+    assert pr.report(1, 0.1) is True  # bottom of [0.9, 0.8, 0.1]
+    assert pr.report(1, 0.95) is False  # new top survives
+    # rung 3 is independent of rung 1's history
+    assert pr.report(3, 0.01) is False
+
+
+def test_hpo_builtin_pruning_cuts_epochs(tmp_path):
+    """A >= 8-trial toy study (VERDICT r3 missing #4): pruning measurably
+    cuts total epochs vs the unpruned study while the best value is
+    unchanged (the leader at every rung survives by construction)."""
+    from rcnn_ocr_tpu.hpo import PrunedTrial, run_hpo
+
+    MAX_EPOCHS = 9
+
+    def objective(base, params, trial_dir, report=None):
+        # deterministic per-trial quality from the sampled lr
+        q = params["lr"]
+        value = 0.0
+        for epoch in range(1, MAX_EPOCHS + 1):
+            value = q * epoch / MAX_EPOCHS
+            if report is not None and report(epoch, value):
+                raise PrunedTrial(value, epoch)
+        return value
+
+    space = {"lr": ("float", 0.1, 0.9)}
+
+    def total_epochs(out):
+        return sum(
+            t["epochs_run"] if t.get("epochs_run") else MAX_EPOCHS
+            for t in out["trials"]
+        )
+
+    pruned = run_hpo(
+        {}, n_trials=10, study_name="p", storage_dir=str(tmp_path / "p"),
+        space=space, objective=objective, seed=3, prune=True,
+    )
+    unpruned = run_hpo(
+        {}, n_trials=10, study_name="u", storage_dir=str(tmp_path / "u"),
+        space=space, objective=objective, seed=3, prune=False,
+    )
+    assert sum(1 for t in pruned["trials"] if t["pruned"]) >= 2
+    assert not any(t["pruned"] for t in unpruned["trials"])
+    assert total_epochs(pruned) < total_epochs(unpruned)
+    assert pruned["best_value"] == pytest.approx(unpruned["best_value"])
+
+
+def test_hpo_optuna_backend_pruning_wiring(tmp_path, monkeypatch):
+    """The Optuna branch's report/should_prune/TrialPruned wiring,
+    exercised against a faithful stub module (optuna is not installed in
+    this environment): pruned trials raise TrialPruned AFTER run_training
+    returned cleanly, carry epochs_run, and land as PRUNED in the log."""
+    import sys
+    import types
+
+    from rcnn_ocr_tpu.hpo import PrunedTrial, run_hpo
+
+    class TrialPruned(Exception):
+        pass
+
+    class _State:
+        PRUNED, COMPLETE = "PRUNED", "COMPLETE"
+
+    class _Trial:
+        def __init__(self, number):
+            self.number = number
+            self.params = {}
+            self.user_attrs = {}
+            self.value = None
+            self.state = _State.COMPLETE
+            self.reports = []
+
+        def suggest_float(self, name, low, high, log=False):
+            v = low + (high - low) * ((self.number * 37 % 10) / 10.0)
+            self.params[name] = v
+            return v
+
+        def suggest_int(self, name, low, high):
+            self.params[name] = low
+            return low
+
+        def suggest_categorical(self, name, choices):
+            self.params[name] = choices[0]
+            return choices[0]
+
+        def report(self, value, step):
+            self.reports.append((step, value))
+
+        def should_prune(self):
+            # prune every odd-numbered trial at its second report
+            return self.number % 2 == 1 and len(self.reports) >= 2
+
+        def set_user_attr(self, k, v):
+            self.user_attrs[k] = v
+
+    class _Study:
+        def __init__(self):
+            self.trials = []
+
+        def optimize(self, fn, n_trials, n_jobs, catch=()):
+            for i in range(n_trials):
+                t = _Trial(i)
+                self.trials.append(t)
+                try:
+                    t.value = fn(t)
+                except TrialPruned:
+                    t.state = _State.PRUNED
+
+        @property
+        def best_value(self):
+            vals = [t.value for t in self.trials if t.state == _State.COMPLETE]
+            if not vals:
+                raise ValueError("no completed trials")
+            return max(vals)
+
+        @property
+        def best_params(self):
+            best = max(
+                (t for t in self.trials if t.state == _State.COMPLETE),
+                key=lambda t: t.value,
+            )
+            return best.params
+
+    stub = types.ModuleType("optuna")
+    stub.TrialPruned = TrialPruned
+    stub.create_study = lambda **kw: _Study()
+    stub.samplers = types.SimpleNamespace(TPESampler=lambda seed: None)
+    stub.pruners = types.SimpleNamespace(
+        MedianPruner=lambda **kw: None, NopPruner=lambda: None
+    )
+    stub.trial = types.SimpleNamespace(TrialState=_State)
+    monkeypatch.setitem(sys.modules, "optuna", stub)
+
+    MAX_EPOCHS = 4
+
+    def objective(base, params, trial_dir, report=None):
+        value = 0.0
+        for epoch in range(1, MAX_EPOCHS + 1):
+            value = params["lr"] * epoch
+            if report is not None and report(epoch, value):
+                raise PrunedTrial(value, epoch)
+        return value
+
+    out = run_hpo(
+        {}, n_trials=4, study_name="s", storage_dir=str(tmp_path / "s"),
+        space={"lr": ("float", 0.1, 0.9)}, objective=objective, seed=0,
+        prune=True,
+    )
+    pruned = [t for t in out["trials"] if t["pruned"]]
+    done = [t for t in out["trials"] if not t["pruned"]]
+    assert [t["number"] for t in pruned] == [1, 3]
+    assert all(t["epochs_run"] == 2 for t in pruned)
+    assert all(t["epochs_run"] == MAX_EPOCHS for t in done)
+    assert out["best_value"] == pytest.approx(
+        max(t["value"] for t in done)
+    )
+
+
+@pytest.mark.slow
+def test_run_training_eval_callback_prunes(tmp_path):
+    """run_training's eval_callback hook stops a real run cleanly at the
+    requested epoch: pruned flag set, only that many epochs trained, all
+    checkpoint slots drained."""
+    charset = _write_charset(tmp_path / "cs.txt", CHARSET_TOKENS)
+    train = make_synthetic_dataset(str(tmp_path / "tr"), tiny_labels(14))
+    cfg = _cfg(tmp_path, charset, train, str(tmp_path / "exp"), epochs=4)
+    calls = []
+
+    def cb(epoch, metrics):
+        calls.append((epoch, metrics["val_acc"]))
+        return epoch >= 2
+
+    result = run_training(cfg, eval_callback=cb)
+    assert result["pruned"] is True
+    assert result["epochs_run"] == 2
+    assert [e for e, _ in calls] == [1, 2]
+    assert os.path.exists(tmp_path / "exp" / "last_ckpt.msgpack")
