@@ -196,6 +196,46 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return out
 
 
+def local_batch_rows(*arrays) -> list:
+    """This process's rows of batch-sharded global arrays, row-aligned.
+
+    Under multi-host, fetching a full batch-sharded output crashes (rows
+    on other hosts are non-addressable).  This gathers only the
+    ADDRESSABLE shards, sorted by global row offset and deduplicated (a
+    data×model mesh replicates each row block over the model axis) — the
+    same sort for every argument, so row ``i`` of one result corresponds
+    to row ``i`` of the others whenever the inputs share the batch
+    sharding (e.g. an eval step's decode output and the batch fields that
+    produced it).
+    """
+    outs = []
+    for arr in arrays:
+        seen = set()
+        shards = []
+        for s in arr.addressable_shards:
+            start = s.index[0].start or 0
+            if start in seen:
+                continue
+            seen.add(start)
+            shards.append((start, np.asarray(s.data)))
+        shards.sort(key=lambda t: t[0])
+        outs.append(np.concatenate([d for _, d in shards], axis=0))
+    return outs
+
+
+def global_metric_sum(values: Sequence[float]) -> np.ndarray:
+    """Sum a small host metric vector across processes (single-process:
+    identity).  Every process receives the same global sums, so control
+    decisions driven by validation metrics (best-slot saves, plateau
+    schedulers, HPO pruning) stay bit-identical across hosts."""
+    arr = np.asarray(values, np.float64)
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr)).sum(axis=0)
+
+
 def make_process_local_batch(
     batch: Dict[str, Any], mesh: Mesh, microbatch: Optional[int] = None
 ) -> Dict[str, Any]:

@@ -768,17 +768,34 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
                         unit="batch", leave=False,
                         disable=None if show_progress else True,
                     ):
-                        out = eval_step(state, to_device(batch))
+                        dev_batch = to_device(batch)
+                        out = eval_step(state, dev_batch)
                         set_loss += float(out["val_loss"])
                         set_batches += 1
+                        raw = out["pred_ids"] if "pred_ids" in out else out["ctc_frame_ids"]
+                        if jax.process_count() > 1:
+                            # a batch-sharded output spans non-addressable
+                            # devices: fetch only THIS process's rows, and
+                            # take targets/valid from the device batch by
+                            # the same shard order so rows stay aligned
+                            from rcnn_ocr_tpu.parallel.mesh import local_batch_rows
+
+                            raw_rows, tgt_ids, valid_rows = local_batch_rows(
+                                raw, dev_batch["target_y"], dev_batch["valid"]
+                            )
+                            mask = np.asarray(valid_rows).astype(bool)
+                            raw_rows, tgt_ids = raw_rows[mask], tgt_ids[mask]
+                        else:
+                            n_real = int(batch["valid"].sum())
+                            raw_rows = np.asarray(raw)[:n_real]
+                            tgt_ids = np.asarray(batch["target_y"])[:n_real]
                         if "pred_ids" in out:
-                            pred_ids = np.asarray(out["pred_ids"])
+                            pred_ids = raw_rows
                         else:  # pure CTC: greedy-collapse the frame argmaxes
                             from rcnn_ocr_tpu.ops.ctc import ctc_greedy_collapse_np
 
-                            frame_ids = np.asarray(out["ctc_frame_ids"])
                             rows = ctc_greedy_collapse_np(
-                                frame_ids, charset.ctc_blank_id
+                                raw_rows, charset.ctc_blank_id
                             )
                             width = max_len + 1
                             pred_ids = np.full((len(rows), width), charset.pad_id)
@@ -790,9 +807,7 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
                                     not in (charset.sos_id, charset.eos_id, charset.pad_id)
                                 ][:width]
                                 pred_ids[r, : len(row)] = row
-                        n_real = int(batch["valid"].sum())
-                        tgt_ids = batch["target_y"]
-                        for p_row, t_row in zip(pred_ids[:n_real], tgt_ids[:n_real]):
+                        for p_row, t_row in zip(pred_ids, tgt_ids):
                             hyps.append(
                                 decode_tokens(
                                     p_row,
@@ -813,23 +828,34 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
                             )
 
                     set_avg_loss = set_loss / max(1, set_batches)
-                    set_acc = compute_accuracy(refs, hyps)
-                    set_cer_sum = sum(
-                        character_error_rate(r, h) for r, h in zip(refs, hyps)
+                    # decoded-text metrics were computed on THIS process's
+                    # rows only — sum the counts globally so every process
+                    # sees identical metrics (and makes identical best-slot
+                    # / scheduler / pruning decisions); val_loss is already
+                    # global (computed in-program on the sharded batch)
+                    from rcnn_ocr_tpu.parallel.mesh import global_metric_sum
+
+                    n_set, n_set_correct, set_cer_sum, set_wer_sum = global_metric_sum(
+                        [
+                            len(refs),
+                            sum(1 for r, h in zip(refs, hyps) if r == h),
+                            sum(character_error_rate(r, h) for r, h in zip(refs, hyps)),
+                            sum(word_error_rate(r, h) for r, h in zip(refs, hyps)),
+                        ]
                     )
-                    set_wer_sum = sum(word_error_rate(r, h) for r, h in zip(refs, hyps))
+                    set_acc = n_set_correct / max(1, n_set)
                     writer.add_scalar(f"Loss/val_set_{i}", set_avg_loss, epoch)
                     writer.add_scalar(f"Accuracy/val_set_{i}", set_acc, epoch)
                     writer.add_scalar(
-                        f"CER/val_set_{i}", set_cer_sum / max(1, len(refs)), epoch
+                        f"CER/val_set_{i}", set_cer_sum / max(1, n_set), epoch
                     )
                     writer.add_scalar(
-                        f"WER/val_set_{i}", set_wer_sum / max(1, len(refs)), epoch
+                        f"WER/val_set_{i}", set_wer_sum / max(1, n_set), epoch
                     )
                     total_val_loss += set_loss
                     total_batches += set_batches
-                    total_correct += sum(1 for r, h in zip(refs, hyps) if r == h)
-                    total_predictions += len(refs)
+                    total_correct += n_set_correct
+                    total_predictions += n_set
                     total_cer_sum += set_cer_sum
                     total_wer_sum += set_wer_sum
 
