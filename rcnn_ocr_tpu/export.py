@@ -40,7 +40,9 @@ import numpy as np
 MANIFEST_VERSION = 2
 
 
-LONG_METHODS = ("ctc_long", "ctc_long_beam")
+CTC_LONG_METHODS = ("ctc_long", "ctc_long_beam")
+ATTN_LONG_METHODS = ("attention_long", "attention_long_beam")
+LONG_METHODS = CTC_LONG_METHODS + ATTN_LONG_METHODS
 
 
 def export_serving_artifact(
@@ -71,8 +73,11 @@ def export_serving_artifact(
     stitched decode (`rcnn_ocr_tpu.long_lines`): the artifact carries the
     per-tile frame-extraction kernel (one static ``tile_w``) plus the
     tiling/stitch policy in the manifest; the host side of
-    :class:`ServingArtifact` then runs the SAME tiling + blank-snap stitch
-    driver as the live engine.
+    :class:`ServingArtifact` then runs the SAME tiling + stitch driver as
+    the live engine.  ``method="attention_long"`` / ``"attention_long_beam"``
+    do the same for the seq2seq head: the per-tile attention decode kernel
+    ships, and the loader merges junction text exactly like
+    ``predict_long`` (`long_lines.merge_tile_texts`).
     """
     import jax
     from flax import serialization
@@ -111,9 +116,20 @@ def export_serving_artifact(
     files: Dict[str, str] = {}
     for w in widths:
         if long_mode:
-            # per-tile kernel: resize-padded uint8 tiles in, top-k frame
-            # candidates out (the stitch/collapse runs on the serving host)
-            kernel = ocr.tile_kernel(prune_k=prune_k)
+            # per-tile kernel: resize-padded uint8 tiles in; out = top-k
+            # frame candidates (ctc_long*) or decoded token rows
+            # (attention_long*); the stitch/merge runs on the serving host
+            if method in ATTN_LONG_METHODS:
+                kernel = ocr.decode_kernel(
+                    max_length=max_length,
+                    beam_width=(
+                        beam_width if method == "attention_long_beam" else 0
+                    ),
+                    length_penalty=length_penalty,
+                    lm_weight=lm_weight,
+                )
+            else:
+                kernel = ocr.tile_kernel(prune_k=prune_k)
             tiles_spec = jax.ShapeDtypeStruct(
                 (batch_size, ocr.img_h, w, 3), np.uint8
             )
@@ -178,12 +194,15 @@ def export_serving_artifact(
     }
     if long_mode:
         # tiling/stitch policy: the host driver reconstructs the live
-        # engine's predict_ctc_long exactly from these
-        if snap not in ("midpoint", "blank"):
-            raise ValueError(f"snap must be 'midpoint' or 'blank', got {snap!r}")
+        # engine's predict_ctc_long / predict_long exactly from these
         manifest["tile_w"] = int(tile_w)
         manifest["overlap"] = int(overlap)
-        manifest["snap"] = snap
+        if method in CTC_LONG_METHODS:
+            if snap not in ("midpoint", "blank"):
+                raise ValueError(
+                    f"snap must be 'midpoint' or 'blank', got {snap!r}"
+                )
+            manifest["snap"] = snap
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(manifest, f, ensure_ascii=False, indent=1)
@@ -345,18 +364,14 @@ class ServingArtifact:
         """Unbounded-width stitched decode from the exported tile kernel.
 
         Runs the SAME host driver as the live engine's ``predict_ctc_long``
-        (`rcnn_ocr_tpu.long_lines`: plan_tiles -> per-tile frames ->
-        blank-snap junction cuts -> stitched collapse), with the per-tile
-        frame extraction going through the deserialized StableHLO kernel —
-        so artifact and live long-line decodes cannot diverge.
+        / ``predict_long`` (`rcnn_ocr_tpu.long_lines`: plan_tiles -> per-
+        tile kernel -> junction cuts / text merge), with the per-tile work
+        going through the deserialized StableHLO kernel — so artifact and
+        live long-line decodes cannot diverge.
         """
         from rcnn_ocr_tpu.data.transforms import ResizeAndPad, load_rgb_uint8
-        from rcnn_ocr_tpu.long_lines import (
-            decode_stitched,
-            extract_tile_frames,
-            plan_tiles,
-        )
-        from rcnn_ocr_tpu.postprocess import ctc_skip_ids
+        from rcnn_ocr_tpu.long_lines import plan_tiles
+        from rcnn_ocr_tpu.postprocess import pad_rows
 
         m = self.manifest
         tile_w, overlap = self.tile_w, self.overlap
@@ -366,6 +381,46 @@ class ServingArtifact:
             self.img_h, tile_w, overlap, pad_one,
         )
         call = self._calls[tile_w]
+
+        if self.method in ATTN_LONG_METHODS:
+            # per-tile seq2seq decode + text-space junction merge
+            from rcnn_ocr_tpu.long_lines import merge_tile_texts
+            from rcnn_ocr_tpu.postprocess import (
+                decode_attention_row,
+                decode_beam_row,
+            )
+
+            ids = self._ids
+            beam = self.method == "attention_long_beam"
+            tile_texts: List[str] = []
+            for i in range(0, len(tiles), self.batch_size):
+                chunk, n_real = pad_rows(
+                    tiles[i : i + self.batch_size], self.batch_size
+                )
+                pred, aux = call(self.variables, self._device_batch(np.stack(chunk)))
+                pred, aux = np.asarray(pred)[:n_real], np.asarray(aux)[:n_real]
+                for j in range(n_real):
+                    row_fn = decode_beam_row if beam else decode_attention_row
+                    tile_texts.append(
+                        row_fn(
+                            pred[j], aux[j], self._itos,
+                            pad_id=ids["pad"], eos_id=ids["eos"],
+                            blank_id=ids["blank"], return_confidence=False,
+                        )
+                    )
+            out: List[str] = []
+            for first, starts in plans:
+                texts = tile_texts[first : first + len(starts)]
+                out.append(
+                    texts[0]
+                    if len(texts) == 1
+                    else merge_tile_texts(texts, tile_w, starts)
+                )
+            return out
+
+        from rcnn_ocr_tpu.long_lines import decode_stitched, extract_tile_frames
+        from rcnn_ocr_tpu.postprocess import ctc_skip_ids
+
         vals, idx = extract_tile_frames(
             tiles, self.batch_size,
             lambda batch: call(self.variables, self._device_batch(batch)),

@@ -127,6 +127,28 @@ class ServingEngineMixin:
             ),
         )
 
+    def decode_kernel(
+        self,
+        max_length: int = 25,
+        beam_width: int = 0,
+        length_penalty: float = 0.0,
+        lm_weight: float = 0.0,
+    ):
+        """The plain attention decode kernel ``predict`` / ``predict_long``
+        run per batch/tile: ``kernel(variables, uint8 images [B, H, W, 3])
+        -> (tokens, aux)`` (aux = max-softmax rows for greedy, cumulative
+        log-prob scores for ``beam_width > 1``).  Public accessor so the
+        AOT export can ship attention_long artifacts
+        (`rcnn_ocr_tpu.export`)."""
+        if not self.model.with_attention_head:
+            raise ValueError("this checkpoint has no attention head")
+        steps = max_length + 1
+        if beam_width and beam_width > 1:
+            return self._attn_beam_fn(
+                steps, int(beam_width), length_penalty, lm_weight
+            )
+        return self._greedy_fn(steps)
+
     def tile_kernel(self, prune_k: int = 16):
         """The per-tile frame-extraction kernel long-line decoding runs:
         ``kernel(variables, uint8 tiles [B, H, tile_w, 3]) -> (top-k frame

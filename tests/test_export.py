@@ -375,3 +375,36 @@ def test_artifact_mesh_load_decode_equality(tiny_ckpt, tmp_path):
     )
     with pytest.raises(ValueError, match="does not tile"):
         ServingArtifact.load(out_bad, mesh=True)
+
+
+@pytest.mark.parametrize("method", ["attention_long", "attention_long_beam"])
+def test_artifact_attention_long_matches_live_engine(tiny_ckpt, tmp_path, method):
+    """The round-4 attention-head long-line path reaches the deployment
+    artifact in the same round it ships: the per-tile seq2seq decode
+    kernel exports, and the loader runs the SAME text-merge driver as
+    `predict_long` — string-identical decodes for multi-tile wide,
+    single-tile short, and batch inputs."""
+    ckpt_path, charset_path = tiny_ckpt
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    out_dir = str(tmp_path / "art_attn_long")
+    export_serving_artifact(
+        ocr, out_dir, method=method, batch_size=2, max_length=5, beam_width=3,
+    )
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["tile_w"] == 64 and "snap" not in manifest
+
+    art = ServingArtifact.load(out_dir)
+    rng = np.random.default_rng(19)
+    wide = rng.integers(0, 256, (32, 300, 3)).astype(np.uint8)
+    narrow = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    live = ocr.predict_long(
+        [narrow, wide],
+        method="attention_beam" if method.endswith("beam") else "attention",
+        batch_size=2, max_length=5, beam_width=3,
+    )
+    assert art.predict([narrow, wide]) == live
+    assert art.predict(wide) == live[1]

@@ -30,6 +30,7 @@ def main() -> None:
         choices=[
             "attention", "attention_beam", "ctc_greedy", "ctc_beam",
             "ctc_long", "ctc_long_beam",  # unbounded-width stitched decode
+            "attention_long", "attention_long_beam",  # tiled seq2seq + merge
         ],
     )
     p.add_argument("--img-h", type=int, default=None)
@@ -93,14 +94,23 @@ def main() -> None:
     )
     platforms = args.platforms.split(",") if args.platforms else None
 
-    if args.lm_weight and args.method not in ("attention_beam", "ctc_beam"):
-        p.error("--lm-weight requires --method attention_beam or ctc_beam")
-    if (args.tile_w or args.overlap) and args.method not in (
-        "ctc_long", "ctc_long_beam"
+    if args.lm_weight and args.method not in (
+        "attention_beam", "ctc_beam", "attention_long_beam"
     ):
-        p.error("--tile-w/--overlap require --method ctc_long or ctc_long_beam")
-    if args.length_penalty and args.method != "attention_beam":
-        p.error("--length-penalty requires --method attention_beam")
+        p.error(
+            "--lm-weight requires --method attention_beam, ctc_beam, or "
+            "attention_long_beam"
+        )
+    if args.length_penalty and args.method not in (
+        "attention_beam", "attention_long_beam"
+    ):
+        p.error(
+            "--length-penalty requires --method attention_beam or "
+            "attention_long_beam"
+        )
+    long_methods = ("ctc_long", "ctc_long_beam", "attention_long", "attention_long_beam")
+    if (args.tile_w or args.overlap) and args.method not in long_methods:
+        p.error("--tile-w/--overlap require a *_long method")
     ocr = OCRInference(
         args.model,
         args.charset,
