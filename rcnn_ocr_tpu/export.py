@@ -37,7 +37,11 @@ import numpy as np
 # v2: explicit per-method decode dispatch (v1 loaders routed any unknown
 # method through the CTC branch — a v1 loader reading an attention_beam
 # artifact would garble decodes instead of refusing; ADVICE r3)
-MANIFEST_VERSION = 2
+# v3: frame-aligned attention_long merge — the exported per-tile kernel
+# carries an EXTRA alignment output, so v3 is stamped only on
+# merge="align" artifacts and a v2 loader refuses them loudly instead of
+# mis-unpacking the kernel outputs
+MANIFEST_VERSION = 3
 
 
 CTC_LONG_METHODS = ("ctc_long", "ctc_long_beam")
@@ -61,6 +65,7 @@ def export_serving_artifact(
     tile_w: Optional[int] = None,  # ctc_long*: tile width (default img_w)
     overlap: Optional[int] = None,  # ctc_long*: junction overlap px
     snap: str = "midpoint",  # ctc_long*: junction cuts ("midpoint"|"blank")
+    merge: str = "align",  # attention_long*: junction merge ("align"|"text")
 ) -> str:
     """Export an :class:`OCRInference` serving configuration to disk.
 
@@ -75,9 +80,11 @@ def export_serving_artifact(
     tiling/stitch policy in the manifest; the host side of
     :class:`ServingArtifact` then runs the SAME tiling + stitch driver as
     the live engine.  ``method="attention_long"`` / ``"attention_long_beam"``
-    do the same for the seq2seq head: the per-tile attention decode kernel
-    ships, and the loader merges junction text exactly like
-    ``predict_long`` (`long_lines.merge_tile_texts`).
+    do the same for the seq2seq head; ``merge`` picks ``predict_long``'s
+    junction policy — ``"align"`` (default) ships the alignment-returning
+    kernel and stitches by the decoder's own attention positions
+    (`long_lines.stitch_aligned_rows`), ``"text"`` ships the plain kernel
+    and merges in text space (`long_lines.merge_tile_texts`).
     """
     import jax
     from flax import serialization
@@ -120,6 +127,10 @@ def export_serving_artifact(
             # frame candidates (ctc_long*) or decoded token rows
             # (attention_long*); the stitch/merge runs on the serving host
             if method in ATTN_LONG_METHODS:
+                if merge not in ("align", "text"):
+                    raise ValueError(
+                        f"merge must be 'align' or 'text', got {merge!r}"
+                    )
                 kernel = ocr.decode_kernel(
                     max_length=max_length,
                     beam_width=(
@@ -127,6 +138,7 @@ def export_serving_artifact(
                     ),
                     length_penalty=length_penalty,
                     lm_weight=lm_weight,
+                    with_alignment=(merge == "align"),
                 )
             else:
                 kernel = ocr.tile_kernel(prune_k=prune_k)
@@ -164,8 +176,14 @@ def export_serving_artifact(
         )
 
     cs = ocr.charset
+    # align attention_long kernels carry an extra output — stamp v3 so a
+    # v2 loader refuses them instead of mis-unpacking; everything else
+    # stays readable by v2 loaders
+    fmt = (
+        3 if (method in ATTN_LONG_METHODS and merge == "align") else 2
+    )
     manifest = {
-        "format_version": MANIFEST_VERSION,
+        "format_version": fmt,
         "method": method,
         "max_length": max_length,
         "batch_size": batch_size,
@@ -203,6 +221,14 @@ def export_serving_artifact(
                     f"snap must be 'midpoint' or 'blank', got {snap!r}"
                 )
             manifest["snap"] = snap
+        else:
+            manifest["merge"] = merge
+            if merge == "align":
+                # the aligned merge needs the per-tile encoder frame count;
+                # recorded so the loader needs no model code at serve time
+                from rcnn_ocr_tpu.models.rcnn import TIME_DOWNSAMPLE
+
+                manifest["frames_t"] = int(tile_w) // TIME_DOWNSAMPLE
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(manifest, f, ensure_ascii=False, indent=1)
@@ -383,39 +409,57 @@ class ServingArtifact:
         call = self._calls[tile_w]
 
         if self.method in ATTN_LONG_METHODS:
-            # per-tile seq2seq decode + text-space junction merge
-            from rcnn_ocr_tpu.long_lines import merge_tile_texts
-            from rcnn_ocr_tpu.postprocess import (
-                decode_attention_row,
-                decode_beam_row,
+            # per-tile seq2seq decode; junction policy from the manifest —
+            # frame-aligned (the kernel also ships the attention argmax)
+            # or text-space merge, exactly like the live predict_long
+            from rcnn_ocr_tpu.long_lines import (
+                merge_tile_texts,
+                stitch_aligned_rows,
             )
+            from rcnn_ocr_tpu.postprocess import decode_attention_row
 
             ids = self._ids
             beam = self.method == "attention_long_beam"
-            tile_texts: List[str] = []
+            aligned = m.get("merge", "text") == "align"
+            tok_rows: List[np.ndarray] = []
+            align_rows: List[np.ndarray] = []
             for i in range(0, len(tiles), self.batch_size):
                 chunk, n_real = pad_rows(
                     tiles[i : i + self.batch_size], self.batch_size
                 )
-                pred, aux = call(self.variables, self._device_batch(np.stack(chunk)))
-                pred, aux = np.asarray(pred)[:n_real], np.asarray(aux)[:n_real]
-                for j in range(n_real):
-                    row_fn = decode_beam_row if beam else decode_attention_row
-                    tile_texts.append(
-                        row_fn(
-                            pred[j], aux[j], self._itos,
-                            pad_id=ids["pad"], eos_id=ids["eos"],
-                            blank_id=ids["blank"], return_confidence=False,
-                        )
-                    )
+                outs = call(self.variables, self._device_batch(np.stack(chunk)))
+                tok_rows.extend(np.asarray(outs[0])[:n_real])
+                if aligned:
+                    align_rows.extend(np.asarray(outs[-1])[:n_real])
+
+            def tile_text(row: np.ndarray) -> str:
+                return decode_attention_row(
+                    row, None, self._itos,
+                    pad_id=ids["pad"], eos_id=ids["eos"],
+                    blank_id=ids["blank"], return_confidence=False,
+                )
+
+            skip_ids = {
+                v for v in (ids["pad"], ids["blank"]) if v is not None
+            }
             out: List[str] = []
             for first, starts in plans:
-                texts = tile_texts[first : first + len(starts)]
-                out.append(
-                    texts[0]
-                    if len(texts) == 1
-                    else merge_tile_texts(texts, tile_w, starts)
-                )
+                if len(starts) == 1:
+                    out.append(tile_text(tok_rows[first]))
+                elif aligned:
+                    out.append(stitch_aligned_rows(
+                        np.stack(tok_rows[first : first + len(starts)]),
+                        np.stack(align_rows[first : first + len(starts)]),
+                        starts, tile_w, int(m["frames_t"]),
+                        eos_id=ids["eos"], skip_ids=skip_ids,
+                        itos=self._itos,
+                    ))
+                else:
+                    texts = [
+                        tile_text(tok_rows[first + j])
+                        for j in range(len(starts))
+                    ]
+                    out.append(merge_tile_texts(texts, tile_w, starts))
             return out
 
         from rcnn_ocr_tpu.long_lines import decode_stitched, extract_tile_frames

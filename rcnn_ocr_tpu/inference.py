@@ -297,6 +297,57 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
 
         return self._cached(("greedy", steps), build)
 
+    def _greedy_align_fn(self, steps: int):
+        """Greedy decode kernel that also ships the attention alignment
+        (per-step encoder-frame argmax) — the long-line aligned merge's
+        input (`long_lines.py:stitch_aligned_rows`)."""
+
+        def build():
+            def run(variables, images):
+                logits, align = self.model.apply(
+                    variables, device_normalize(images),
+                    batch_max_length=steps - 1,
+                    method=self.model.greedy_decode_aligned,
+                )
+                pred = jnp.argmax(logits, axis=-1)
+                return pred, align
+
+            return self._jit(run)
+
+        return self._cached(("greedy_align", steps), build)
+
+    def _attn_beam_align_fn(
+        self,
+        steps: int,
+        beam_width: int,
+        length_penalty: float,
+        lm_weight: float = 0.0,
+    ):
+        """Beam kernel returning (tokens, scores, alignment) — the winning
+        hypothesis' per-step attention argmax rides the beam's parent
+        selection (`models/attention.py:_beam_search`)."""
+        lm = self._fusion_lm(lm_weight)
+
+        def build():
+            def run(variables, images):
+                return self.model.apply(
+                    variables, device_normalize(images),
+                    beam_width=beam_width,
+                    batch_max_length=steps - 1,
+                    length_penalty=length_penalty,
+                    lm_logp=lm,
+                    lm_weight=lm_weight,
+                    return_alignment=True,
+                    method=self.model.beam_decode,
+                )
+
+            return self._jit(run)
+
+        return self._cached(
+            ("attn_beam_align", steps, beam_width, length_penalty, lm_weight),
+            build,
+        )
+
     def _attn_beam_fn(
         self,
         steps: int,

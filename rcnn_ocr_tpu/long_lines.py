@@ -196,6 +196,43 @@ def merge_tile_texts(
     return merged
 
 
+def stitch_aligned_rows(
+    tokens: np.ndarray,  # [n_tiles, steps] decoded token ids
+    aligns: np.ndarray,  # [n_tiles, steps] attention frame argmax per step
+    starts: Sequence[int],
+    tile_w: int,
+    frames_t: int,
+    *,
+    eos_id: int,
+    skip_ids,
+    itos: Sequence[str],
+) -> str:
+    """Frame-aligned junction merge for the attention head.
+
+    The text-space merge (:func:`merge_tile_texts`) has to *guess* where
+    adjacent tiles' decodes overlap; the decoder itself knows — its
+    attention argmax says which encoder frame each character was read
+    from.  Cutting each junction at the overlap midpoint in FRAME space
+    (the same :func:`long_line_spans` policy the CTC stitcher uses) and
+    keeping only the characters whose alignment falls inside the tile's
+    span de-duplicates the overlap exactly: a character is emitted by the
+    tile that owns its x-position, once.  Measured on the PERF.md
+    long-line demo (`tools/long_line_demo.py`).
+    """
+    spans = long_line_spans(starts, tile_w, frames_t)
+    chars: List[str] = []
+    for j, f_from, f_to in spans:
+        for tok, al in zip(tokens[j], aligns[j]):
+            tok = int(tok)
+            if tok == eos_id:
+                break
+            if tok in skip_ids or tok >= len(itos):
+                continue
+            if f_from <= int(al) < f_to:
+                chars.append(itos[tok])
+    return "".join(chars)
+
+
 def decode_stitched(
     vals: np.ndarray,  # [n_tiles, T, k] top-k frame log-probs
     idx: np.ndarray,  # [n_tiles, T, k] their class ids
@@ -357,6 +394,7 @@ class LongLineMixin:
         lm_weight: float = 0.0,
         prune_k: int = 16,
         snap: str = "midpoint",
+        merge: str = "align",
     ):
         """Unbounded-width decode for EVERY head (one entry point).
 
@@ -365,14 +403,23 @@ class LongLineMixin:
         ``"attention_beam"`` give the reference's primary (and sometimes
         only) decode head (`/root/reference/model/model.py:91-112`) a
         long-line story of its own: the same overlapping tiles, each
-        decoded by the seq2seq head through the engine's ordinary kernels
-        (short lines therefore decode IDENTICALLY to ``predict``), then
-        merged in text space at the junctions
-        (:func:`merge_tile_texts` — the overlap pixels decode in both
-        tiles, so the best suffix/prefix edit alignment locates the
-        repeat).  Unlike CTC stitching there is no frame alignment to
-        lean on; the merge is a text heuristic, measured on the PERF.md
-        long-line demo (`tools/long_line_demo.py`).
+        decoded by the seq2seq head (short lines therefore decode
+        IDENTICALLY to ``predict``), then de-duplicated at the junctions.
+
+        ``merge`` picks the junction policy:
+
+        * ``"align"`` (default) — frame-aligned: the decoder's attention
+          argmax gives each character an x-position, and each junction
+          cuts at the overlap midpoint in frame space exactly like the
+          CTC stitcher (:func:`stitch_aligned_rows`).  Measured (PERF.md
+          round 4): equal to the text merge at small overlaps and FLAT
+          as overlap grows (0.56 CER at 24-48 px), where the text merge
+          degrades to worse-than-squash (0.56 -> 1.09) because wider
+          junctions make the suffix/prefix guess ambiguous.
+        * ``"text"`` — position-free fallback: the overlap pixels decode
+          in both tiles, so the best suffix/prefix edit alignment locates
+          the repeat (:func:`merge_tile_texts`).  Only safe at small
+          overlaps.
 
         ``max_length`` bounds the PER-TILE decode (a tile holds at most
         ~tile_w/char_w characters, so the default is usually ample).
@@ -386,9 +433,12 @@ class LongLineMixin:
             )
         if method not in ("attention", "attention_beam"):
             raise ValueError(f"Unsupported decode method: {method}")
+        if merge not in ("align", "text"):
+            raise ValueError(f"merge must be 'align' or 'text', got {merge!r}")
         if not self.model.with_attention_head:
             raise ValueError("this checkpoint has no attention head")
         from rcnn_ocr_tpu.data.transforms import ResizeAndPad
+        from rcnn_ocr_tpu.models.rcnn import TIME_DOWNSAMPLE
 
         is_single = not isinstance(images, list)
         images_list: List[ImageLike] = [images] if is_single else list(images)
@@ -402,35 +452,58 @@ class LongLineMixin:
             self.img_h, tile_w, overlap, pad_one,
         )
 
-        # decode every tile through the ordinary attention kernels (one
-        # static shape -> one compile; the same kernels `predict` uses)
+        # decode every tile through the attention kernels (one static
+        # shape -> one compile); the alignment flavor also ships each
+        # step's attention argmax for the frame-aligned merge
         steps = max_length + 1
         beam = method == "attention_beam"
         run = (
-            self._attn_beam_fn(steps, int(beam_width), length_penalty, lm_weight)
+            self._attn_beam_align_fn(
+                steps, int(beam_width), length_penalty, lm_weight
+            )
             if beam
-            else self._greedy_fn(steps)
+            else self._greedy_align_fn(steps)
         )
-        tile_texts: List[str] = []
         from rcnn_ocr_tpu.postprocess import pad_rows
 
+        tok_rows: List[np.ndarray] = []
+        align_rows: List[np.ndarray] = []
         for i in range(0, len(tiles), batch_size):
             chunk, n_real = pad_rows(tiles[i : i + batch_size], batch_size)
-            pred, aux = run(self.variables, self._device_batch(np.stack(chunk)))
-            pred, aux = np.asarray(pred)[:n_real], np.asarray(aux)[:n_real]
-            for j in range(n_real):
-                tile_texts.append(
-                    self._decode_beam_row(pred[j], aux[j], False)
-                    if beam
-                    else self._decode_attention_row(pred[j], aux[j], False)
-                )
+            out = run(self.variables, self._device_batch(np.stack(chunk)))
+            pred, align = (out[0], out[2]) if beam else out
+            tok_rows.extend(np.asarray(pred)[:n_real])
+            align_rows.extend(np.asarray(align)[:n_real])
 
+        def tile_text(row: np.ndarray) -> str:
+            from rcnn_ocr_tpu.vocab.charset import decode_tokens
+
+            return decode_tokens(
+                row, self._itos,
+                pad_id=self.charset.pad_id, eos_id=self.charset.eos_id,
+                blank_id=self.charset.blank_id,
+            )
+
+        skip_ids = {
+            v for v in (self.charset.pad_id, self.charset.blank_id)
+            if v is not None
+        }
         results: List[str] = []
         for first, starts in plans:
-            texts = tile_texts[first : first + len(starts)]
-            results.append(
-                texts[0]
-                if len(texts) == 1
-                else merge_tile_texts(texts, tile_w, starts)
-            )
+            if len(starts) == 1:
+                results.append(tile_text(tok_rows[first]))
+            elif merge == "align":
+                results.append(stitch_aligned_rows(
+                    np.stack(tok_rows[first : first + len(starts)]),
+                    np.stack(align_rows[first : first + len(starts)]),
+                    starts, tile_w, tile_w // TIME_DOWNSAMPLE,
+                    eos_id=self.charset.eos_id,
+                    skip_ids=skip_ids,
+                    itos=self._itos,
+                ))
+            else:
+                texts = [
+                    tile_text(tok_rows[first + j]) for j in range(len(starts))
+                ]
+                results.append(merge_tile_texts(texts, tile_w, starts))
         return results[0] if is_single else results

@@ -68,6 +68,7 @@ class AttentionDecoder(nn.Module):
         length_penalty: float = 0.0,
         lm_logp: Optional[jnp.ndarray] = None,  # [V, V] bigram log P(next|prev)
         lm_weight: float = 0.0,  # shallow-fusion mixing weight (beam only)
+        return_alignment: bool = False,  # also return per-step attention argmax
     ):
         batch, enc_t, enc_c = batch_H.shape
         hidden = self.hidden_size
@@ -119,7 +120,13 @@ class AttentionDecoder(nn.Module):
         w_emb_c = jnp.asarray(w_emb)
 
         def attend_and_update(h, c, targets, t, keys=None, values=None):
-            """One decoder step: attention context + LSTM cell update."""
+            """One decoder step: attention context + LSTM cell update.
+
+            Also returns the attention argmax (the encoder frame this step
+            looked at hardest) — the per-character x-alignment long-line
+            stitching consumes; XLA dead-code-eliminates it everywhere it
+            goes unused.
+            """
             keys = proj_H if keys is None else keys
             values = bh if values is None else values
             proj_h = h.astype(dt) @ w_h2h_c + b_h2h
@@ -128,6 +135,7 @@ class AttentionDecoder(nn.Module):
                 -1,
             )  # [B, T]
             alpha = jax.nn.softmax(e.astype(jnp.float32), axis=1)
+            align = jnp.argmax(alpha, axis=1).astype(jnp.int32)  # [B]
             if use_attn_dropout:
                 key = jax.random.fold_in(base_rng, t)
                 keep = jax.random.bernoulli(key, 1.0 - self.dropout_p, alpha.shape)
@@ -141,7 +149,8 @@ class AttentionDecoder(nn.Module):
                 + h.astype(dt) @ w_hh_c
                 + b_cell
             )
-            return lstm_cell_gates(gates.astype(jnp.float32), c, hidden)
+            h_new, c_new = lstm_cell_gates(gates.astype(jnp.float32), c, hidden)
+            return h_new, c_new, align
 
         h0 = jnp.zeros((batch, hidden), jnp.float32)
         c0 = jnp.zeros((batch, hidden), jnp.float32)
@@ -160,6 +169,13 @@ class AttentionDecoder(nn.Module):
                 length_penalty=length_penalty,
                 lm_logp=lm_logp,
                 lm_weight=lm_weight,
+                return_alignment=return_alignment,
+            )
+
+        if return_alignment and not greedy:
+            raise ValueError(
+                "return_alignment is an eval-only decode feature "
+                "(greedy or beam; text=None)"
             )
 
         if not needs_step_logits:
@@ -172,7 +188,7 @@ class AttentionDecoder(nn.Module):
             def step_tf(carry, x_t):
                 h, c = carry
                 tgt_t, t = x_t
-                h_new, c_new = attend_and_update(h, c, tgt_t, t)
+                h_new, c_new, _ = attend_and_update(h, c, tgt_t, t)
                 return (h_new, c_new), h_new
 
             _, hs = jax.lax.scan(step_tf, (h0, c0), xs)  # [steps, B, H]
@@ -191,7 +207,7 @@ class AttentionDecoder(nn.Module):
         def step_fb(carry, x_t):
             h, c, targets = carry
             teacher_t, t = x_t
-            h_new, c_new = attend_and_update(h, c, targets, t)
+            h_new, c_new, align_t = attend_and_update(h, c, targets, t)
             logits_t = h_new.astype(dt) @ w_gen_c + b_gen
             logits_t = self._mask_blank(logits_t.astype(jnp.float32))
             pred = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
@@ -202,7 +218,7 @@ class AttentionDecoder(nn.Module):
                 out = h_new
             else:
                 next_targets = pred
-                out = logits_t
+                out = (logits_t, align_t)
             return (h_new, c_new, next_targets), out
 
         targets0 = jnp.full((batch,), self.sos_id, jnp.int32)
@@ -218,7 +234,11 @@ class AttentionDecoder(nn.Module):
             out_hid = jnp.transpose(outs, (1, 0, 2))
             logits = out_hid.astype(dt) @ w_gen_c + b_gen
             return self._mask_blank(logits.astype(jnp.float32))
-        return jnp.transpose(outs, (1, 0, 2))  # [B, steps, V] greedy logits
+        logits_s, align_s = outs
+        logits = jnp.transpose(logits_s, (1, 0, 2))  # [B, steps, V] greedy logits
+        if return_alignment:
+            return logits, jnp.transpose(align_s)  # + [B, steps] frame argmax
+        return logits
 
     def _beam_search(
         self,
@@ -232,6 +252,7 @@ class AttentionDecoder(nn.Module):
         length_penalty: float,
         lm_logp: Optional[jnp.ndarray] = None,
         lm_weight: float = 0.0,
+        return_alignment: bool = False,
     ):
         """Device-side beam search over the autoregressive decoder.
 
@@ -276,8 +297,12 @@ class AttentionDecoder(nn.Module):
         pad_only = jnp.full((vocab,), neg_inf).at[self.pad_id].set(0.0)
 
         def step(carry, t):
-            h, c, prev, cum, finished, hist = carry
-            h_new, c_new = attend_and_update(
+            # the alignment history rides the carry only when requested —
+            # loop carries are not reliably dead-code-eliminated, and the
+            # plain beam is the serving hot path
+            h, c, prev, cum, finished, hist = carry[:6]
+            ahist = carry[6] if return_alignment else None
+            h_new, c_new, align_t = attend_and_update(
                 h, c, prev.reshape(batch * K), t, keys=keys_k, values=values_k
             )
             logits_t = h_new.astype(dt) @ w_gen_c + b_gen
@@ -301,14 +326,22 @@ class AttentionDecoder(nn.Module):
             hist_sel = jnp.take_along_axis(hist, parent[:, :, None], axis=1)
             hist_new = hist_sel.at[:, :, t].set(tok)
             new_finished = fin_sel | (tok == self.eos_id)
-            return (
+            out = (
                 h_sel.reshape(batch * K, hidden),
                 c_sel.reshape(batch * K, hidden),
                 tok,
                 scores,
                 new_finished,
                 hist_new,
-            ), None
+            )
+            if return_alignment:
+                # the alignment of a child hypothesis' step-t token is its
+                # PARENT beam's attention argmax this step
+                align_k = align_t.reshape(batch, K)
+                al_sel = jnp.take_along_axis(align_k, parent, axis=1)
+                ahist_sel = jnp.take_along_axis(ahist, parent[:, :, None], axis=1)
+                out = out + (ahist_sel.at[:, :, t].set(al_sel),)
+            return out, None
 
         init = (
             jnp.zeros((batch * K, hidden), jnp.float32),
@@ -319,8 +352,11 @@ class AttentionDecoder(nn.Module):
             jnp.zeros((batch, K), bool),
             jnp.zeros((batch, K, steps), jnp.int32),
         )
+        if return_alignment:
+            init = init + (jnp.zeros((batch, K, steps), jnp.int32),)
         carry, _ = jax.lax.scan(step, init, jnp.arange(steps, dtype=jnp.int32))
-        _, _, _, cum, _, hist = carry
+        cum, hist = carry[3], carry[5]
+        ahist = carry[6] if return_alignment else None
 
         rank = cum
         if length_penalty > 0.0:
@@ -331,4 +367,7 @@ class AttentionDecoder(nn.Module):
         best = jnp.argmax(rank, axis=1)
         tokens = jnp.take_along_axis(hist, best[:, None, None], axis=1)[:, 0]
         score = jnp.take_along_axis(cum, best[:, None], axis=1)[:, 0]
+        if return_alignment:
+            align = jnp.take_along_axis(ahist, best[:, None, None], axis=1)[:, 0]
+            return tokens, score, align
         return tokens, score

@@ -136,6 +136,23 @@ class RCNN(nn.Module):
         enc = self.encode(x, train=train)
         return self.attn(enc, text=text, train=train, batch_max_length=batch_max_length)
 
+    def greedy_decode_aligned(
+        self, x: jnp.ndarray, batch_max_length: int = 25
+    ):
+        """Greedy decode that also returns the attention alignment.
+
+        Returns ``(logits [B, steps, V], align [B, steps] int32)`` where
+        ``align[b, t]`` is the encoder frame the decoder attended to
+        hardest when emitting step ``t`` — the per-character x-position
+        long-line stitching consumes (`long_lines.py`).  The logits are
+        bit-identical to ``__call__(train=False)``.
+        """
+        enc = self.encode(x, train=False)
+        return self.attn(
+            enc, train=False, batch_max_length=batch_max_length,
+            return_alignment=True,
+        )
+
     def beam_decode(
         self,
         x: jnp.ndarray,
@@ -144,6 +161,7 @@ class RCNN(nn.Module):
         length_penalty: float = 0.0,
         lm_logp=None,
         lm_weight: float = 0.0,
+        return_alignment: bool = False,
     ):
         """Beam-search decode for the attention head (framework-plus).
 
@@ -162,6 +180,7 @@ class RCNN(nn.Module):
             length_penalty=length_penalty,
             lm_logp=lm_logp,
             lm_weight=lm_weight,
+            return_alignment=return_alignment,
         )
 
     def init_all(

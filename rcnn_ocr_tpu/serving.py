@@ -469,6 +469,7 @@ def serving_predict_fn(
     beam_width: int = 16,
     length_penalty: float = 0.0,
     lm_weight: float = 0.0,
+    merge: str = "align",  # attention_long*: junction merge policy
 ) -> Callable[[List[Any]], List[str]]:
     """Adapt an engine to the batcher's ``list -> list[str]`` contract.
 
@@ -506,9 +507,11 @@ def serving_predict_fn(
         return fn_long
 
     if method in ("attention_long", "attention_long_beam"):
-        # attention-head long lines: per-tile seq2seq decode + text-space
-        # junction merge (predict_long).  The per-tile BEAM kernel carries
-        # the fusion/rank knobs; the greedy variant has none to carry.
+        # attention-head long lines: per-tile seq2seq decode + junction
+        # merge (predict_long) — frame-aligned by the decoder's attention
+        # positions by default, text-space with merge="text".  The
+        # per-tile BEAM kernel carries the fusion/rank knobs; the greedy
+        # variant has none to carry.
         attn_long_beam = method == "attention_long_beam"
         if lm_weight and not attn_long_beam:
             raise ValueError(f"lm_weight is not supported with method={method!r}")
@@ -526,6 +529,7 @@ def serving_predict_fn(
                 beam_width=beam_width,
                 length_penalty=length_penalty,
                 lm_weight=lm_weight,
+                merge=merge,
             )
             return out if isinstance(out, list) else [out]
 

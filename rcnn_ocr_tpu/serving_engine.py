@@ -133,20 +133,25 @@ class ServingEngineMixin:
         beam_width: int = 0,
         length_penalty: float = 0.0,
         lm_weight: float = 0.0,
+        with_alignment: bool = False,
     ):
         """The plain attention decode kernel ``predict`` / ``predict_long``
         run per batch/tile: ``kernel(variables, uint8 images [B, H, W, 3])
         -> (tokens, aux)`` (aux = max-softmax rows for greedy, cumulative
-        log-prob scores for ``beam_width > 1``).  Public accessor so the
-        AOT export can ship attention_long artifacts
+        log-prob scores for ``beam_width > 1``).  ``with_alignment=True``
+        returns the alignment flavor instead — greedy ``(tokens, align)``,
+        beam ``(tokens, scores, align)`` — whose per-step attention argmax
+        the frame-aligned long-line merge consumes.  Public accessor so
+        the AOT export can ship attention_long artifacts
         (`rcnn_ocr_tpu.export`)."""
         if not self.model.with_attention_head:
             raise ValueError("this checkpoint has no attention head")
         steps = max_length + 1
         if beam_width and beam_width > 1:
-            return self._attn_beam_fn(
-                steps, int(beam_width), length_penalty, lm_weight
-            )
+            fn = self._attn_beam_align_fn if with_alignment else self._attn_beam_fn
+            return fn(steps, int(beam_width), length_penalty, lm_weight)
+        if with_alignment:
+            return self._greedy_align_fn(steps)
         return self._greedy_fn(steps)
 
     def tile_kernel(self, prune_k: int = 16):

@@ -281,7 +281,9 @@ def test_artifact_rejects_unknown_method(tiny_ckpt, tmp_path):
     export_serving_artifact(ocr, out_dir, method="attention", batch_size=2,
                             canvas=(32, 64), max_length=4)
     with open(os.path.join(out_dir, "manifest.json")) as f:
-        assert json.load(f)["format_version"] == MANIFEST_VERSION == 2
+        # fixed-width methods stay at v2 (readable by v2 loaders); only
+        # aligned attention_long artifacts stamp v3
+        assert json.load(f)["format_version"] == 2 <= MANIFEST_VERSION
     art = ServingArtifact.load(out_dir)
     art.method = "from_the_future"
     with pytest.raises(ValueError, match="unknown to this loader"):
@@ -377,11 +379,15 @@ def test_artifact_mesh_load_decode_equality(tiny_ckpt, tmp_path):
         ServingArtifact.load(out_bad, mesh=True)
 
 
+@pytest.mark.parametrize("merge", ["align", "text"])
 @pytest.mark.parametrize("method", ["attention_long", "attention_long_beam"])
-def test_artifact_attention_long_matches_live_engine(tiny_ckpt, tmp_path, method):
+def test_artifact_attention_long_matches_live_engine(
+    tiny_ckpt, tmp_path, method, merge
+):
     """The round-4 attention-head long-line path reaches the deployment
     artifact in the same round it ships: the per-tile seq2seq decode
-    kernel exports, and the loader runs the SAME text-merge driver as
+    kernel exports (the aligned flavor carries the attention-argmax
+    output), and the loader runs the SAME junction-merge driver as
     `predict_long` — string-identical decodes for multi-tile wide,
     single-tile short, and batch inputs."""
     ckpt_path, charset_path = tiny_ckpt
@@ -389,13 +395,20 @@ def test_artifact_attention_long_matches_live_engine(tiny_ckpt, tmp_path, method
         ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
         verbose=False,
     )
-    out_dir = str(tmp_path / "art_attn_long")
+    out_dir = str(tmp_path / f"art_attn_long_{merge}")
     export_serving_artifact(
         ocr, out_dir, method=method, batch_size=2, max_length=5, beam_width=3,
+        merge=merge,
     )
     with open(os.path.join(out_dir, "manifest.json")) as f:
         manifest = json.load(f)
     assert manifest["tile_w"] == 64 and "snap" not in manifest
+    assert manifest["merge"] == merge
+    # aligned kernels carry an extra output -> v3 so older loaders refuse
+    # loudly; the text flavor stays v2-readable
+    assert manifest["format_version"] == (3 if merge == "align" else 2)
+    if merge == "align":
+        assert manifest["frames_t"] == 64 // 8
 
     art = ServingArtifact.load(out_dir)
     rng = np.random.default_rng(19)
@@ -404,7 +417,7 @@ def test_artifact_attention_long_matches_live_engine(tiny_ckpt, tmp_path, method
     live = ocr.predict_long(
         [narrow, wide],
         method="attention_beam" if method.endswith("beam") else "attention",
-        batch_size=2, max_length=5, beam_width=3,
+        batch_size=2, max_length=5, beam_width=3, merge=merge,
     )
     assert art.predict([narrow, wide]) == live
     assert art.predict(wide) == live[1]

@@ -187,6 +187,81 @@ def test_predict_long_attention_multi_tile(engine):
     # error path: no-attention-head engines refuse (simulated via model flag)
 
 
+def test_stitch_aligned_rows_contract():
+    """Frame-aligned merge: every character lands with the tile that OWNS
+    its attention position (midpoint junction cuts), EOS stops a tile's
+    row, and skip ids never surface."""
+    from rcnn_ocr_tpu.long_lines import long_line_spans, stitch_aligned_rows
+
+    itos = TOKENS
+    eos, pad = 2, 0
+    # two tiles of width 64 (8 frames) overlapping 32 px (4 frames):
+    # starts 0/32 -> junction cut at global frame 6 (midpoint of [4, 8])
+    starts, tile_w, frames_t = [0, 32], 64, 8
+    # junction: overlap covers global frames [4, 8); midpoint cut at 6 ->
+    # tile 0 keeps local [0, 6), tile 1 keeps local [2, 8) (global [6, 12))
+    assert long_line_spans(starts, tile_w, frames_t) == [(0, 0, 6), (1, 2, 8)]
+    # tile 0 decodes a@1 b@5 c@7(outside span, dropped) then EOS
+    # tile 1 decodes b@1 (global 5 < cut 6 -> dropped: tile 0 owns it)
+    #               c@3 (global 7 -> kept) then EOS then garbage (ignored)
+    tokens = np.array([[4, 5, 6, eos], [5, 6, eos, 4]])
+    aligns = np.array([[1, 5, 7, 0], [1, 3, 0, 0]])
+    out = stitch_aligned_rows(
+        tokens, aligns, starts, tile_w, frames_t,
+        eos_id=eos, skip_ids={pad}, itos=itos,
+    )
+    assert out == "abc"
+    # PAD inside a row is skipped, not a stop
+    tokens2 = np.array([[4, pad, 5, eos], [eos, 0, 0, 0]])
+    aligns2 = np.array([[0, 1, 2, 0], [0, 0, 0, 0]])
+    assert stitch_aligned_rows(
+        tokens2, aligns2, starts, tile_w, frames_t,
+        eos_id=eos, skip_ids={pad}, itos=itos,
+    ) == "ab"
+
+
+def test_predict_long_attention_merge_modes(engine):
+    """merge='align' (default) and merge='text' both decode; single-tile
+    images are merge-invariant and equal to predict; bad merge refuses."""
+    rng = np.random.default_rng(7)
+    wide = rng.integers(0, 256, (32, 400, 3)).astype(np.uint8)
+    narrow = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    al = engine.predict_long([narrow, wide], method="attention", max_length=6)
+    tx = engine.predict_long(
+        [narrow, wide], method="attention", max_length=6, merge="text"
+    )
+    assert al[0] == tx[0] == engine.predict(narrow, max_length=6)
+    assert isinstance(al[1], str) and isinstance(tx[1], str)
+    # beam flavor carries alignment through parent selection
+    alb = engine.predict_long(
+        [wide], method="attention_beam", max_length=6, beam_width=4
+    )
+    assert isinstance(alb[0], str)
+    with pytest.raises(ValueError, match="merge"):
+        engine.predict_long(wide, method="attention", merge="frames")
+    # the daemon adapter forwards the merge knob
+    from rcnn_ocr_tpu.serving import serving_predict_fn
+
+    fn = serving_predict_fn(
+        engine, method="attention_long", max_length=6, merge="text"
+    )
+    assert fn([narrow, wide]) == tx
+
+
+def test_greedy_alignment_consistency(engine):
+    """The alignment kernel's tokens are bit-identical to the plain greedy
+    kernel's argmax (XLA DCEs the extra output nowhere it matters)."""
+    rng = np.random.default_rng(8)
+    # go through the public kernels on identical uint8 input
+    raw = rng.integers(0, 256, (2, 32, 64, 3)).astype(np.uint8)
+    pred_plain, _ = engine._greedy_fn(5)(engine.variables, raw)
+    pred_al, align = engine._greedy_align_fn(5)(engine.variables, raw)
+    assert np.array_equal(np.asarray(pred_plain), np.asarray(pred_al))
+    T = raw.shape[2] // 8
+    a = np.asarray(align)
+    assert a.shape == (2, 5) and (a >= 0).all() and (a < T).all()
+
+
 def test_predict_ctc_long_midpoint_snap(engine):
     """snap='midpoint' disables blank-snap junction cuts (the measured
     A/B knob, VERDICT r3 weak #6) and still decodes; short lines are

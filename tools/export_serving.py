@@ -71,6 +71,13 @@ def main() -> None:
         "each other; midpoint is the simpler default)",
     )
     p.add_argument(
+        "--merge", default="align", choices=["align", "text"],
+        help="attention_long*: junction merge policy — frame-aligned via "
+        "the decoder's attention positions (default; measured robust to "
+        "overlap width where the text merge degrades) or text-space edit "
+        "alignment",
+    )
+    p.add_argument(
         "--platforms",
         default=None,
         help="comma-separated lowering targets, e.g. tpu,cpu "
@@ -136,6 +143,7 @@ def main() -> None:
         tile_w=args.tile_w,
         overlap=args.overlap,
         snap=args.snap,
+        merge=args.merge,
     )
     print(f"Artifact written to: {out}")
 

@@ -56,6 +56,11 @@ def main() -> None:
         "--length-penalty", type=float, default=0.0,
         help="attention_beam rank normalization: score / len**p (0 = off)",
     )
+    p.add_argument(
+        "--merge", default="align", choices=["align", "text"],
+        help="attention_long*: junction merge — frame-aligned via the "
+        "decoder's attention positions (default) or text-space",
+    )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=256)
@@ -99,6 +104,7 @@ def main() -> None:
             "--lm": args.lm is not None,
             "--lm-weight": args.lm_weight != 0.0,
             "--length-penalty": args.length_penalty != 0.0,
+            "--merge": args.merge != p.get_default("merge"),
         }
         overridden = [flag for flag, changed in baked.items() if changed]
         if overridden:
@@ -136,6 +142,7 @@ def main() -> None:
             beam_width=args.beam_width,
             length_penalty=args.length_penalty,
             lm_weight=args.lm_weight,
+            merge=args.merge,
         )
         max_batch = args.batch_size
 
