@@ -46,7 +46,8 @@ MANIFEST_VERSION = 3
 
 CTC_LONG_METHODS = ("ctc_long", "ctc_long_beam")
 ATTN_LONG_METHODS = ("attention_long", "attention_long_beam")
-LONG_METHODS = CTC_LONG_METHODS + ATTN_LONG_METHODS
+HYBRID_LONG_METHODS = ("hybrid_long", "hybrid_long_beam")
+LONG_METHODS = CTC_LONG_METHODS + ATTN_LONG_METHODS + HYBRID_LONG_METHODS
 
 
 def export_serving_artifact(
@@ -66,6 +67,8 @@ def export_serving_artifact(
     overlap: Optional[int] = None,  # ctc_long*: junction overlap px
     snap: str = "midpoint",  # ctc_long*: junction cuts ("midpoint"|"blank")
     merge: str = "align",  # attention_long*: junction merge ("align"|"text")
+    min_gap: int = 3,  # hybrid_long*: blank frames that split segments
+    margin: int = 1,  # hybrid_long*: context frames around each segment
 ) -> str:
     """Export an :class:`OCRInference` serving configuration to disk.
 
@@ -85,6 +88,10 @@ def export_serving_artifact(
     kernel and stitches by the decoder's own attention positions
     (`long_lines.stitch_aligned_rows`), ``"text"`` ships the plain kernel
     and merges in text space (`long_lines.merge_tile_texts`).
+    ``method="hybrid_long"`` / ``"hybrid_long_beam"`` ships BOTH the CTC
+    tile kernel and the attention decode kernel: the loader segments by
+    CTC blanks and reads each full-resolution segment with the seq2seq
+    head, mirroring ``predict_hybrid_long``.
     """
     import jax
     from flax import serialization
@@ -108,7 +115,9 @@ def export_serving_artifact(
     # re-export into the same directory must not leave dead kernels from a
     # previous width set — the directory IS the deployment unit
     for fname in os.listdir(out_dir):
-        if fname.startswith(("serving_w", "tiles_w")) and fname.endswith(".stablehlo"):
+        if fname.startswith(
+            ("serving_w", "tiles_w", "decode_w")
+        ) and fname.endswith(".stablehlo"):
             os.remove(os.path.join(out_dir, fname))
 
     var_specs = jax.tree_util.tree_map(
@@ -121,7 +130,40 @@ def export_serving_artifact(
     sizes_spec = jax.ShapeDtypeStruct((batch_size, 5), np.int32)
 
     files: Dict[str, str] = {}
+    decode_files: Dict[str, str] = {}
     for w in widths:
+        if method in HYBRID_LONG_METHODS:
+            # hybrid ships TWO kernels per width: the CTC tile kernel
+            # (segmentation) and the attention decode kernel (reads each
+            # cropped segment) — the host driver mirrors
+            # predict_hybrid_long exactly
+            tiles_spec = jax.ShapeDtypeStruct(
+                (batch_size, ocr.img_h, w, 3), np.uint8
+            )
+            tile_kernel = ocr.tile_kernel(prune_k=prune_k)
+            exp_tiles = jax.export.export(
+                tile_kernel, platforms=list(platforms) if platforms else None
+            )(var_specs, tiles_spec)
+            fname = f"tiles_w{w}.stablehlo"
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(bytes(exp_tiles.serialize()))
+            files[str(w)] = fname
+            dec_kernel = ocr.decode_kernel(
+                max_length=max_length,
+                beam_width=(
+                    beam_width if method == "hybrid_long_beam" else 0
+                ),
+                length_penalty=length_penalty,
+                lm_weight=lm_weight,
+            )
+            exp_dec = jax.export.export(
+                dec_kernel, platforms=list(platforms) if platforms else None
+            )(var_specs, tiles_spec)
+            dname = f"decode_w{w}.stablehlo"
+            with open(os.path.join(out_dir, dname), "wb") as f:
+                f.write(bytes(exp_dec.serialize()))
+            decode_files[str(w)] = dname
+            continue
         if long_mode:
             # per-tile kernel: resize-padded uint8 tiles in; out = top-k
             # frame candidates (ctc_long*) or decoded token rows
@@ -176,11 +218,17 @@ def export_serving_artifact(
         )
 
     cs = ocr.charset
-    # align attention_long kernels carry an extra output — stamp v3 so a
-    # v2 loader refuses them instead of mis-unpacking; everything else
-    # stays readable by v2 loaders
+    # align attention_long kernels carry an extra output and hybrid
+    # artifacts carry a second kernel set — stamp v3 so a v2 loader
+    # refuses them instead of mis-unpacking; everything else stays
+    # readable by v2 loaders
     fmt = (
-        3 if (method in ATTN_LONG_METHODS and merge == "align") else 2
+        3
+        if (
+            (method in ATTN_LONG_METHODS and merge == "align")
+            or method in HYBRID_LONG_METHODS
+        )
+        else 2
     )
     manifest = {
         "format_version": fmt,
@@ -221,6 +269,10 @@ def export_serving_artifact(
                     f"snap must be 'midpoint' or 'blank', got {snap!r}"
                 )
             manifest["snap"] = snap
+        elif method in HYBRID_LONG_METHODS:
+            manifest["decode_files"] = decode_files
+            manifest["min_gap"] = int(min_gap)
+            manifest["margin"] = int(margin)
         else:
             manifest["merge"] = merge
             if merge == "align":
@@ -305,18 +357,28 @@ class ServingArtifact:
             int(m["overlap"]) if "overlap" in m else None
         )
         n_batch_args = 1 if self.method in LONG_METHODS else 2
-        self._calls: Dict[int, Any] = {}
-        for w_str, fname in m["files"].items():
+
+        def load_kernel(fname: str):
             with open(os.path.join(base_dir, fname), "rb") as f:
                 exported = jax.export.deserialize(bytearray(f.read()))
             if self._mesh is None:
-                self._calls[int(w_str)] = jax.jit(exported.call)
-            else:
-                self._calls[int(w_str)] = jax.jit(
-                    exported.call,
-                    in_shardings=(rep,) + (data_sh,) * n_batch_args,
-                    out_shardings=data_sh,
-                )
+                return jax.jit(exported.call)
+            return jax.jit(
+                exported.call,
+                in_shardings=(rep,) + (data_sh,) * n_batch_args,
+                out_shardings=data_sh,
+            )
+
+        self._calls: Dict[int, Any] = {
+            int(w_str): load_kernel(fname)
+            for w_str, fname in m["files"].items()
+        }
+        # hybrid artifacts carry a second kernel set: the attention
+        # decode kernel that reads each cropped segment
+        self._decode_calls: Dict[int, Any] = {
+            int(w_str): load_kernel(fname)
+            for w_str, fname in m.get("decode_files", {}).items()
+        }
 
     @classmethod
     def load(cls, base_dir: str, mesh: Any = None) -> "ServingArtifact":
@@ -402,6 +464,8 @@ class ServingArtifact:
         m = self.manifest
         tile_w, overlap = self.tile_w, self.overlap
         pad_one = ResizeAndPad(img_h=self.img_h, img_w=tile_w)
+        if self.method in HYBRID_LONG_METHODS:
+            return self._predict_hybrid(images_list, tile_w, overlap, pad_one)
         tiles, plans = plan_tiles(
             [load_rgb_uint8(img) for img in images_list],
             self.img_h, tile_w, overlap, pad_one,
@@ -482,6 +546,69 @@ class ServingArtifact:
             beam_width=int(m.get("beam_width", 16)),
             snap=m.get("snap", "midpoint"),
         )
+
+    def _predict_hybrid(
+        self, images_list: List[Any], tile_w: int, overlap: int, pad_one
+    ) -> List[str]:
+        """Hybrid decode from the artifact's TWO kernels — the same
+        segment-then-read driver as the live ``predict_hybrid_long``
+        (CTC tile kernel locates character groups; the attention decode
+        kernel reads each full-resolution crop)."""
+        from rcnn_ocr_tpu.data.transforms import load_rgb_uint8
+        from rcnn_ocr_tpu.long_lines import (
+            extract_tile_frames,
+            plan_tiles,
+            segment_spans,
+            stitch_frames,
+        )
+        from rcnn_ocr_tpu.postprocess import decode_attention_row, pad_rows
+
+        m = self.manifest
+        ids = self._ids
+        tiles, plans, resized = plan_tiles(
+            [load_rgb_uint8(img) for img in images_list],
+            self.img_h, tile_w, overlap, pad_one, keep_resized=True,
+        )
+        call = self._calls[tile_w]
+        vals, idx = extract_tile_frames(
+            tiles, self.batch_size,
+            lambda batch: call(self.variables, self._device_batch(batch)),
+        )
+        frames_t = vals.shape[1]
+        stride = tile_w / frames_t
+
+        crops: List[np.ndarray] = []
+        crop_of_image: List[int] = []
+        for img_i, (first, starts) in enumerate(plans):
+            _, i_cat = stitch_frames(vals, idx, first, starts, tile_w, frames_t)
+            full_w = resized[img_i].shape[1]
+            for s, e in segment_spans(
+                i_cat[:, 0], ids["ctc_blank"],
+                min_gap=int(m.get("min_gap", 3)),
+                margin=int(m.get("margin", 1)),
+                max_frames=frames_t,
+            ):
+                px_lo = max(0, int(s * stride))
+                px_hi = min(full_w, int(round(e * stride)))
+                if px_hi <= px_lo:
+                    continue
+                crops.append(resized[img_i][:, px_lo:px_hi])
+                crop_of_image.append(img_i)
+
+        texts = [""] * len(images_list)
+        dec = self._decode_calls[tile_w]
+        padded = [pad_one(c) for c in crops]
+        for i in range(0, len(padded), self.batch_size):
+            chunk, n_real = pad_rows(padded[i : i + self.batch_size], self.batch_size)
+            pred, _aux = dec(self.variables, self._device_batch(np.stack(chunk)))
+            pred = np.asarray(pred)[:n_real]
+            for j in range(n_real):
+                texts[crop_of_image[i + j]] += decode_attention_row(
+                    pred[j], None, self._itos,
+                    pad_id=ids["pad"], eos_id=ids["eos"],
+                    blank_id=ids["blank"], return_confidence=False,
+                )
+        return texts
 
     def _device_batch(self, arr: np.ndarray):
         import jax

@@ -81,44 +81,64 @@ def long_line_spans(
     return spans
 
 
+def height_normalize(rgb: np.ndarray, img_h: int) -> np.ndarray:
+    """Aspect-preserving resize to ``img_h`` rows (the cv2-exact policy
+    every long-line path shares)."""
+    import cv2
+
+    from rcnn_ocr_tpu.data.loader import scaled_width
+
+    h, w = rgb.shape[:2]
+    new_w = scaled_width(h, w, img_h)
+    shrinking = img_h < h or new_w < w
+    return cv2.resize(
+        rgb, (new_w, img_h),
+        interpolation=cv2.INTER_AREA if shrinking else cv2.INTER_LINEAR,
+    )
+
+
 def plan_tiles(
     rgb_images: List[np.ndarray],
     img_h: int,
     tile_w: int,
     overlap: int,
     pad_one,
-) -> Tuple[List[np.ndarray], List[Tuple[int, List[int]]]]:
+    keep_resized: bool = False,
+):
     """Height-normalize and tile a list of decoded RGB images.
 
     Images whose scaled width fits one tile take the ordinary
     resize-and-pad path (``pad_one``), so short lines decode identically
     to the fixed-width engine.  Returns the flat tile list and, per image,
-    ``(first_tile_index, tile_start_offsets)``.
+    ``(first_tile_index, tile_start_offsets)`` — plus, with
+    ``keep_resized``, the height-normalized full images (the hybrid
+    decode crops its segments from these).
     """
-    import cv2
-
     from rcnn_ocr_tpu.data.loader import scaled_width
 
     tiles: List[np.ndarray] = []
     plans: List[Tuple[int, List[int]]] = []
+    resized_images: List[np.ndarray] = []
     for rgb in rgb_images:
         h, w = rgb.shape[:2]
         new_w = scaled_width(h, w, img_h)
         if new_w <= tile_w:
             plans.append((len(tiles), [0]))
             tiles.append(pad_one(rgb))
+            if keep_resized:
+                resized_images.append(height_normalize(rgb, img_h))
             continue
-        shrinking = img_h < h or new_w < w
-        resized = cv2.resize(
-            rgb, (new_w, img_h),
-            interpolation=cv2.INTER_AREA if shrinking else cv2.INTER_LINEAR,
-        )
+        resized = height_normalize(rgb, img_h)
+        if keep_resized:
+            resized_images.append(resized)
         step = tile_w - overlap
         starts = list(range(0, new_w - tile_w, step))
         if starts[-1] != new_w - tile_w:
             starts.append(new_w - tile_w)  # right-aligned final tile
         plans.append((len(tiles), starts))
         tiles.extend(resized[:, s : s + tile_w] for s in starts)
+    if keep_resized:
+        return tiles, plans, resized_images
     return tiles, plans
 
 
@@ -194,6 +214,106 @@ def merge_tile_texts(
                 best_score, best_c = score, c
         merged = merged + right[best_c:]
     return merged
+
+
+def stitch_frames(
+    vals: np.ndarray,  # [n_tiles, T, k] top-k frame log-probs
+    idx: np.ndarray,  # [n_tiles, T, k] their class ids
+    first: int,
+    starts: Sequence[int],
+    tile_w: int,
+    frames_t: int,
+    blank_lp: Optional[np.ndarray] = None,  # [n_tiles, T] blank log-probs
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One image's tiles -> its full-line frame sequence.
+
+    Applies the junction-cut spans (:func:`long_line_spans`) and
+    concatenates each tile's kept frames — the shared front half of
+    :func:`decode_stitched`, also consumed by the hybrid segmentation
+    decode (which segments the stitched sequence instead of collapsing
+    it)."""
+    spans = [
+        (first + j, a, b)
+        for j, a, b in long_line_spans(
+            starts, tile_w, frames_t,
+            blank_scores=(
+                blank_lp[first : first + len(starts)]
+                if blank_lp is not None
+                else None
+            ),
+        )
+    ]
+    v_cat = np.concatenate([vals[t, a:b] for t, a, b in spans])
+    i_cat = np.concatenate([idx[t, a:b] for t, a, b in spans])
+    return v_cat, i_cat
+
+
+def segment_spans(
+    frame_ids: np.ndarray,  # [T] per-frame argmax class ids
+    blank_id: int,
+    *,
+    min_gap: int = 2,
+    margin: int = 1,
+    max_frames: Optional[int] = None,
+) -> List[Tuple[int, int]]:
+    """Character-group frame spans from a CTC frame sequence.
+
+    Maximal non-blank runs, merged across blank gaps shorter than
+    ``min_gap`` frames (single blanks separate repeated characters
+    *inside* a word — they are not segment boundaries), padded by
+    ``margin`` frames of context each side (margins may share blank gap
+    frames with a neighbor but are clamped at the neighbor's character
+    frames, so no character ever decodes twice), and — when
+    ``max_frames`` is set — recursively split at the most central
+    interior blank frame (midpoint when none) so every span fits a
+    static decode width.  Pure and contract-tested; the hybrid
+    long-line decode maps these spans to pixel crops.
+    """
+    T = int(frame_ids.shape[0])
+    nz = np.flatnonzero(np.asarray(frame_ids) != blank_id)
+    if nz.size == 0:
+        return []
+    # maximal non-blank runs
+    breaks = np.flatnonzero(np.diff(nz) > 1)
+    runs = []
+    start = 0
+    for b in breaks:
+        runs.append((int(nz[start]), int(nz[b]) + 1))
+        start = b + 1
+    runs.append((int(nz[start]), int(nz[-1]) + 1))
+    # merge runs separated by < min_gap blank frames
+    merged = [runs[0]]
+    for s, e in runs[1:]:
+        if s - merged[-1][1] < min_gap:
+            merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((s, e))
+
+    def split(s: int, e: int) -> List[Tuple[int, int]]:
+        if max_frames is None or e - s <= max_frames:
+            return [(s, e)]
+        # cut at the interior blank frame nearest the middle, else midpoint
+        interior = np.flatnonzero(
+            np.asarray(frame_ids[s + 1 : e - 1]) == blank_id
+        )
+        mid = (e - s) // 2
+        cut = (
+            s + 1 + int(interior[np.argmin(np.abs(interior - (mid - 1)))])
+            if interior.size
+            else s + mid
+        )
+        return split(s, cut) + split(cut, e)
+
+    out: List[Tuple[int, int]] = []
+    for s, e in merged:
+        out.extend(split(s, e))
+    # margin of context, clamped and kept disjoint
+    padded: List[Tuple[int, int]] = []
+    for i, (s, e) in enumerate(out):
+        lo = max(0, s - margin, out[i - 1][1] if i else 0)
+        hi = min(T, e + margin, out[i + 1][0] if i + 1 < len(out) else T)
+        padded.append((lo, hi))
+    return padded
 
 
 def stitch_aligned_rows(
@@ -279,19 +399,10 @@ def decode_stitched(
 
     results: List[str] = []
     for first, starts in plans:
-        spans = [
-            (first + j, a, b)
-            for j, a, b in long_line_spans(
-                starts, tile_w, frames_t,
-                blank_scores=(
-                    blank_lp[first : first + len(starts)]
-                    if blank_lp is not None
-                    else None
-                ),
-            )
-        ]
-        v_cat = np.concatenate([vals[t, a:b] for t, a, b in spans])
-        i_cat = np.concatenate([idx[t, a:b] for t, a, b in spans])
+        v_cat, i_cat = stitch_frames(
+            vals, idx, first, starts, tile_w, frames_t,
+            blank_lp=blank_lp,
+        )
         if method == "greedy":
             row = ctc_greedy_collapse_np(i_cat[None, :, 0], blank_id)[0]
         else:
@@ -381,6 +492,117 @@ class LongLineMixin:
         )
         return results[0] if is_single else results
 
+    def predict_hybrid_long(
+        self,
+        images: Union[ImageLike, List[ImageLike]],
+        tile_w: Optional[int] = None,
+        overlap: Optional[int] = None,
+        batch_size: int = 32,
+        max_length: int = 25,
+        beam: bool = False,
+        beam_width: int = 16,
+        length_penalty: float = 0.0,
+        lm_weight: float = 0.0,
+        prune_k: int = 16,
+        min_gap: int = 3,
+        margin: int = 1,
+    ):
+        """Hybrid unbounded-width decode: CTC segments, attention reads.
+
+        The tiled attention decode's measured failure mode (PERF.md round
+        4) is edge-truncated characters derailing the autoregressive LSTM
+        state — a per-tile problem no junction policy can repair.  This
+        path removes the truncation instead: the CTC head's stitched
+        frame sequence (cheap, per-frame, truncation-immune) locates
+        character groups (:func:`segment_spans` — non-blank runs cut at
+        blank gaps of ``min_gap``+ frames), and each segment is cropped
+        from the height-normalized image at FULL resolution — complete
+        characters, blank margins — and decoded by the attention head
+        exactly like a short line.  The seq2seq head (the reference's
+        primary decoder, `/root/reference/model/model.py:91-112`) then
+        reads every segment inside its training distribution.
+
+        Measured (PERF.md round 4, `tools/long_line_demo.py`): the best
+        ATTENTION-read long-line path (CER 0.44 vs 0.56 per-tile), though
+        the frame-stitched CTC decode (0.26) stays ahead where the CTC
+        head is well trained — this path is for checkpoints whose seq2seq
+        head is the stronger reader.  Defaults (`min_gap=3, margin=1`)
+        are the sweep optimum from the same measurement.
+
+        Requires both heads.  Segments wider than one tile are split at
+        interior blank frames so every crop fits the static decode width.
+        ``beam=True`` decodes segments with the device beam (+ optional
+        LM fusion / length penalty, like ``predict``).
+        """
+        if not (self.model.with_ctc_head and self.model.with_attention_head):
+            raise ValueError("hybrid long-line decode needs BOTH heads")
+        from rcnn_ocr_tpu.data.transforms import ResizeAndPad
+        from rcnn_ocr_tpu.models.rcnn import TIME_DOWNSAMPLE
+        from rcnn_ocr_tpu.postprocess import pad_rows
+        from rcnn_ocr_tpu.vocab.charset import decode_tokens
+
+        is_single = not isinstance(images, list)
+        images_list: List[ImageLike] = [images] if is_single else list(images)
+        if not images_list:
+            return []
+        tile_w, overlap = resolve_tiling(self.img_w, tile_w, overlap)
+        batch_size = self._round_batch(batch_size)
+        pad_one = ResizeAndPad(img_h=self.img_h, img_w=tile_w)
+        tiles, plans, resized = plan_tiles(
+            [self._to_rgb(img) for img in images_list],
+            self.img_h, tile_w, overlap, pad_one, keep_resized=True,
+        )
+
+        # 1) CTC frames per tile -> stitched full-line frame sequence
+        k = max(1, min(prune_k, self.charset.num_classes))
+        kernel = self._ctc_fn(False, k)
+        vals, idx = extract_tile_frames(
+            tiles, batch_size,
+            lambda batch: kernel(self.variables, self._device_batch(batch)),
+        )
+        frames_t = vals.shape[1]
+        stride = tile_w / frames_t  # px per frame (== TIME_DOWNSAMPLE)
+        assert int(stride) == TIME_DOWNSAMPLE
+
+        # 2) segment the frame sequence; crop segments at full resolution
+        blank = self.charset.ctc_blank_id
+        crops: List[np.ndarray] = []
+        crop_of_image: List[int] = []
+        for img_i, (first, starts) in enumerate(plans):
+            _, i_cat = stitch_frames(vals, idx, first, starts, tile_w, frames_t)
+            full_w = resized[img_i].shape[1]
+            for s, e in segment_spans(
+                i_cat[:, 0], blank,
+                min_gap=min_gap, margin=margin, max_frames=frames_t,
+            ):
+                px_lo = max(0, int(s * stride))
+                px_hi = min(full_w, int(round(e * stride)))
+                if px_hi <= px_lo:
+                    continue
+                crops.append(resized[img_i][:, px_lo:px_hi])
+                crop_of_image.append(img_i)
+
+        # 3) attention-decode every segment like a short line
+        steps = max_length + 1
+        run = (
+            self._attn_beam_fn(steps, int(beam_width), length_penalty, lm_weight)
+            if beam
+            else self._greedy_fn(steps)
+        )
+        texts = [""] * len(images_list)
+        padded = [pad_one(c) for c in crops]
+        for i in range(0, len(padded), batch_size):
+            chunk, n_real = pad_rows(padded[i : i + batch_size], batch_size)
+            pred, _aux = run(self.variables, self._device_batch(np.stack(chunk)))
+            pred = np.asarray(pred)[:n_real]
+            for j in range(n_real):
+                texts[crop_of_image[i + j]] += decode_tokens(
+                    pred[j], self._itos,
+                    pad_id=self.charset.pad_id, eos_id=self.charset.eos_id,
+                    blank_id=self.charset.blank_id,
+                )
+        return texts[0] if is_single else texts
+
     def predict_long(
         self,
         images: Union[ImageLike, List[ImageLike]],
@@ -399,12 +621,18 @@ class LongLineMixin:
         """Unbounded-width decode for EVERY head (one entry point).
 
         ``method="ctc_greedy"`` / ``"ctc_beam"`` route to the frame-level
-        stitcher (:meth:`predict_ctc_long`).  ``method="attention"`` /
-        ``"attention_beam"`` give the reference's primary (and sometimes
-        only) decode head (`/root/reference/model/model.py:91-112`) a
-        long-line story of its own: the same overlapping tiles, each
-        decoded by the seq2seq head (short lines therefore decode
-        IDENTICALLY to ``predict``), then de-duplicated at the junctions.
+        stitcher (:meth:`predict_ctc_long`).  ``method="hybrid"`` /
+        ``"hybrid_beam"`` (both heads required) segment by CTC blanks and
+        read each segment with the attention head at full resolution
+        (:meth:`predict_hybrid_long` — the measured-best ATTENTION-read
+        long-line path, PERF.md round 4; the CTC stitcher stays ahead
+        where the CTC head is the stronger reader).
+        ``method="attention"`` / ``"attention_beam"``
+        give the reference's primary (and sometimes only) decode head
+        (`/root/reference/model/model.py:91-112`) a long-line story of
+        its own: the same overlapping tiles, each decoded by the seq2seq
+        head (short lines therefore decode IDENTICALLY to ``predict``),
+        then de-duplicated at the junctions.
 
         ``merge`` picks the junction policy:
 
@@ -430,6 +658,14 @@ class LongLineMixin:
                 batch_size=batch_size,
                 method="beam" if method.endswith("beam") else "greedy",
                 beam_width=beam_width, prune_k=prune_k, snap=snap,
+            )
+        if method in ("hybrid", "hybrid_beam"):
+            return self.predict_hybrid_long(
+                images, tile_w=tile_w, overlap=overlap,
+                batch_size=batch_size, max_length=max_length,
+                beam=method.endswith("beam"), beam_width=beam_width,
+                length_penalty=length_penalty, lm_weight=lm_weight,
+                prune_k=prune_k,
             )
         if method not in ("attention", "attention_beam"):
             raise ValueError(f"Unsupported decode method: {method}")

@@ -506,6 +506,32 @@ def serving_predict_fn(
 
         return fn_long
 
+    if method in ("hybrid_long", "hybrid_long_beam"):
+        # CTC-segment + attention-read (predict_hybrid_long): the beam
+        # flavor decodes segments with the device beam and carries the
+        # fusion/rank knobs; greedy refuses them like every other path
+        hybrid_beam = method == "hybrid_long_beam"
+        if lm_weight and not hybrid_beam:
+            raise ValueError(f"lm_weight is not supported with method={method!r}")
+        if length_penalty and not hybrid_beam:
+            raise ValueError(
+                f"length_penalty is not supported with method={method!r}"
+            )
+
+        def fn_hybrid(images: List[Any]) -> List[str]:
+            out = engine.predict_hybrid_long(
+                images,
+                batch_size=batch_size,
+                max_length=max_length,
+                beam=hybrid_beam,
+                beam_width=beam_width,
+                length_penalty=length_penalty,
+                lm_weight=lm_weight,
+            )
+            return out if isinstance(out, list) else [out]
+
+        return fn_hybrid
+
     if method in ("attention_long", "attention_long_beam"):
         # attention-head long lines: per-tile seq2seq decode + junction
         # merge (predict_long) — frame-aligned by the decoder's attention

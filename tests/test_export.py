@@ -379,6 +379,39 @@ def test_artifact_mesh_load_decode_equality(tiny_ckpt, tmp_path):
         ServingArtifact.load(out_bad, mesh=True)
 
 
+@pytest.mark.parametrize("method", ["hybrid_long", "hybrid_long_beam"])
+def test_artifact_hybrid_long_matches_live_engine(tiny_ckpt, tmp_path, method):
+    """Hybrid artifacts carry TWO kernel sets (CTC tile kernel + attention
+    decode kernel); the loader's segment-then-read driver must decode
+    string-identically to the live `predict_hybrid_long`."""
+    ckpt_path, charset_path = tiny_ckpt
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    out_dir = str(tmp_path / "art_hybrid")
+    export_serving_artifact(
+        ocr, out_dir, method=method, batch_size=2, max_length=4, beam_width=3,
+        prune_k=5,
+    )
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["format_version"] == 3  # two kernel sets -> v3
+    assert list(manifest["decode_files"]) == ["64"]
+    assert manifest["min_gap"] == 3 and manifest["margin"] == 1
+
+    art = ServingArtifact.load(out_dir)
+    rng = np.random.default_rng(23)
+    wide = rng.integers(0, 256, (32, 300, 3)).astype(np.uint8)
+    narrow = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    live = ocr.predict_hybrid_long(
+        [narrow, wide], batch_size=2, max_length=4,
+        beam=method.endswith("beam"), beam_width=3, prune_k=5,
+    )
+    assert art.predict([narrow, wide]) == live
+    assert art.predict(wide) == live[1]
+
+
 @pytest.mark.parametrize("merge", ["align", "text"])
 @pytest.mark.parametrize("method", ["attention_long", "attention_long_beam"])
 def test_artifact_attention_long_matches_live_engine(

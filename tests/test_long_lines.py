@@ -262,6 +262,67 @@ def test_greedy_alignment_consistency(engine):
     assert a.shape == (2, 5) and (a >= 0).all() and (a < T).all()
 
 
+def test_segment_spans_contract():
+    """CTC-blank segmentation: non-blank runs, short-gap merging, margin
+    clamping, and max-width splitting at interior blanks."""
+    from rcnn_ocr_tpu.long_lines import segment_spans
+
+    B = 0
+    # all blank -> no segments
+    assert segment_spans(np.full(10, B), B) == []
+    # one run with margin 1, clamped at the array ends
+    ids = np.array([B, 4, 4, B, B, B, 5, B])
+    spans = segment_spans(ids, B, min_gap=2, margin=1)
+    assert spans == [(0, 4), (5, 8)]
+    # a single blank inside a word does NOT split (gap < min_gap)
+    ids2 = np.array([4, B, 4, B, B, 5])
+    assert segment_spans(ids2, B, min_gap=2, margin=0) == [(0, 3), (5, 6)]
+    # margins may share blank gap frames but never reach the neighbor's
+    # character frames (no character decodes twice)
+    ids3 = np.array([4, 4, B, B, 5, 5])
+    s3 = segment_spans(ids3, B, min_gap=2, margin=2)
+    assert s3[0][1] <= 4 and s3[1][0] >= 2
+    # max_frames splits at the interior blank nearest the middle
+    ids4 = np.array([4, 4, 4, B, 4, 4, 4])
+    s4 = segment_spans(ids4, B, min_gap=9, margin=0, max_frames=5)
+    assert len(s4) == 2 and s4[0][1] == s4[1][0]
+    assert all(e - s <= 5 for s, e in s4)
+    # dense run with no interior blank splits at the midpoint
+    ids5 = np.full(8, 4)
+    s5 = segment_spans(ids5, B, margin=0, max_frames=5)
+    assert [e - s for s, e in s5] == [4, 4]
+
+
+def test_predict_hybrid_long(engine):
+    """Hybrid decode (CTC segments -> attention reads): runs end to end
+    on narrow + wide images, routes through predict_long and the daemon
+    adapter, and refuses fusion knobs in greedy mode."""
+    from rcnn_ocr_tpu.serving import serving_predict_fn
+
+    rng = np.random.default_rng(9)
+    wide = rng.integers(0, 256, (32, 400, 3)).astype(np.uint8)
+    narrow = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    out = engine.predict_hybrid_long([narrow, wide], max_length=4)
+    assert len(out) == 2 and all(isinstance(t, str) for t in out)
+    # one entry point: predict_long(method="hybrid") routes here
+    assert engine.predict_long(
+        [narrow, wide], method="hybrid", max_length=4
+    ) == out
+    # beam flavor decodes segments with the device beam
+    outb = engine.predict_long(
+        [wide], method="hybrid_beam", max_length=4, beam_width=4
+    )
+    assert isinstance(outb[0], str)
+    # single in -> single out; empty in -> empty out
+    assert engine.predict_hybrid_long(wide, max_length=4) == out[1]
+    assert engine.predict_hybrid_long([]) == []
+    # daemon adapter parity + greedy knob refusal
+    fn = serving_predict_fn(engine, method="hybrid_long", max_length=4)
+    assert fn([narrow, wide]) == out
+    with pytest.raises(ValueError, match="length_penalty"):
+        serving_predict_fn(engine, method="hybrid_long", length_penalty=0.5)
+
+
 def test_predict_ctc_long_midpoint_snap(engine):
     """snap='midpoint' disables blank-snap junction cuts (the measured
     A/B knob, VERDICT r3 weak #6) and still decodes; short lines are

@@ -31,6 +31,7 @@ def main() -> None:
             "attention", "attention_beam", "ctc_greedy", "ctc_beam",
             "ctc_long", "ctc_long_beam",  # unbounded-width stitched decode
             "attention_long", "attention_long_beam",  # tiled seq2seq + merge
+            "hybrid_long", "hybrid_long_beam",  # CTC segments, attention reads
         ],
     )
     p.add_argument("--img-h", type=int, default=None)
@@ -78,6 +79,15 @@ def main() -> None:
         "alignment",
     )
     p.add_argument(
+        "--min-gap", type=int, default=3,
+        help="hybrid_long*: blank-gap frames that split segments "
+        "(sweep optimum 3, PERF.md round 4)",
+    )
+    p.add_argument(
+        "--margin", type=int, default=1,
+        help="hybrid_long*: context frames around each segment crop",
+    )
+    p.add_argument(
         "--platforms",
         default=None,
         help="comma-separated lowering targets, e.g. tpu,cpu "
@@ -102,20 +112,23 @@ def main() -> None:
     platforms = args.platforms.split(",") if args.platforms else None
 
     if args.lm_weight and args.method not in (
-        "attention_beam", "ctc_beam", "attention_long_beam"
+        "attention_beam", "ctc_beam", "attention_long_beam", "hybrid_long_beam"
     ):
         p.error(
-            "--lm-weight requires --method attention_beam, ctc_beam, or "
-            "attention_long_beam"
+            "--lm-weight requires --method attention_beam, ctc_beam, "
+            "attention_long_beam, or hybrid_long_beam"
         )
     if args.length_penalty and args.method not in (
-        "attention_beam", "attention_long_beam"
+        "attention_beam", "attention_long_beam", "hybrid_long_beam"
     ):
         p.error(
-            "--length-penalty requires --method attention_beam or "
-            "attention_long_beam"
+            "--length-penalty requires --method attention_beam, "
+            "attention_long_beam, or hybrid_long_beam"
         )
-    long_methods = ("ctc_long", "ctc_long_beam", "attention_long", "attention_long_beam")
+    long_methods = (
+        "ctc_long", "ctc_long_beam", "attention_long", "attention_long_beam",
+        "hybrid_long", "hybrid_long_beam",
+    )
     if (args.tile_w or args.overlap) and args.method not in long_methods:
         p.error("--tile-w/--overlap require a *_long method")
     ocr = OCRInference(
@@ -144,6 +157,8 @@ def main() -> None:
         overlap=args.overlap,
         snap=args.snap,
         merge=args.merge,
+        min_gap=args.min_gap,
+        margin=args.margin,
     )
     print(f"Artifact written to: {out}")
 

@@ -16,6 +16,8 @@ path and report CER:
   argmax positions each character; the default) vs the position-free
   text-space merge (`predict_long`, VERDICT r3 missing #2).
 * ``attention_long_beam_align`` — the same with the device beam per tile.
+* ``hybrid_long`` / ``hybrid_long_beam`` — CTC-blank segmentation +
+  per-segment attention decode at full resolution (`predict_hybrid_long`).
 
 Usage (CPU, ~10 min with training; cache the model dir to re-measure):
 
@@ -155,6 +157,11 @@ def main() -> int:
         "attention_long_beam_align": cer(ocr.predict_long(
             images, method="attention_beam", beam_width=8, tile_w=tw,
             overlap=ov, max_length=12, merge="align")),
+        "hybrid_long": cer(ocr.predict_long(
+            images, method="hybrid", tile_w=tw, overlap=ov, max_length=12)),
+        "hybrid_long_beam": cer(ocr.predict_long(
+            images, method="hybrid_beam", beam_width=8, tile_w=tw,
+            overlap=ov, max_length=12)),
     }
     for k, v in results.items():
         print(f"[long_line_demo] {k:20s} CER {v:.4f}", file=sys.stderr)

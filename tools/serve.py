@@ -38,6 +38,7 @@ def main() -> None:
             "attention", "attention_beam", "ctc_greedy", "ctc_beam",
             "ctc_long", "ctc_long_beam",  # unbounded-width stitched decode
             "attention_long", "attention_long_beam",  # tiled seq2seq + merge
+            "hybrid_long", "hybrid_long_beam",  # CTC segments, attention reads
         ],
     )
     p.add_argument("--canvas", default="64,512")
