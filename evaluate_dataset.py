@@ -11,10 +11,12 @@ WER with min/max/median stats and the top-5 worst-CER examples, and writes
 ``evaluation_results_<model>.csv`` with per-sample rows.
 
 Extensions over the reference: ``--decode`` picks the head and search
-(``attention`` greedy | ``attention_beam`` | ``ctc_greedy`` | ``ctc_beam``),
-``--lm/--lm-weight`` fuse a bigram LM into the beams (a comma list of
-weights sweeps them and prints a comparison table), and reference ``.pth``
-checkpoints load directly.
+(``attention`` greedy | ``attention_beam`` | ``ctc_greedy`` | ``ctc_beam``,
+plus the unbounded-width long-line paths ``ctc_long[_beam]`` |
+``attention_long[_beam]`` | ``hybrid_long[_beam]`` with ``--tile-w`` /
+``--overlap``), ``--lm/--lm-weight`` fuse a bigram LM into the beams (a
+comma list of weights sweeps them and prints a comparison table), and
+reference ``.pth`` checkpoints load directly.
 """
 
 from __future__ import annotations
@@ -90,11 +92,16 @@ def evaluate_model(
     static_quant: bool = False,
     save_calibration: Optional[str] = None,
     artifact: Optional[str] = None,
+    tile_w: Optional[int] = None,
+    overlap: Optional[int] = None,
 ):
     if serving and decode not in (
         "attention", "attention_beam", "ctc_greedy", "ctc_beam"
     ):
         raise ValueError(f"--serving does not support --decode {decode!r}")
+    long_decode = decode.startswith(("ctc_long", "attention_long", "hybrid_long"))
+    if (tile_w or overlap) and not long_decode:
+        raise ValueError("--tile-w/--overlap require a *_long --decode")
     print("Evaluating model on dataset")
     if artifact:
         # deployment-unit certification: the decode configuration is baked
@@ -153,12 +160,20 @@ def evaluate_model(
             true_texts, predicted, image_paths, os.path.basename(artifact.rstrip("/"))
         )
 
-    if lm_weight and decode not in ("attention_beam", "ctc_beam"):
+    if lm_weight and decode not in (
+        "attention_beam", "ctc_beam", "attention_long_beam", "hybrid_long_beam"
+    ):
         raise ValueError(
-            "--lm-weight requires --decode attention_beam or ctc_beam"
+            "--lm-weight requires --decode attention_beam, ctc_beam, "
+            "attention_long_beam, or hybrid_long_beam"
         )
-    if length_penalty and decode != "attention_beam":
-        raise ValueError("--length-penalty requires --decode attention_beam")
+    if length_penalty and decode not in (
+        "attention_beam", "attention_long_beam", "hybrid_long_beam"
+    ):
+        raise ValueError(
+            "--length-penalty requires --decode attention_beam, "
+            "attention_long_beam, or hybrid_long_beam"
+        )
     ocr = OCRInference(
         model_path, charset_path, device="auto", img_h=img_h, img_w=img_w,
         width_buckets=width_buckets, quantize=quantize, lm=lm,
@@ -207,6 +222,32 @@ def evaluate_model(
                 ocr.predict_ctc(
                     chunk, batch_size=batch_size, method="beam",
                     beam_width=beam_width, lm_weight=lm_weight,
+                )
+            )
+        elif decode in ("ctc_long", "ctc_long_beam"):
+            predicted.extend(
+                ocr.predict_ctc_long(
+                    chunk, tile_w=tile_w, overlap=overlap,
+                    batch_size=batch_size,
+                    method="beam" if decode.endswith("beam") else "greedy",
+                    beam_width=beam_width,
+                )
+            )
+        elif long_decode:
+            # attention_long[_beam] / hybrid_long[_beam] via the one
+            # unbounded-width entry point
+            method = {
+                "attention_long": "attention",
+                "attention_long_beam": "attention_beam",
+                "hybrid_long": "hybrid",
+                "hybrid_long_beam": "hybrid_beam",
+            }[decode]
+            predicted.extend(
+                ocr.predict_long(
+                    chunk, method=method, tile_w=tile_w, overlap=overlap,
+                    batch_size=batch_size, max_length=max_length,
+                    beam_width=beam_width, lm_weight=lm_weight,
+                    length_penalty=length_penalty,
                 )
             )
         else:
@@ -286,7 +327,21 @@ def main() -> int:
         "--decode",
         type=str,
         default="attention",
-        choices=["attention", "attention_beam", "ctc_greedy", "ctc_beam"],
+        choices=[
+            "attention", "attention_beam", "ctc_greedy", "ctc_beam",
+            "ctc_long", "ctc_long_beam",  # unbounded-width stitched decode
+            "attention_long", "attention_long_beam",  # tiled seq2seq + merge
+            "hybrid_long", "hybrid_long_beam",  # CTC segments, attention reads
+        ],
+    )
+    parser.add_argument(
+        "--tile-w", type=int, default=None,
+        help="*_long decodes: tile width in px (default: the model img_w)",
+    )
+    parser.add_argument(
+        "--overlap", type=int, default=None,
+        help="*_long decodes: junction overlap in px "
+        "(default: min(64, tile_w/2))",
     )
     parser.add_argument("--max-length", type=int, default=25)
     parser.add_argument("--beam-width", type=int, default=16)
@@ -358,6 +413,8 @@ def main() -> int:
             "--quantize": args.quantize,
             "--serving": args.serving,
             "--static-quant": args.static_quant,
+            "--tile-w": args.tile_w is not None,
+            "--overlap": args.overlap is not None,
         }
         conflicting = [flag for flag, given in baked.items() if given]
         if conflicting:
@@ -415,6 +472,8 @@ def main() -> int:
                 static_quant=args.static_quant,
                 save_calibration=args.save_calibration,
                 artifact=args.artifact,
+                tile_w=args.tile_w,
+                overlap=args.overlap,
             )
             sweep.append((w, metrics))
         if len(sweep) > 1:

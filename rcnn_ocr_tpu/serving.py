@@ -470,6 +470,8 @@ def serving_predict_fn(
     length_penalty: float = 0.0,
     lm_weight: float = 0.0,
     merge: str = "align",  # attention_long*: junction merge policy
+    min_gap: int = 3,  # hybrid_long*: blank frames that split segments
+    margin: int = 1,  # hybrid_long*: context frames around each segment
 ) -> Callable[[List[Any]], List[str]]:
     """Adapt an engine to the batcher's ``list -> list[str]`` contract.
 
@@ -527,6 +529,8 @@ def serving_predict_fn(
                 beam_width=beam_width,
                 length_penalty=length_penalty,
                 lm_weight=lm_weight,
+                min_gap=min_gap,
+                margin=margin,
             )
             return out if isinstance(out, list) else [out]
 

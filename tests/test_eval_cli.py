@@ -183,3 +183,67 @@ def test_eval_cli_artifact_mode(tmp_path, monkeypatch, capsys):
     )
     assert eval_main() == 1
     assert "--decode" in capsys.readouterr().out
+
+
+def test_eval_cli_long_decodes(tmp_path, monkeypatch, capsys):
+    """--decode *_long certifies the unbounded-width paths on a labeled
+    CSV: hybrid_long / ctc_long run end to end, --tile-w is accepted for
+    them and refused elsewhere, and fusion knobs stay beam-only."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from evaluate_dataset import main as eval_main
+    from rcnn_ocr_tpu.models import RCNN
+    from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+    from rcnn_ocr_tpu.training.optim import build_optimizer
+    from rcnn_ocr_tpu.training.train_step import create_train_state
+
+    tokens = ["<PAD>", "<SOS>", "<EOS>", "<BLANK>", "a", "b"]
+    model = RCNN(
+        num_classes=len(tokens), hidden_size=16, width_mult=0.25,
+        with_ctc_head=True, dtype=jnp.float32,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(2)}, jnp.zeros((1, 32, 64, 3)),
+        text=jnp.zeros((1, 5), jnp.int32), batch_max_length=4,
+        method=model.init_all,
+    )
+    state = create_train_state(model, variables, build_optimizer("Adam", 1e-3))
+    cs_path = tmp_path / "cs.txt"
+    cs_path.write_text("\n".join(tokens) + "\n", encoding="utf-8")
+    ckpt = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(ckpt, state)
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.default_rng(7)
+    cv2.imwrite(
+        str(root / "wide.png"),
+        rng.integers(0, 256, (32, 300, 3)).astype(np.uint8),
+    )
+    csv_path = tmp_path / "labels.csv"
+    csv_path.write_text("filename,text\nwide.png,ab\n", encoding="utf-8")
+    monkeypatch.chdir(tmp_path)
+
+    base = ["evaluate_dataset.py", "--model", ckpt, "--charset", str(cs_path),
+            "--csv", str(csv_path), "--root", str(root),
+            "--img-h", "32", "--img-w", "64", "--max-length", "4"]
+    for decode in ("ctc_long", "hybrid_long"):
+        monkeypatch.setattr(
+            sys, "argv", base + ["--decode", decode, "--tile-w", "64"]
+        )
+        assert eval_main() == 0
+        assert "EVALUATION RESULTS" in capsys.readouterr().out
+
+    # --tile-w without a *_long decode is refused
+    monkeypatch.setattr(sys, "argv", base + ["--tile-w", "64"])
+    assert eval_main() == 1
+    assert "*_long" in capsys.readouterr().out
+    # greedy hybrid refuses fusion knobs (beam-only, like every path)
+    monkeypatch.setattr(
+        sys, "argv",
+        base + ["--decode", "hybrid_long", "--lm-weight", "0.4"],
+    )
+    assert eval_main() == 1
+    assert "hybrid_long_beam" in capsys.readouterr().out

@@ -131,6 +131,11 @@ def main() -> None:
     )
     if (args.tile_w or args.overlap) and args.method not in long_methods:
         p.error("--tile-w/--overlap require a *_long method")
+    if (
+        args.min_gap != p.get_default("min_gap")
+        or args.margin != p.get_default("margin")
+    ) and args.method not in ("hybrid_long", "hybrid_long_beam"):
+        p.error("--min-gap/--margin require a hybrid_long method")
     ocr = OCRInference(
         args.model,
         args.charset,

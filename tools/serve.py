@@ -62,6 +62,15 @@ def main() -> None:
         help="attention_long*: junction merge — frame-aligned via the "
         "decoder's attention positions (default) or text-space",
     )
+    p.add_argument(
+        "--min-gap", type=int, default=3,
+        help="hybrid_long*: blank-gap frames that split segments "
+        "(sweep optimum 3, PERF.md round 4)",
+    )
+    p.add_argument(
+        "--margin", type=int, default=1,
+        help="hybrid_long*: context frames around each segment crop",
+    )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=256)
@@ -78,6 +87,14 @@ def main() -> None:
         "~20-30 s serving compile (measured: tools/compile_cache_probe.py)",
     )
     args = p.parse_args()
+
+    if (
+        args.min_gap != p.get_default("min_gap")
+        or args.margin != p.get_default("margin")
+    ) and not args.artifact and args.method not in (
+        "hybrid_long", "hybrid_long_beam"
+    ):
+        p.error("--min-gap/--margin require a hybrid_long method")
 
     if args.compile_cache_dir:
         from rcnn_ocr_tpu.utils import enable_compile_cache
@@ -106,6 +123,8 @@ def main() -> None:
             "--lm-weight": args.lm_weight != 0.0,
             "--length-penalty": args.length_penalty != 0.0,
             "--merge": args.merge != p.get_default("merge"),
+            "--min-gap": args.min_gap != p.get_default("min_gap"),
+            "--margin": args.margin != p.get_default("margin"),
         }
         overridden = [flag for flag, changed in baked.items() if changed]
         if overridden:
@@ -144,6 +163,8 @@ def main() -> None:
             length_penalty=args.length_penalty,
             lm_weight=args.lm_weight,
             merge=args.merge,
+            min_gap=args.min_gap,
+            margin=args.margin,
         )
         max_batch = args.batch_size
 
