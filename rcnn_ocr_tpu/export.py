@@ -448,7 +448,9 @@ class ServingArtifact:
             for j in range(n_real)
         ]
 
-    def _predict_long(self, images_list: List[Any]) -> List[str]:
+    def _predict_long(
+        self, images_list: List[Any], return_confidence: bool = False
+    ) -> List[Any]:
         """Unbounded-width stitched decode from the exported tile kernel.
 
         Runs the SAME host driver as the live engine's ``predict_ctc_long``
@@ -465,7 +467,9 @@ class ServingArtifact:
         tile_w, overlap = self.tile_w, self.overlap
         pad_one = ResizeAndPad(img_h=self.img_h, img_w=tile_w)
         if self.method in HYBRID_LONG_METHODS:
-            return self._predict_hybrid(images_list, tile_w, overlap, pad_one)
+            return self._predict_hybrid(
+                images_list, tile_w, overlap, pad_one, return_confidence
+            )
         tiles, plans = plan_tiles(
             [load_rgb_uint8(img) for img in images_list],
             self.img_h, tile_w, overlap, pad_one,
@@ -548,67 +552,52 @@ class ServingArtifact:
         )
 
     def _predict_hybrid(
-        self, images_list: List[Any], tile_w: int, overlap: int, pad_one
-    ) -> List[str]:
-        """Hybrid decode from the artifact's TWO kernels — the same
-        segment-then-read driver as the live ``predict_hybrid_long``
-        (CTC tile kernel locates character groups; the attention decode
-        kernel reads each full-resolution crop)."""
+        self,
+        images_list: List[Any],
+        tile_w: int,
+        overlap: int,
+        pad_one,
+        return_confidence: bool = False,
+    ) -> List[Any]:
+        """Hybrid decode from the artifact's TWO kernels, through the SAME
+        host driver as the live engine (`long_lines.hybrid_decode_driver`)
+        — the CTC tile kernel locates character groups, the attention
+        decode kernel reads each full-resolution crop."""
         from rcnn_ocr_tpu.data.transforms import load_rgb_uint8
-        from rcnn_ocr_tpu.long_lines import (
-            extract_tile_frames,
-            plan_tiles,
-            segment_spans,
-            stitch_frames,
+        from rcnn_ocr_tpu.long_lines import hybrid_decode_driver
+        from rcnn_ocr_tpu.postprocess import (
+            decode_attention_row,
+            decode_beam_row,
         )
-        from rcnn_ocr_tpu.postprocess import decode_attention_row, pad_rows
 
         m = self.manifest
         ids = self._ids
-        tiles, plans, resized = plan_tiles(
-            [load_rgb_uint8(img) for img in images_list],
-            self.img_h, tile_w, overlap, pad_one, keep_resized=True,
-        )
         call = self._calls[tile_w]
-        vals, idx = extract_tile_frames(
-            tiles, self.batch_size,
-            lambda batch: call(self.variables, self._device_batch(batch)),
-        )
-        frames_t = vals.shape[1]
-        stride = tile_w / frames_t
-
-        crops: List[np.ndarray] = []
-        crop_of_image: List[int] = []
-        for img_i, (first, starts) in enumerate(plans):
-            _, i_cat = stitch_frames(vals, idx, first, starts, tile_w, frames_t)
-            full_w = resized[img_i].shape[1]
-            for s, e in segment_spans(
-                i_cat[:, 0], ids["ctc_blank"],
-                min_gap=int(m.get("min_gap", 3)),
-                margin=int(m.get("margin", 1)),
-                max_frames=frames_t,
-            ):
-                px_lo = max(0, int(s * stride))
-                px_hi = min(full_w, int(round(e * stride)))
-                if px_hi <= px_lo:
-                    continue
-                crops.append(resized[img_i][:, px_lo:px_hi])
-                crop_of_image.append(img_i)
-
-        texts = [""] * len(images_list)
         dec = self._decode_calls[tile_w]
-        padded = [pad_one(c) for c in crops]
-        for i in range(0, len(padded), self.batch_size):
-            chunk, n_real = pad_rows(padded[i : i + self.batch_size], self.batch_size)
-            pred, _aux = dec(self.variables, self._device_batch(np.stack(chunk)))
-            pred = np.asarray(pred)[:n_real]
-            for j in range(n_real):
-                texts[crop_of_image[i + j]] += decode_attention_row(
-                    pred[j], None, self._itos,
-                    pad_id=ids["pad"], eos_id=ids["eos"],
-                    blank_id=ids["blank"], return_confidence=False,
-                )
-        return texts
+        row_fn = (
+            decode_beam_row
+            if self.method == "hybrid_long_beam"
+            else decode_attention_row
+        )
+
+        def decode_row(pred_row, aux_row):
+            return row_fn(
+                pred_row, aux_row, self._itos,
+                pad_id=ids["pad"], eos_id=ids["eos"],
+                blank_id=ids["blank"], return_confidence=return_confidence,
+            )
+
+        return hybrid_decode_driver(
+            [load_rgb_uint8(img) for img in images_list],
+            self.img_h, tile_w, overlap, pad_one, self.batch_size,
+            tile_fn=lambda b: call(self.variables, self._device_batch(b)),
+            decode_fn=lambda b: dec(self.variables, self._device_batch(b)),
+            decode_row=decode_row,
+            blank_id=ids["ctc_blank"],
+            min_gap=int(m.get("min_gap", 3)),
+            margin=int(m.get("margin", 1)),
+            return_confidence=return_confidence,
+        )
 
     def _device_batch(self, arr: np.ndarray):
         import jax
@@ -633,14 +622,19 @@ class ServingArtifact:
             host_resize_geometry,
         )
 
-        if return_confidence and self.method not in ("attention", "attention_beam"):
-            raise ValueError("return_confidence requires an attention artifact")
+        if return_confidence and self.method not in (
+            "attention", "attention_beam", *HYBRID_LONG_METHODS
+        ):
+            raise ValueError(
+                "return_confidence requires an attention-reading artifact "
+                "(attention, attention_beam, hybrid_long, hybrid_long_beam)"
+            )
         is_single = not isinstance(images, list)
         images_list = [images] if is_single else list(images)
         if not images_list:
             return []
         if self.method in LONG_METHODS:
-            results_long = self._predict_long(images_list)
+            results_long = self._predict_long(images_list, return_confidence)
             return results_long[0] if is_single else results_long
 
         rgb = [load_rgb_uint8(img) for img in images_list]

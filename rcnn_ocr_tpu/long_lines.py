@@ -68,6 +68,12 @@ def long_line_spans(
                 if score > best_score:
                     best, best_score = g, score
             cut = best
+        if cuts:
+            # monotone cuts: at overlaps > tile_w/2 consecutive snap
+            # windows overlap and an earlier cut could land AFTER a later
+            # one, decoding shared frames twice (fuzz-caught); the clamp
+            # is a no-op at the default overlap <= tile_w/2
+            cut = max(cut, cuts[-1])
         cuts.append(cut)
 
     spans = []
@@ -316,6 +322,92 @@ def segment_spans(
     return padded
 
 
+def hybrid_decode_driver(
+    rgb_images: List[np.ndarray],
+    img_h: int,
+    tile_w: int,
+    overlap: int,
+    pad_one,
+    batch_size: int,
+    tile_fn,  # uint8 [B,H,tile_w,3] -> (vals, idx) top-k frame candidates
+    decode_fn,  # uint8 [B,H,tile_w,3] -> (pred, aux) attention decode
+    decode_row,  # (token row, aux row|None) -> text | (text, confidence)
+    blank_id: int,
+    min_gap: int,
+    margin: int,
+    return_confidence: bool = False,
+):
+    """The segment-then-read host driver shared by the live engine
+    (`predict_hybrid_long`) and the exported artifact
+    (`ServingArtifact._predict_hybrid`) — ONE implementation so the
+    deployment unit cannot drift from the engine it was exported from.
+
+    1) CTC frames per tile -> stitched full-line frame sequence
+    2) :func:`segment_spans` locates character groups; each is cropped
+       from the height-normalized image at full resolution
+    3) every crop decodes through ``decode_fn`` like a short line
+
+    With ``return_confidence`` every element is ``(text, confidence)``:
+    the char-count-weighted mean of the per-segment confidences
+    ``decode_row`` returns — each segment follows the framework's one
+    attention-confidence contract (mean max-softmax / beam geometric
+    mean), so a single-segment line reports exactly what ``predict``
+    would; a line with no segments reports 0.0.
+    """
+    from rcnn_ocr_tpu.postprocess import pad_rows
+
+    tiles, plans, resized = plan_tiles(
+        rgb_images, img_h, tile_w, overlap, pad_one, keep_resized=True,
+    )
+    vals, idx = extract_tile_frames(tiles, batch_size, tile_fn)
+    frames_t = vals.shape[1]
+    stride = tile_w / frames_t  # px per frame (the model's time downsample)
+
+    crops: List[np.ndarray] = []
+    crop_of_image: List[int] = []
+    for img_i, (first, starts) in enumerate(plans):
+        _, i_cat = stitch_frames(vals, idx, first, starts, tile_w, frames_t)
+        full_w = resized[img_i].shape[1]
+        for s, e in segment_spans(
+            i_cat[:, 0], blank_id,
+            min_gap=min_gap, margin=margin, max_frames=frames_t,
+        ):
+            px_lo = max(0, int(s * stride))
+            px_hi = min(full_w, int(round(e * stride)))
+            if px_hi <= px_lo:
+                continue
+            crops.append(resized[img_i][:, px_lo:px_hi])
+            crop_of_image.append(img_i)
+
+    n = len(rgb_images)
+    texts = [""] * n
+    conf_num = [0.0] * n
+    conf_den = [0] * n
+    padded = [pad_one(c) for c in crops]
+    for i in range(0, len(padded), batch_size):
+        chunk, n_real = pad_rows(padded[i : i + batch_size], batch_size)
+        pred, aux = decode_fn(np.stack(chunk))
+        pred = np.asarray(pred)[:n_real]
+        aux = np.asarray(aux)[:n_real] if return_confidence else None
+        for j in range(n_real):
+            img_i = crop_of_image[i + j]
+            out = decode_row(pred[j], aux[j] if aux is not None else None)
+            if return_confidence:
+                text, conf = out
+                if text:
+                    conf_num[img_i] += conf * len(text)
+                    conf_den[img_i] += len(text)
+            else:
+                text = out
+            texts[img_i] += text
+    if return_confidence:
+        return [
+            (t, conf_num[i] / conf_den[i] if conf_den[i] else 0.0)
+            for i, t in enumerate(texts)
+        ]
+    return texts
+
+
 def stitch_aligned_rows(
     tokens: np.ndarray,  # [n_tiles, steps] decoded token ids
     aligns: np.ndarray,  # [n_tiles, steps] attention frame argmax per step
@@ -506,6 +598,7 @@ class LongLineMixin:
         prune_k: int = 16,
         min_gap: int = 3,
         margin: int = 1,
+        return_confidence: bool = False,
     ):
         """Hybrid unbounded-width decode: CTC segments, attention reads.
 
@@ -533,13 +626,21 @@ class LongLineMixin:
         interior blank frames so every crop fits the static decode width.
         ``beam=True`` decodes segments with the device beam (+ optional
         LM fusion / length penalty, like ``predict``).
+        ``return_confidence`` yields ``(text, confidence)`` pairs — the
+        char-count-weighted mean of per-segment confidences under the
+        framework's one attention-confidence contract (``predict``
+        parity on single-segment lines); the fixed-width CTC paths stay
+        confidence-free by design, but this path READS with the
+        attention head, so the contract applies.
         """
         if not (self.model.with_ctc_head and self.model.with_attention_head):
             raise ValueError("hybrid long-line decode needs BOTH heads")
         from rcnn_ocr_tpu.data.transforms import ResizeAndPad
         from rcnn_ocr_tpu.models.rcnn import TIME_DOWNSAMPLE
-        from rcnn_ocr_tpu.postprocess import pad_rows
-        from rcnn_ocr_tpu.vocab.charset import decode_tokens
+        from rcnn_ocr_tpu.postprocess import (
+            decode_attention_row,
+            decode_beam_row,
+        )
 
         is_single = not isinstance(images, list)
         images_list: List[ImageLike] = [images] if is_single else list(images)
@@ -548,59 +649,36 @@ class LongLineMixin:
         tile_w, overlap = resolve_tiling(self.img_w, tile_w, overlap)
         batch_size = self._round_batch(batch_size)
         pad_one = ResizeAndPad(img_h=self.img_h, img_w=tile_w)
-        tiles, plans, resized = plan_tiles(
-            [self._to_rgb(img) for img in images_list],
-            self.img_h, tile_w, overlap, pad_one, keep_resized=True,
-        )
+        assert tile_w % TIME_DOWNSAMPLE == 0  # frame stride == px stride
 
-        # 1) CTC frames per tile -> stitched full-line frame sequence
         k = max(1, min(prune_k, self.charset.num_classes))
         kernel = self._ctc_fn(False, k)
-        vals, idx = extract_tile_frames(
-            tiles, batch_size,
-            lambda batch: kernel(self.variables, self._device_batch(batch)),
-        )
-        frames_t = vals.shape[1]
-        stride = tile_w / frames_t  # px per frame (== TIME_DOWNSAMPLE)
-        assert int(stride) == TIME_DOWNSAMPLE
-
-        # 2) segment the frame sequence; crop segments at full resolution
-        blank = self.charset.ctc_blank_id
-        crops: List[np.ndarray] = []
-        crop_of_image: List[int] = []
-        for img_i, (first, starts) in enumerate(plans):
-            _, i_cat = stitch_frames(vals, idx, first, starts, tile_w, frames_t)
-            full_w = resized[img_i].shape[1]
-            for s, e in segment_spans(
-                i_cat[:, 0], blank,
-                min_gap=min_gap, margin=margin, max_frames=frames_t,
-            ):
-                px_lo = max(0, int(s * stride))
-                px_hi = min(full_w, int(round(e * stride)))
-                if px_hi <= px_lo:
-                    continue
-                crops.append(resized[img_i][:, px_lo:px_hi])
-                crop_of_image.append(img_i)
-
-        # 3) attention-decode every segment like a short line
         steps = max_length + 1
         run = (
             self._attn_beam_fn(steps, int(beam_width), length_penalty, lm_weight)
             if beam
             else self._greedy_fn(steps)
         )
-        texts = [""] * len(images_list)
-        padded = [pad_one(c) for c in crops]
-        for i in range(0, len(padded), batch_size):
-            chunk, n_real = pad_rows(padded[i : i + batch_size], batch_size)
-            pred, _aux = run(self.variables, self._device_batch(np.stack(chunk)))
-            pred = np.asarray(pred)[:n_real]
-            for j in range(n_real):
-                texts[crop_of_image[i + j]] += decode_tokens(
-                    pred[j], self._itos,
-                    pad_id=self.charset.pad_id, eos_id=self.charset.eos_id,
-                    blank_id=self.charset.blank_id,
-                )
+        row_fn = decode_beam_row if beam else decode_attention_row
+
+        def decode_row(pred_row, aux_row):
+            return row_fn(
+                pred_row, aux_row, self._itos,
+                pad_id=self.charset.pad_id, eos_id=self.charset.eos_id,
+                blank_id=self.charset.blank_id,
+                return_confidence=return_confidence,
+            )
+
+        texts = hybrid_decode_driver(
+            [self._to_rgb(img) for img in images_list],
+            self.img_h, tile_w, overlap, pad_one, batch_size,
+            tile_fn=lambda b: kernel(self.variables, self._device_batch(b)),
+            decode_fn=lambda b: run(self.variables, self._device_batch(b)),
+            decode_row=decode_row,
+            blank_id=self.charset.ctc_blank_id,
+            min_gap=min_gap, margin=margin,
+            return_confidence=return_confidence,
+        )
         return texts[0] if is_single else texts
 
     def predict_long(
@@ -617,6 +695,7 @@ class LongLineMixin:
         prune_k: int = 16,
         snap: str = "midpoint",
         merge: str = "align",
+        return_confidence: bool = False,
     ):
         """Unbounded-width decode for EVERY head (one entry point).
 
@@ -651,7 +730,16 @@ class LongLineMixin:
 
         ``max_length`` bounds the PER-TILE decode (a tile holds at most
         ~tile_w/char_w characters, so the default is usually ample).
+
+        ``return_confidence`` is supported by the hybrid methods only
+        (they READ with the attention head, whose confidence contract
+        applies per segment); the tiled paths raise — a junction-merged
+        tile decode has no step-aligned confidence to report.
         """
+        if return_confidence and method not in ("hybrid", "hybrid_beam"):
+            raise ValueError(
+                "return_confidence requires method='hybrid' or 'hybrid_beam'"
+            )
         if method in ("ctc_greedy", "ctc_beam", "greedy", "beam"):
             return self.predict_ctc_long(
                 images, tile_w=tile_w, overlap=overlap,
@@ -665,7 +753,7 @@ class LongLineMixin:
                 batch_size=batch_size, max_length=max_length,
                 beam=method.endswith("beam"), beam_width=beam_width,
                 length_penalty=length_penalty, lm_weight=lm_weight,
-                prune_k=prune_k,
+                prune_k=prune_k, return_confidence=return_confidence,
             )
         if method not in ("attention", "attention_beam"):
             raise ValueError(f"Unsupported decode method: {method}")

@@ -117,6 +117,35 @@ DEFAULTS: Dict[str, Any] = {
 }
 
 
+# Keys that are legitimate but have no entry in DEFAULTS (required inputs,
+# paths, and toggles whose absence means "feature off").
+EXTRA_KNOWN_KEYS = frozenset({
+    "exp_dir", "charset_path", "train_csvs", "train_roots",
+    "save_every", "async_checkpoint", "graceful_shutdown",
+})
+
+
+def _warn_unknown_keys(keys) -> None:
+    """A typo'd hyperparameter ("epochz": 100) must not silently train with
+    the default — warn loudly with a did-you-mean against the known set."""
+    import difflib
+    import warnings
+
+    known = sorted(set(DEFAULTS) | EXTRA_KNOWN_KEYS)
+    unknown = [k for k in keys if k not in known]
+    if not unknown:
+        return
+    parts = []
+    for k in unknown:
+        close = difflib.get_close_matches(k, known, n=1)
+        parts.append(f"{k!r}" + (f" (did you mean {close[0]!r}?)" if close else ""))
+    warnings.warn(
+        "Unknown config key(s) ignored by every consumer: "
+        + ", ".join(parts),
+        stacklevel=3,
+    )
+
+
 class Config:
     """Attribute-bag config loaded from JSON (or a dict) with resume overlay."""
 
@@ -127,6 +156,9 @@ class Config:
         else:
             user_data = dict(path_or_dict)
 
+        # validate the USER's keys (not the resume overlay's — an older
+        # binary must still open a newer experiment's saved config)
+        _warn_unknown_keys(user_data.keys())
         merged = self._maybe_apply_resume(user_data)
         for k, v in merged.items():
             setattr(self, k, v)

@@ -66,3 +66,24 @@ def test_config_resume_slot_priority(tmp_path):
 def test_config_resume_missing_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         Config({"resume_path": str(tmp_path / "nope")})
+
+
+def test_unknown_config_keys_warn():
+    """A typo'd hyperparameter must warn with a did-you-mean instead of
+    silently training with the default."""
+    import warnings
+
+    from rcnn_ocr_tpu.training.config import Config
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        Config({"exp_dir": "/tmp/x", "epochz": 3, "totally_bogus": 1})
+    msgs = [str(w.message) for w in rec]
+    assert any("epochz" in m and "epochs" in m for m in msgs)
+    assert any("totally_bogus" in m for m in msgs)
+
+    # known keys stay silent
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        Config({"exp_dir": "/tmp/x", "epochs": 3, "charset_path": "c"})
+    assert not [w for w in rec2 if "Unknown config key" in str(w.message)]

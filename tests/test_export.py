@@ -370,6 +370,16 @@ def test_artifact_mesh_load_decode_equality(tiny_ckpt, tmp_path):
     batch = imgs + [wide]
     assert sharded_l.predict(batch) == plain_l.predict(batch)
 
+    # hybrid artifacts (two kernel sets) shard both through the same mesh
+    out_hyb = str(tmp_path / "art_hybrid_mesh")
+    export_serving_artifact(
+        ocr, out_hyb, method="hybrid_long", batch_size=8, max_length=4,
+        prune_k=5,
+    )
+    plain_h = ServingArtifact.load(out_hyb)
+    sharded_h = ServingArtifact.load(out_hyb, mesh=True)
+    assert sharded_h.predict(batch) == plain_h.predict(batch)
+
     # a batch size that cannot tile the mesh fails loudly at load
     out_bad = str(tmp_path / "art_bad")
     export_serving_artifact(
@@ -410,6 +420,17 @@ def test_artifact_hybrid_long_matches_live_engine(tiny_ckpt, tmp_path, method):
     )
     assert art.predict([narrow, wide]) == live
     assert art.predict(wide) == live[1]
+
+    # confidence rides the artifact too (the hybrid reads with the
+    # attention head, so its confidence contract applies per segment)
+    live_c = ocr.predict_hybrid_long(
+        [narrow, wide], batch_size=2, max_length=4,
+        beam=method.endswith("beam"), beam_width=3, prune_k=5,
+        return_confidence=True,
+    )
+    got_c = art.predict([narrow, wide], return_confidence=True)
+    assert [t for t, _ in got_c] == [t for t, _ in live_c]
+    assert all(abs(a - b) < 1e-5 for (_, a), (_, b) in zip(got_c, live_c))
 
 
 @pytest.mark.parametrize("merge", ["align", "text"])

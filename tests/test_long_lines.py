@@ -336,3 +336,114 @@ def test_predict_ctc_long_midpoint_snap(engine):
     assert isinstance(mid[1], str)
     with pytest.raises(ValueError, match="snap"):
         engine.predict_ctc_long(wide, snap="nearest")
+
+
+def test_predict_hybrid_long_confidence(engine):
+    """return_confidence on the hybrid path: (text, conf) pairs under the
+    attention-confidence contract, char-count-weighted over segments; the
+    tiled/CTC long paths refuse the flag."""
+    rng = np.random.default_rng(31)
+    wide = rng.integers(0, 256, (32, 400, 3)).astype(np.uint8)
+    narrow = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    out = engine.predict_hybrid_long(
+        [narrow, wide], max_length=4, return_confidence=True
+    )
+    assert len(out) == 2
+    for text, conf in out:
+        assert isinstance(text, str)
+        assert 0.0 <= conf <= 1.0
+        if not text:  # no segments -> defined 0.0, not NaN
+            assert conf == 0.0
+    # texts identical to the confidence-free call
+    plain = engine.predict_hybrid_long([narrow, wide], max_length=4)
+    assert [t for t, _ in out] == plain
+    # routed through the one entry point; beam flavor carries it too
+    assert engine.predict_long(
+        [narrow, wide], method="hybrid", max_length=4, return_confidence=True
+    ) == out
+    outb = engine.predict_long(
+        [wide], method="hybrid_beam", beam_width=4, max_length=4,
+        return_confidence=True,
+    )
+    assert isinstance(outb[0][0], str) and 0.0 <= outb[0][1] <= 1.0
+    # non-hybrid long methods have no step-aligned confidence -> refuse
+    with pytest.raises(ValueError, match="hybrid"):
+        engine.predict_long([wide], method="attention", return_confidence=True)
+    with pytest.raises(ValueError, match="hybrid"):
+        engine.predict_long([wide], method="ctc_greedy", return_confidence=True)
+
+
+def test_long_line_spans_fuzz():
+    """Randomized contract check for the junction-cut spans: every tile
+    contributes a non-empty in-bounds frame range, ranges are ordered, the
+    first tile starts at frame 0 and the last ends at frames_t, and the
+    kept global frame count never exceeds the line's total frames (no
+    frame decodes twice; blank-snap obeys the same bounds)."""
+    from rcnn_ocr_tpu.long_lines import long_line_spans
+
+    rng = np.random.default_rng(0)
+    for trial in range(200):
+        frames_t = int(rng.integers(4, 33))
+        stride = int(rng.choice([2, 4, 8]))
+        tile_w = frames_t * stride
+        overlap = int(rng.integers(stride, tile_w - stride))
+        step = tile_w - overlap
+        new_w = int(rng.integers(tile_w + 1, tile_w * 5))
+        starts = list(range(0, new_w - tile_w, step))
+        if starts[-1] != new_w - tile_w:
+            starts.append(new_w - tile_w)
+        blank = (
+            rng.standard_normal((len(starts), frames_t))
+            if trial % 2
+            else None
+        )
+        spans = long_line_spans(starts, tile_w, frames_t, blank_scores=blank)
+        assert len(spans) == len(starts)
+        assert spans[0][1] == 0 and spans[-1][2] == frames_t
+        total = 0
+        prev_g_end = -1
+        for (j, a, b), s in zip(spans, starts):
+            assert 0 <= a < b <= frames_t, (trial, spans)
+            g0 = int(round(s / (tile_w / frames_t)))
+            assert g0 + a >= prev_g_end - 1  # junction cuts stay ordered
+            prev_g_end = g0 + b
+            total += b - a
+        # every global frame represented at most ~once (rounding slack 1
+        # frame per junction)
+        assert total <= frames_t + (new_w - tile_w) / stride + len(starts)
+
+
+def test_segment_spans_fuzz():
+    """Randomized contract check for CTC-blank segmentation: spans are
+    disjoint, ordered, in bounds, cover every non-blank frame, and honor
+    max_frames."""
+    from rcnn_ocr_tpu.long_lines import segment_spans
+
+    rng = np.random.default_rng(1)
+    B = 0
+    for _ in range(300):
+        T = int(rng.integers(1, 120))
+        ids = rng.choice([B, B, B, 4, 5], size=T)
+        min_gap = int(rng.integers(1, 5))
+        margin = int(rng.integers(0, 4))
+        max_frames = int(rng.integers(3, 40)) if rng.random() < 0.5 else None
+        spans = segment_spans(
+            ids, B, min_gap=min_gap, margin=margin, max_frames=max_frames
+        )
+        nz = set(np.flatnonzero(ids != B).tolist())
+        covered = set()
+        prev_end = 0
+        for s, e in spans:
+            assert 0 <= s < e <= T
+            if s < prev_end:
+                # margins may share frames with the neighbor — but only
+                # blank gap frames (no character ever decodes twice)
+                assert all(ids[f] == B for f in range(s, prev_end))
+            prev_end = e
+            covered.update(range(s, e))
+            if max_frames is not None:
+                # margin pads each side AFTER the max_frames split
+                assert e - s <= max_frames + 2 * margin
+        assert nz <= covered, "a character frame was dropped"
+        if not nz:
+            assert spans == []
