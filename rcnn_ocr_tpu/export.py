@@ -140,7 +140,9 @@ def export_serving_artifact(
             tiles_spec = jax.ShapeDtypeStruct(
                 (batch_size, ocr.img_h, w, 3), np.uint8
             )
-            tile_kernel = ocr.tile_kernel(prune_k=prune_k)
+            # the segmenter reads per-frame argmax ids — ship the argmax
+            # kernel (1/32nd the host transfer of the top-k pair)
+            tile_kernel = ocr.tile_ids_kernel()
             exp_tiles = jax.export.export(
                 tile_kernel, platforms=list(platforms) if platforms else None
             )(var_specs, tiles_spec)
@@ -182,6 +184,11 @@ def export_serving_artifact(
                     lm_weight=lm_weight,
                     with_alignment=(merge == "align"),
                 )
+            elif method == "ctc_long" and snap == "midpoint":
+                # greedy/midpoint consumes only the per-frame argmax —
+                # bake the ids kernel (1/32nd the host transfer); beam
+                # and blank-snap need the top-k candidates
+                kernel = ocr.tile_ids_kernel()
             else:
                 kernel = ocr.tile_kernel(prune_k=prune_k)
             tiles_spec = jax.ShapeDtypeStruct(
@@ -269,10 +276,19 @@ def export_serving_artifact(
                     f"snap must be 'midpoint' or 'blank', got {snap!r}"
                 )
             manifest["snap"] = snap
+            # which tile kernel the artifact carries: "argmax" (per-frame
+            # ids, the greedy/midpoint fast path) or "topk" (candidates,
+            # for beam / blank-snap)
+            manifest["tile_kernel"] = (
+                "argmax"
+                if method == "ctc_long" and snap == "midpoint"
+                else "topk"
+            )
         elif method in HYBRID_LONG_METHODS:
             manifest["decode_files"] = decode_files
             manifest["min_gap"] = int(min_gap)
             manifest["margin"] = int(margin)
+            manifest["tile_kernel"] = "argmax"
         else:
             manifest["merge"] = merge
             if merge == "align":
@@ -530,22 +546,38 @@ class ServingArtifact:
                     out.append(merge_tile_texts(texts, tile_w, starts))
             return out
 
-        from rcnn_ocr_tpu.long_lines import decode_stitched, extract_tile_frames
+        from rcnn_ocr_tpu.long_lines import (
+            decode_stitched,
+            decode_stitched_ids,
+            extract_tile_frames,
+            extract_tile_ids,
+        )
         from rcnn_ocr_tpu.postprocess import ctc_skip_ids
 
+        ids = self._ids
+        skip = ctc_skip_ids(
+            ids["pad"], ids["sos"], ids["eos"], ids["ctc_blank"]
+        )
+        if m.get("tile_kernel") == "argmax":
+            # greedy/midpoint artifacts carry the per-frame-ids kernel
+            frame_ids = extract_tile_ids(
+                tiles, self.batch_size,
+                lambda b: call(self.variables, self._device_batch(b)),
+            )
+            return decode_stitched_ids(
+                frame_ids, plans, tile_w,
+                blank_id=ids["ctc_blank"], itos=self._itos, skip_ids=skip,
+            )
         vals, idx = extract_tile_frames(
             tiles, self.batch_size,
             lambda batch: call(self.variables, self._device_batch(batch)),
         )
-        ids = self._ids
         return decode_stitched(
             vals, idx, plans, tile_w,
             blank_id=ids["ctc_blank"],
             num_classes=len(self._itos),
             itos=self._itos,
-            skip_ids=ctc_skip_ids(
-                ids["pad"], ids["sos"], ids["eos"], ids["ctc_blank"]
-            ),
+            skip_ids=skip,
             method="beam" if self.method == "ctc_long_beam" else "greedy",
             beam_width=int(m.get("beam_width", 16)),
             snap=m.get("snap", "midpoint"),
@@ -574,6 +606,14 @@ class ServingArtifact:
         ids = self._ids
         call = self._calls[tile_w]
         dec = self._decode_calls[tile_w]
+        if m.get("tile_kernel") == "argmax":
+            tile_fn = lambda b: call(self.variables, self._device_batch(b))  # noqa: E731
+        else:
+            # early round-4 hybrid artifacts shipped the top-k kernel;
+            # slice to argmax on device so only [B, T] crosses the link
+            tile_fn = lambda b: call(  # noqa: E731
+                self.variables, self._device_batch(b)
+            )[1][..., 0]
         row_fn = (
             decode_beam_row
             if self.method == "hybrid_long_beam"
@@ -590,7 +630,7 @@ class ServingArtifact:
         return hybrid_decode_driver(
             [load_rgb_uint8(img) for img in images_list],
             self.img_h, tile_w, overlap, pad_one, self.batch_size,
-            tile_fn=lambda b: call(self.variables, self._device_batch(b)),
+            tile_fn=tile_fn,
             decode_fn=lambda b: dec(self.variables, self._device_batch(b)),
             decode_row=decode_row,
             blank_id=ids["ctc_blank"],

@@ -394,6 +394,28 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
             )
         return self._lm
 
+    def _ctc_frame_ids_fn(self):
+        """Per-frame argmax class ids ``[B, T] int32`` — everything the
+        greedy/midpoint long-line stitcher and the hybrid segmenter
+        consume.  Fetching ids instead of the top-k ``(vals, idx)`` pair
+        cuts device->host traffic 32x at k=16 (measured end-to-end:
+        ``predict_ctc_long`` 255 -> 347 img/s on 256 long lines, now
+        within ~12% of the per-tile device compute floor — PERF.md
+        round 4; the bytes saved are HBM->host on any platform, not
+        just this tunnel)."""
+
+        def build():
+            def run(variables, images):
+                logits = self.model.apply(
+                    variables, device_normalize(images), train=False,
+                    method=self.model.ctc_logits,
+                )
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            return self._jit(run)
+
+        return self._cached(("ctc_frame_ids",), build)
+
     def _ctc_fn(self, greedy: bool, prune_k: int = 0):
         """CTC head kernel.  ``greedy``: on-device collapse -> tokens.
         Beam mode ships frame log-probs to the host beam search; with

@@ -185,6 +185,28 @@ def extract_tile_frames(
     return np.concatenate(all_vals), np.concatenate(all_idx)
 
 
+def extract_tile_ids(
+    tiles: List[np.ndarray],
+    batch_size: int,
+    run,  # (tile_batch uint8 [B, H, W, 3]) -> per-frame argmax ids [B, T]
+) -> np.ndarray:
+    """Argmax flavor of :func:`extract_tile_frames`: ``ids [n_tiles, T]``.
+
+    The greedy/midpoint stitcher and the hybrid segmenter consume ONLY
+    the per-frame argmax — fetching ids instead of the top-k pair cuts
+    device->host traffic 32x at k=16 (measured: +36% end-to-end on
+    ``predict_ctc_long``, PERF.md round 4).
+    """
+    from rcnn_ocr_tpu.postprocess import pad_rows
+
+    out: List[np.ndarray] = []
+    for i in range(0, len(tiles), batch_size):
+        chunk, n_real = pad_rows(tiles[i : i + batch_size], batch_size)
+        ids = run(np.stack(chunk))
+        out.append(np.asarray(ids)[:n_real])
+    return np.concatenate(out)
+
+
 def merge_tile_texts(
     texts: List[str], tile_w: int, starts: Sequence[int]
 ) -> str:
@@ -252,6 +274,45 @@ def stitch_frames(
     v_cat = np.concatenate([vals[t, a:b] for t, a, b in spans])
     i_cat = np.concatenate([idx[t, a:b] for t, a, b in spans])
     return v_cat, i_cat
+
+
+def stitch_frame_ids(
+    ids: np.ndarray,  # [n_tiles, T] per-frame argmax class ids
+    first: int,
+    starts: Sequence[int],
+    tile_w: int,
+    frames_t: int,
+) -> np.ndarray:
+    """Ids-only :func:`stitch_frames`: one image's tiles -> its full-line
+    argmax frame sequence ``[T_total]`` (midpoint junction cuts — the
+    blank-snap policy needs per-frame blank scores and stays on the
+    top-k path)."""
+    spans = long_line_spans(starts, tile_w, frames_t)
+    return np.concatenate([ids[first + j, a:b] for j, a, b in spans])
+
+
+def decode_stitched_ids(
+    ids: np.ndarray,  # [n_tiles, T] per-frame argmax class ids
+    plans: List[Tuple[int, List[int]]],
+    tile_w: int,
+    *,
+    blank_id: int,
+    itos: List[str],
+    skip_ids,
+) -> List[str]:
+    """Greedy/midpoint fast path of :func:`decode_stitched` over argmax
+    ids (the two produce IDENTICAL text — argmax == top-1 of top-k — at
+    1/32nd the device->host bytes; equality-tested).  Shared by the live
+    engine and exported ``ctc_long`` artifacts."""
+    from rcnn_ocr_tpu.ops.ctc import ctc_greedy_collapse_np, ids_to_text
+
+    frames_t = ids.shape[1]
+    results: List[str] = []
+    for first, starts in plans:
+        i_cat = stitch_frame_ids(ids, first, starts, tile_w, frames_t)
+        row = ctc_greedy_collapse_np(i_cat[None], blank_id)[0]
+        results.append(ids_to_text([row], itos, skip_ids=skip_ids)[0])
+    return results
 
 
 def segment_spans(
@@ -329,7 +390,7 @@ def hybrid_decode_driver(
     overlap: int,
     pad_one,
     batch_size: int,
-    tile_fn,  # uint8 [B,H,tile_w,3] -> (vals, idx) top-k frame candidates
+    tile_fn,  # uint8 [B,H,tile_w,3] -> per-frame argmax ids [B, T]
     decode_fn,  # uint8 [B,H,tile_w,3] -> (pred, aux) attention decode
     decode_row,  # (token row, aux row|None) -> text | (text, confidence)
     blank_id: int,
@@ -359,17 +420,17 @@ def hybrid_decode_driver(
     tiles, plans, resized = plan_tiles(
         rgb_images, img_h, tile_w, overlap, pad_one, keep_resized=True,
     )
-    vals, idx = extract_tile_frames(tiles, batch_size, tile_fn)
-    frames_t = vals.shape[1]
+    ids = extract_tile_ids(tiles, batch_size, tile_fn)
+    frames_t = ids.shape[1]
     stride = tile_w / frames_t  # px per frame (the model's time downsample)
 
     crops: List[np.ndarray] = []
     crop_of_image: List[int] = []
     for img_i, (first, starts) in enumerate(plans):
-        _, i_cat = stitch_frames(vals, idx, first, starts, tile_w, frames_t)
+        i_cat = stitch_frame_ids(ids, first, starts, tile_w, frames_t)
         full_w = resized[img_i].shape[1]
         for s, e in segment_spans(
-            i_cat[:, 0], blank_id,
+            i_cat, blank_id,
             min_gap=min_gap, margin=margin, max_frames=frames_t,
         ):
             px_lo = max(0, int(s * stride))
@@ -560,6 +621,25 @@ class LongLineMixin:
             self.img_h, tile_w, overlap, pad_one,
         )
 
+        skip = ctc_skip_ids(
+            self.charset.pad_id, self.charset.sos_id, self.charset.eos_id,
+            self.charset.ctc_blank_id,
+        )
+        if method == "greedy" and snap == "midpoint":
+            # fast path: only the per-frame argmax crosses the link
+            # (identical text to the top-k path; equality-tested)
+            ids_kernel = self._ctc_frame_ids_fn()
+            ids = extract_tile_ids(
+                tiles, batch_size,
+                lambda b: ids_kernel(self.variables, self._device_batch(b)),
+            )
+            results = decode_stitched_ids(
+                ids, plans, tile_w,
+                blank_id=self.charset.ctc_blank_id,
+                itos=self._itos, skip_ids=skip,
+            )
+            return results[0] if is_single else results
+
         # --- batched frame extraction (pruned top-k; slot 0 == argmax) ---
         k = max(1, min(prune_k, self.charset.num_classes))
         kernel = self._ctc_fn(False, k)
@@ -574,10 +654,7 @@ class LongLineMixin:
             blank_id=self.charset.ctc_blank_id,
             num_classes=self.charset.num_classes,
             itos=self._itos,
-            skip_ids=ctc_skip_ids(
-                self.charset.pad_id, self.charset.sos_id, self.charset.eos_id,
-                self.charset.ctc_blank_id,
-            ),
+            skip_ids=skip,
             method=method,
             beam_width=beam_width,
             snap=snap,
@@ -625,7 +702,9 @@ class LongLineMixin:
         Requires both heads.  Segments wider than one tile are split at
         interior blank frames so every crop fits the static decode width.
         ``beam=True`` decodes segments with the device beam (+ optional
-        LM fusion / length penalty, like ``predict``).
+        LM fusion / length penalty, like ``predict``).  ``prune_k`` is
+        accepted for signature stability but unused: the segmenter reads
+        per-frame argmax ids (1/32nd the fetch of the former top-k).
         ``return_confidence`` yields ``(text, confidence)`` pairs — the
         char-count-weighted mean of per-segment confidences under the
         framework's one attention-confidence contract (``predict``
@@ -651,8 +730,7 @@ class LongLineMixin:
         pad_one = ResizeAndPad(img_h=self.img_h, img_w=tile_w)
         assert tile_w % TIME_DOWNSAMPLE == 0  # frame stride == px stride
 
-        k = max(1, min(prune_k, self.charset.num_classes))
-        kernel = self._ctc_fn(False, k)
+        kernel = self._ctc_frame_ids_fn()  # argmax ids only (32x less fetch)
         steps = max_length + 1
         run = (
             self._attn_beam_fn(steps, int(beam_width), length_penalty, lm_weight)

@@ -165,6 +165,16 @@ class ServingEngineMixin:
         k = max(1, min(prune_k, self.charset.num_classes))
         return self._ctc_fn(False, k)
 
+    def tile_ids_kernel(self):
+        """The argmax flavor of :meth:`tile_kernel`: ``kernel(variables,
+        uint8 tiles [B, H, tile_w, 3]) -> per-frame class ids [B, T]
+        int32`` — all the greedy/midpoint stitcher and the hybrid
+        segmenter consume, at 1/32nd the device->host bytes of the top-k
+        pair.  Public accessor for the AOT export."""
+        if not self.model.with_ctc_head:
+            raise ValueError("this checkpoint has no CTC head")
+        return self._ctc_frame_ids_fn()
+
     def predict_serving(
         self,
         images: Union[ImageLike, List[ImageLike]],

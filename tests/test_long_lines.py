@@ -447,3 +447,63 @@ def test_segment_spans_fuzz():
         assert nz <= covered, "a character frame was dropped"
         if not nz:
             assert spans == []
+
+
+def test_ids_fast_path_matches_topk(engine):
+    """The greedy/midpoint fast path fetches per-frame argmax ids instead
+    of the top-k pair (32x less device->host traffic); text must be
+    IDENTICAL — argmax == top-1 of top-k.  Checked at the decode level
+    (both stitchers over the same tiles) and at the API level."""
+    from rcnn_ocr_tpu.data.transforms import ResizeAndPad
+    from rcnn_ocr_tpu.long_lines import (
+        decode_stitched,
+        decode_stitched_ids,
+        extract_tile_frames,
+        extract_tile_ids,
+        plan_tiles,
+        resolve_tiling,
+    )
+    from rcnn_ocr_tpu.postprocess import ctc_skip_ids
+
+    rng = np.random.default_rng(41)
+    images = [
+        rng.integers(0, 256, (32, w, 3)).astype(np.uint8)
+        for w in (30, 200, 413)
+    ]
+    tile_w, overlap = resolve_tiling(engine.img_w, None, None)
+    pad_one = ResizeAndPad(img_h=engine.img_h, img_w=tile_w)
+    tiles, plans = plan_tiles(
+        [engine._to_rgb(im) for im in images],
+        engine.img_h, tile_w, overlap, pad_one,
+    )
+    bs = engine._round_batch(4)
+    k = min(8, engine.charset.num_classes)
+    topk = engine._ctc_fn(False, k)
+    vals, idx = extract_tile_frames(
+        tiles, bs, lambda b: topk(engine.variables, engine._device_batch(b))
+    )
+    ids_kernel = engine._ctc_frame_ids_fn()
+    frame_ids = extract_tile_ids(
+        tiles, bs,
+        lambda b: ids_kernel(engine.variables, engine._device_batch(b)),
+    )
+    np.testing.assert_array_equal(frame_ids, idx[:, :, 0])
+    skip = ctc_skip_ids(
+        engine.charset.pad_id, engine.charset.sos_id,
+        engine.charset.eos_id, engine.charset.ctc_blank_id,
+    )
+    via_topk = decode_stitched(
+        vals, idx, plans, tile_w,
+        blank_id=engine.charset.ctc_blank_id,
+        num_classes=engine.charset.num_classes,
+        itos=engine._itos, skip_ids=skip,
+        method="greedy", snap="midpoint",
+    )
+    via_ids = decode_stitched_ids(
+        frame_ids, plans, tile_w,
+        blank_id=engine.charset.ctc_blank_id,
+        itos=engine._itos, skip_ids=skip,
+    )
+    assert via_ids == via_topk
+    # the public API rides the fast path and still matches
+    assert engine.predict_ctc_long(images) == via_ids
