@@ -415,6 +415,10 @@ def main() -> int:
             "--static-quant": args.static_quant,
             "--tile-w": args.tile_w is not None,
             "--overlap": args.overlap is not None,
+            "--img-h": args.img_h != parser.get_default("img_h"),
+            "--img-w": args.img_w != parser.get_default("img_w"),
+            "--batch-size": args.batch_size != parser.get_default("batch_size"),
+            "--save-calibration": args.save_calibration is not None,
         }
         conflicting = [flag for flag, given in baked.items() if given]
         if conflicting:

@@ -41,7 +41,7 @@ import numpy as np
 # carries an EXTRA alignment output, so v3 is stamped only on
 # merge="align" artifacts and a v2 loader refuses them loudly instead of
 # mis-unpacking the kernel outputs
-MANIFEST_VERSION = 3
+MANIFEST_VERSION = 4
 
 
 CTC_LONG_METHODS = ("ctc_long", "ctc_long_beam")
@@ -103,6 +103,18 @@ def export_serving_artifact(
             "ServingArtifact.load(dir, mesh=True)"
         )
     long_mode = method in LONG_METHODS
+    # validate policy knobs BEFORE touching the output directory — a bad
+    # knob must not leave a half-rewritten artifact (old kernels deleted,
+    # new manifest never written)
+    if method in CTC_LONG_METHODS and snap not in ("midpoint", "blank"):
+        raise ValueError(f"snap must be 'midpoint' or 'blank', got {snap!r}")
+    if method in ATTN_LONG_METHODS and merge not in ("align", "text"):
+        raise ValueError(f"merge must be 'align' or 'text', got {merge!r}")
+    if long_mode and width_buckets:
+        raise ValueError(
+            "width_buckets does not apply to long-line methods — they tile "
+            "at a single tile_w; pass tile_w/overlap instead"
+        )
     if long_mode:
         from rcnn_ocr_tpu.long_lines import resolve_tiling
 
@@ -171,10 +183,6 @@ def export_serving_artifact(
             # frame candidates (ctc_long*) or decoded token rows
             # (attention_long*); the stitch/merge runs on the serving host
             if method in ATTN_LONG_METHODS:
-                if merge not in ("align", "text"):
-                    raise ValueError(
-                        f"merge must be 'align' or 'text', got {merge!r}"
-                    )
                 kernel = ocr.decode_kernel(
                     max_length=max_length,
                     beam_width=(
@@ -225,18 +233,22 @@ def export_serving_artifact(
         )
 
     cs = ocr.charset
-    # align attention_long kernels carry an extra output and hybrid
-    # artifacts carry a second kernel set — stamp v3 so a v2 loader
-    # refuses them instead of mis-unpacking; everything else stays
-    # readable by v2 loaders
-    fmt = (
-        3
-        if (
-            (method in ATTN_LONG_METHODS and merge == "align")
-            or method in HYBRID_LONG_METHODS
-        )
-        else 2
+    # stamp the MINIMUM loader version that reads this artifact correctly,
+    # so older loaders refuse loudly instead of mis-unpacking:
+    #   4 — argmax tile kernels (single [B,T] output; a v3 loader would
+    #       unpack them as the (vals, idx) pair)
+    #   3 — align attention_long kernels (extra alignment output) and the
+    #       hybrid two-kernel set
+    #   2 — everything else
+    uses_argmax_kernel = method in HYBRID_LONG_METHODS or (
+        method == "ctc_long" and snap == "midpoint"
     )
+    if uses_argmax_kernel:
+        fmt = 4
+    elif method in ATTN_LONG_METHODS and merge == "align":
+        fmt = 3
+    else:
+        fmt = 2
     manifest = {
         "format_version": fmt,
         "method": method,
@@ -271,10 +283,6 @@ def export_serving_artifact(
         manifest["tile_w"] = int(tile_w)
         manifest["overlap"] = int(overlap)
         if method in CTC_LONG_METHODS:
-            if snap not in ("midpoint", "blank"):
-                raise ValueError(
-                    f"snap must be 'midpoint' or 'blank', got {snap!r}"
-                )
             manifest["snap"] = snap
             # which tile kernel the artifact carries: "argmax" (per-frame
             # ids, the greedy/midpoint fast path) or "topk" (candidates,

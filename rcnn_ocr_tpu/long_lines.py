@@ -130,9 +130,21 @@ def plan_tiles(
         new_w = scaled_width(h, w, img_h)
         if new_w <= tile_w:
             plans.append((len(tiles), [0]))
-            tiles.append(pad_one(rgb))
             if keep_resized:
-                resized_images.append(height_normalize(rgb, img_h))
+                # build the tile FROM the kept resize instead of resizing
+                # twice (pad_one repeats the same cv2.resize): identical
+                # scaled-width rounding + interpolation policy and a
+                # left/top-aligned paste make this byte-equal to
+                # pad_one(rgb) — asserted in tests/test_long_lines.py
+                resized = height_normalize(rgb, img_h)
+                resized_images.append(resized)
+                canvas = np.full(
+                    (img_h, tile_w, 3), 255, dtype=resized.dtype
+                )
+                canvas[:, : resized.shape[1]] = resized
+                tiles.append(canvas)
+            else:
+                tiles.append(pad_one(rgb))
             continue
         resized = height_normalize(rgb, img_h)
         if keep_resized:
@@ -153,7 +165,17 @@ def resolve_tiling(
 ) -> Tuple[int, int]:
     """Default + validate the (tile_w, overlap) pair (shared by the live
     engine and the exported-artifact long driver)."""
+    from rcnn_ocr_tpu.models.rcnn import TIME_DOWNSAMPLE
+
     tile_w = int(tile_w or img_w)
+    # every long-path px<->frame mapping (junction cuts, aligned merge,
+    # segment crops) assumes frame stride == TIME_DOWNSAMPLE px exactly;
+    # a non-multiple tile_w would silently drop characters at the edges
+    if tile_w % TIME_DOWNSAMPLE != 0:
+        raise ValueError(
+            f"tile_w must be a multiple of {TIME_DOWNSAMPLE} (the model's "
+            f"time downsample), got {tile_w}"
+        )
     # default: 64 px of shared context per junction, clamped so tiny tile
     # widths (e.g. a 64 px canvas) still leave unique frames
     overlap = int(overlap) if overlap is not None else min(64, tile_w // 2)
@@ -715,7 +737,6 @@ class LongLineMixin:
         if not (self.model.with_ctc_head and self.model.with_attention_head):
             raise ValueError("hybrid long-line decode needs BOTH heads")
         from rcnn_ocr_tpu.data.transforms import ResizeAndPad
-        from rcnn_ocr_tpu.models.rcnn import TIME_DOWNSAMPLE
         from rcnn_ocr_tpu.postprocess import (
             decode_attention_row,
             decode_beam_row,
@@ -728,7 +749,8 @@ class LongLineMixin:
         tile_w, overlap = resolve_tiling(self.img_w, tile_w, overlap)
         batch_size = self._round_batch(batch_size)
         pad_one = ResizeAndPad(img_h=self.img_h, img_w=tile_w)
-        assert tile_w % TIME_DOWNSAMPLE == 0  # frame stride == px stride
+        # frame stride == px stride: guaranteed by resolve_tiling's
+        # TIME_DOWNSAMPLE divisibility check
 
         kernel = self._ctc_frame_ids_fn()  # argmax ids only (32x less fetch)
         steps = max_length + 1
@@ -859,13 +881,18 @@ class LongLineMixin:
         # step's attention argmax for the frame-aligned merge
         steps = max_length + 1
         beam = method == "attention_beam"
-        run = (
-            self._attn_beam_align_fn(
-                steps, int(beam_width), length_penalty, lm_weight
-            )
-            if beam
-            else self._greedy_align_fn(steps)
-        )
+        # the text merge never reads the alignment — use the plain kernels
+        # (shared with predict/predict_hybrid_long, so usually already
+        # compiled; the beam also skips the [B,K,steps] alignment carry)
+        need_align = merge == "align"
+        if beam:
+            run = (
+                self._attn_beam_align_fn if need_align else self._attn_beam_fn
+            )(steps, int(beam_width), length_penalty, lm_weight)
+        else:
+            run = (
+                self._greedy_align_fn if need_align else self._greedy_fn
+            )(steps)
         from rcnn_ocr_tpu.postprocess import pad_rows
 
         tok_rows: List[np.ndarray] = []
@@ -873,9 +900,11 @@ class LongLineMixin:
         for i in range(0, len(tiles), batch_size):
             chunk, n_real = pad_rows(tiles[i : i + batch_size], batch_size)
             out = run(self.variables, self._device_batch(np.stack(chunk)))
-            pred, align = (out[0], out[2]) if beam else out
+            pred = out[0]
             tok_rows.extend(np.asarray(pred)[:n_real])
-            align_rows.extend(np.asarray(align)[:n_real])
+            if need_align:
+                align = out[2] if beam else out[1]
+                align_rows.extend(np.asarray(align)[:n_real])
 
         def tile_text(row: np.ndarray) -> str:
             from rcnn_ocr_tpu.vocab.charset import decode_tokens

@@ -247,3 +247,26 @@ def test_eval_cli_long_decodes(tmp_path, monkeypatch, capsys):
     )
     assert eval_main() == 1
     assert "hybrid_long_beam" in capsys.readouterr().out
+
+
+def test_artifact_mode_refuses_geometry_and_calibration_flags(
+    monkeypatch, capsys
+):
+    """--img-h/--img-w/--batch-size/--save-calibration are baked into (or
+    meaningless for) an exported artifact — passing them with --artifact
+    must fail loudly, not silently evaluate at the manifest's values."""
+    from evaluate_dataset import main as eval_main
+
+    for flags in (
+        ["--img-h", "48"],
+        ["--img-w", "256"],
+        ["--batch-size", "7"],
+        ["--save-calibration", "cal.msgpack"],
+    ):
+        monkeypatch.setattr(
+            sys, "argv",
+            ["evaluate_dataset.py", "--artifact", "somedir",
+             "--csv", "x", "--root", "r"] + flags,
+        )
+        assert eval_main() == 1
+        assert "cannot be used with --artifact" in capsys.readouterr().out

@@ -314,6 +314,15 @@ def test_artifact_ctc_long_matches_live_engine(tiny_ckpt, tmp_path, method):
     assert manifest["tile_w"] == 64  # defaults to the engine img_w
     assert manifest["overlap"] == 32  # min(64, tile_w // 2)
     assert list(manifest["files"]) == ["64"]
+    # greedy/midpoint ships the single-output argmax kernel — a v3 loader
+    # would unpack it as the (vals, idx) pair, so the stamp MUST be 4;
+    # the beam artifact keeps the top-k kernel and stays v2-readable
+    if method == "ctc_long":
+        assert manifest["tile_kernel"] == "argmax"
+        assert manifest["format_version"] == 4
+    else:
+        assert manifest["tile_kernel"] == "topk"
+        assert manifest["format_version"] == 2
 
     art = ServingArtifact.load(out_dir)
     rng = np.random.default_rng(11)
@@ -406,7 +415,10 @@ def test_artifact_hybrid_long_matches_live_engine(tiny_ckpt, tmp_path, method):
     )
     with open(os.path.join(out_dir, "manifest.json")) as f:
         manifest = json.load(f)
-    assert manifest["format_version"] == 3  # two kernel sets -> v3
+    # the hybrid tile kernel is the single-output argmax flavor — v3
+    # loaders would mis-unpack it as (vals, idx), so the stamp is 4
+    assert manifest["format_version"] == 4
+    assert manifest["tile_kernel"] == "argmax"
     assert list(manifest["decode_files"]) == ["64"]
     assert manifest["min_gap"] == 3 and manifest["margin"] == 1
 
@@ -475,3 +487,44 @@ def test_artifact_attention_long_matches_live_engine(
     )
     assert art.predict([narrow, wide]) == live
     assert art.predict(wide) == live[1]
+
+
+def test_export_validates_knobs_before_touching_output(tiny_ckpt, tmp_path):
+    """Bad policy knobs must fail BEFORE the exporter touches the output
+    directory — a half-rewritten artifact (old kernels deleted, new
+    manifest never written) would brick a deployment on a typo."""
+    ckpt_path, charset_path = tiny_ckpt
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    out_dir = str(tmp_path / "art_good")
+    export_serving_artifact(
+        ocr, out_dir, method="ctc_long", batch_size=2, max_length=4
+    )
+    before = {
+        name: os.path.getmtime(os.path.join(out_dir, name))
+        for name in sorted(os.listdir(out_dir))
+    }
+    with pytest.raises(ValueError, match="snap"):
+        export_serving_artifact(
+            ocr, out_dir, method="ctc_long", batch_size=2, snap="nearest"
+        )
+    with pytest.raises(ValueError, match="merge"):
+        export_serving_artifact(
+            ocr, out_dir, method="attention_long", batch_size=2, merge="vote"
+        )
+    with pytest.raises(ValueError, match="width_buckets"):
+        export_serving_artifact(
+            ocr, out_dir, method="ctc_long", batch_size=2,
+            width_buckets=(64, 128),
+        )
+    after = {
+        name: os.path.getmtime(os.path.join(out_dir, name))
+        for name in sorted(os.listdir(out_dir))
+    }
+    assert after == before, "a rejected export modified the artifact dir"
+    # the surviving artifact still loads and serves
+    assert isinstance(
+        ServingArtifact.load(out_dir).predict(_images(n=1))[0], str
+    )

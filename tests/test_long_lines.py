@@ -507,3 +507,41 @@ def test_ids_fast_path_matches_topk(engine):
     assert via_ids == via_topk
     # the public API rides the fast path and still matches
     assert engine.predict_ctc_long(images) == via_ids
+
+
+def test_resolve_tiling_rejects_non_frame_aligned_tile_w():
+    """Every px<->frame mapping in the long path assumes frame stride ==
+    TIME_DOWNSAMPLE px; a non-multiple tile_w would silently drop edge
+    characters, so resolve_tiling refuses it loudly."""
+    from rcnn_ocr_tpu.long_lines import resolve_tiling
+    from rcnn_ocr_tpu.models.rcnn import TIME_DOWNSAMPLE
+
+    with pytest.raises(ValueError, match="multiple"):
+        resolve_tiling(128, TIME_DOWNSAMPLE * 3 + 1, None)
+    tile_w, overlap = resolve_tiling(128, TIME_DOWNSAMPLE * 16, None)
+    assert tile_w == TIME_DOWNSAMPLE * 16 and 0 < overlap < tile_w
+
+
+def test_plan_tiles_keep_resized_single_tile_byte_equal():
+    """plan_tiles(keep_resized=True) builds single-tile canvases from the
+    kept height-normalized image instead of resizing twice; the result
+    must be byte-equal to the pad_one path (identical scaled-width
+    rounding, interpolation choice, pad value, and alignment)."""
+    from rcnn_ocr_tpu.data.transforms import ResizeAndPad
+    from rcnn_ocr_tpu.long_lines import plan_tiles
+
+    rng = np.random.default_rng(7)
+    # grow (20->32), shrink (48->32), and exact-height inputs
+    images = [
+        rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for h, w in ((20, 30), (48, 90), (32, 64), (32, 10))
+    ]
+    pad_one = ResizeAndPad(img_h=32, img_w=64)
+    plain_tiles, plain_plans = plan_tiles(images, 32, 64, 32, pad_one)
+    kept_tiles, kept_plans, resized = plan_tiles(
+        images, 32, 64, 32, pad_one, keep_resized=True
+    )
+    assert kept_plans == plain_plans
+    assert len(resized) == len(images)
+    for a, b in zip(plain_tiles, kept_tiles):
+        np.testing.assert_array_equal(a, b)

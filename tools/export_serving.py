@@ -136,6 +136,19 @@ def main() -> None:
         or args.margin != p.get_default("margin")
     ) and args.method not in ("hybrid_long", "hybrid_long_beam"):
         p.error("--min-gap/--margin require a hybrid_long method")
+    if args.width_buckets and args.method in long_methods:
+        p.error(
+            "--width-buckets does not apply to *_long methods (they tile "
+            "at a single --tile-w)"
+        )
+    if args.snap != p.get_default("snap") and args.method not in (
+        "ctc_long", "ctc_long_beam"
+    ):
+        p.error("--snap requires a ctc_long method")
+    if args.merge != p.get_default("merge") and args.method not in (
+        "attention_long", "attention_long_beam"
+    ):
+        p.error("--merge requires an attention_long method")
     ocr = OCRInference(
         args.model,
         args.charset,

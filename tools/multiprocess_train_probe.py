@@ -159,7 +159,41 @@ def parent_main(args) -> int:
         )
         for i in range(N_PROCS)
     ]
-    outs = [p.communicate(timeout=args.timeout)[0].decode() for p in procs]
+    # drain BOTH pipes concurrently: a child flooding its ~64 KB stdout
+    # buffer while the parent is blocked reading the other child would
+    # stall the distributed barrier and time the whole probe out
+    import threading
+    import time as time_mod
+
+    outs = [""] * N_PROCS
+
+    def _drain(i: int, p) -> None:
+        outs[i] = p.stdout.read().decode()
+
+    readers = [
+        threading.Thread(target=_drain, args=(i, p), daemon=True)
+        for i, p in enumerate(procs)
+    ]
+    for t in readers:
+        t.start()
+    deadline = time_mod.monotonic() + args.timeout
+    timed_out = False
+    for p in procs:
+        try:
+            p.wait(timeout=max(1.0, deadline - time_mod.monotonic()))
+        except subprocess.TimeoutExpired:
+            timed_out = True
+    if timed_out:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for t in readers:
+        t.join(timeout=10)
+    if timed_out:
+        for i, out in enumerate(outs):
+            print(f"--- proc {i} output ---\n{out}", file=sys.stderr)
+        print(json.dumps({"ok": False, "failed_proc": "timeout"}))
+        return 1
     for i, p in enumerate(procs):
         if p.returncode != 0:
             print(f"--- proc {i} output ---\n{outs[i]}", file=sys.stderr)

@@ -95,6 +95,12 @@ def main() -> None:
         "hybrid_long", "hybrid_long_beam"
     ):
         p.error("--min-gap/--margin require a hybrid_long method")
+    if (
+        args.merge != p.get_default("merge")
+        and not args.artifact
+        and args.method not in ("attention_long", "attention_long_beam")
+    ):
+        p.error("--merge requires an attention_long method")
 
     if args.compile_cache_dir:
         from rcnn_ocr_tpu.utils import enable_compile_cache
