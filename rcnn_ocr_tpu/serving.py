@@ -21,6 +21,9 @@ HTTP API::
     GET  /healthz   -> {"status": "ok", "pending": N, "served": M,
                         "uptime_s": S, "latency_ms": {p50/p95/p99},
                         "batch_size": {mean/max/batches}}  (rolling stats)
+    GET  /metrics   -> the same data in the Prometheus text exposition
+                       format (+ responses-by-status and engine-error
+                       counters), ready to scrape
     POST /predict   body = raw encoded image bytes (PNG/JPEG/BMP/...)
                     or JSON {"images": ["<base64>", ...]}
                     -> {"texts": ["...", ...]}   (raw body -> one entry)
@@ -92,6 +95,8 @@ class MicroBatcher:
         self._wake = threading.Condition(self._lock)
         self._stop = False
         self.served = 0  # images decoded since start
+        self.dispatched_batches = 0  # engine calls that returned texts
+        self.errored_batches = 0  # engine calls that raised
         self.started = time.monotonic()
         # rolling observability windows (lock-protected): request latencies
         # (enqueue -> done, seconds) and dispatched batch sizes
@@ -249,6 +254,8 @@ class MicroBatcher:
                         f"{len(images)} images"
                     )
             except BaseException as e:  # deliver, don't kill the loop
+                with self._lock:
+                    self.errored_batches += 1
                 for pending, _, _ in batch:
                     pending.error = e
                     inflight.pop(pending, None)
@@ -256,6 +263,7 @@ class MicroBatcher:
                 continue
             self.served += len(images)
             with self._lock:
+                self.dispatched_batches += 1
                 self._batch_sizes.append(len(images))
             pos = 0
             for pending, lo, hi in batch:
@@ -273,13 +281,84 @@ class MicroBatcher:
                     pending.done.set()
 
 
+def prometheus_metrics(
+    batcher: MicroBatcher,
+    draining: bool = False,
+    response_counts: Optional[dict] = None,
+) -> str:
+    """Render serving stats in the Prometheus text exposition format.
+
+    Same data as ``/healthz`` (plus HTTP response counters), shaped for a
+    scrape target: monotonic counters for served images / engine batches /
+    engine errors / responses-by-status, gauges for queue depth, uptime,
+    and the draining flag, and the rolling latency window as a summary
+    with 0.5/0.95/0.99 quantiles."""
+    stats = batcher.stats()
+    with batcher._lock:
+        dispatched = batcher.dispatched_batches
+        errored = batcher.errored_batches
+    lines = [
+        "# HELP ocr_served_images_total Images decoded since server start.",
+        "# TYPE ocr_served_images_total counter",
+        f"ocr_served_images_total {stats['served']}",
+        "# HELP ocr_engine_batches_total Batches the engine decoded.",
+        "# TYPE ocr_engine_batches_total counter",
+        f"ocr_engine_batches_total {dispatched}",
+        "# HELP ocr_engine_batch_errors_total Batches that raised in the engine.",
+        "# TYPE ocr_engine_batch_errors_total counter",
+        f"ocr_engine_batch_errors_total {errored}",
+        "# HELP ocr_pending_images Images currently queued for decode.",
+        "# TYPE ocr_pending_images gauge",
+        f"ocr_pending_images {batcher.pending()}",
+        "# HELP ocr_uptime_seconds Seconds since the batcher started.",
+        "# TYPE ocr_uptime_seconds gauge",
+        f"ocr_uptime_seconds {stats['uptime_s']}",
+        "# HELP ocr_draining Server is draining (1) or accepting work (0).",
+        "# TYPE ocr_draining gauge",
+        f"ocr_draining {1 if draining else 0}",
+    ]
+    if "latency_ms" in stats:
+        lines += [
+            "# HELP ocr_request_latency_seconds Rolling request latency"
+            " (enqueue to delivery, last <=1024 requests).",
+            "# TYPE ocr_request_latency_seconds summary",
+        ]
+        for q, key in (("0.5", "p50"), ("0.95", "p95"), ("0.99", "p99")):
+            val = stats["latency_ms"][key] / 1e3
+            lines.append(
+                f'ocr_request_latency_seconds{{quantile="{q}"}} {val:.6f}'
+            )
+    if "batch_size" in stats:
+        lines += [
+            "# HELP ocr_batch_size_mean Mean dispatched batch size"
+            " (rolling window).",
+            "# TYPE ocr_batch_size_mean gauge",
+            f"ocr_batch_size_mean {stats['batch_size']['mean']}",
+        ]
+    if response_counts is not None:
+        lines += [
+            "# HELP ocr_http_responses_total HTTP responses by status code.",
+            "# TYPE ocr_http_responses_total counter",
+        ]
+        for code in sorted(response_counts):
+            lines.append(
+                f'ocr_http_responses_total{{code="{code}"}} '
+                f"{response_counts[code]}"
+            )
+    return "\n".join(lines) + "\n"
+
+
 def _make_handler(
     batcher: MicroBatcher,
     timeout_s: float,
     max_body_bytes: int,
     is_draining: Callable[[], bool] = lambda: False,
+    response_counts: Optional[dict] = None,
 ):
     from rcnn_ocr_tpu.data.transforms import imdecode_cv2
+
+    counts = response_counts if response_counts is not None else {}
+    counts_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -287,13 +366,21 @@ def _make_handler(
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
-        def _reply(self, code: int, payload: dict) -> None:
-            body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            with counts_lock:
+                counts[code] = counts.get(code, 0) + 1
             self.send_response(code)
-            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _reply(self, code: int, payload: dict) -> None:
+            self._send(
+                code,
+                json.dumps(payload, ensure_ascii=False).encode("utf-8"),
+                "application/json; charset=utf-8",
+            )
 
         def _drain_body(self) -> Optional[bytes]:
             """Read the request body (keep-alive requires consuming it
@@ -309,6 +396,17 @@ def _make_handler(
             return self.rfile.read(length)
 
         def do_GET(self):
+            if self.path == "/metrics":
+                with counts_lock:
+                    snapshot = dict(counts)
+                return self._send(
+                    200,
+                    prometheus_metrics(
+                        batcher, draining=is_draining(),
+                        response_counts=snapshot,
+                    ).encode("utf-8"),
+                    "text/plain; version=0.0.4; charset=utf-8",
+                )
             if self.path != "/healthz":
                 return self._reply(404, {"error": "unknown path"})
             self._reply(
@@ -386,11 +484,13 @@ class OCRServer:
             max_queued=max_queued,
         )
         self._draining = False
+        self.response_counts: dict = {}  # status code -> replies sent
         self.httpd = ThreadingHTTPServer(
             (host, port),
             _make_handler(
                 self.batcher, request_timeout_s, max_body_bytes,
                 is_draining=lambda: self._draining,
+                response_counts=self.response_counts,
             ),
         )
         self.httpd.daemon_threads = True

@@ -510,3 +510,36 @@ def test_graceful_shutdown_drains_inflight_requests():
         signal.signal(signal.SIGTERM, old_handler)
         gate.set()
         server.close()
+
+
+def test_metrics_endpoint_prometheus_format(http_server):
+    """GET /metrics exposes the /healthz data as a Prometheus scrape
+    target: counters for served images / engine batches / responses by
+    status, gauges for queue depth and draining, and the rolling latency
+    window as a summary."""
+    base, eng = http_server
+    img = np.full((6, 9, 3), 3, np.uint8)
+    status, out = _post(base + "/predict", _png_bytes(img), "image/png")
+    assert status == 200
+
+    with urllib.request.urlopen(base + "/metrics", timeout=10) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert "# TYPE ocr_served_images_total counter" in text
+    assert "ocr_served_images_total 1" in text
+    assert "ocr_engine_batches_total 1" in text
+    assert "ocr_engine_batch_errors_total 0" in text
+    assert "ocr_pending_images 0" in text
+    assert "ocr_draining 0" in text
+    assert 'ocr_request_latency_seconds{quantile="0.99"}' in text
+    assert 'ocr_http_responses_total{code="200"}' in text
+
+    # counters are monotonic across scrapes and /metrics counts itself
+    _post(base + "/predict", _png_bytes(img), "image/png")
+    with urllib.request.urlopen(base + "/metrics", timeout=10) as resp:
+        text2 = resp.read().decode()
+    assert "ocr_served_images_total 2" in text2
+    import re
+
+    m = re.search(r'ocr_http_responses_total\{code="200"\} (\d+)', text2)
+    assert m and int(m.group(1)) >= 3  # 2 predicts + first /metrics

@@ -14,6 +14,7 @@ Query it:
 
     curl -s -X POST --data-binary @line.png http://127.0.0.1:8000/predict
     curl -s http://127.0.0.1:8000/healthz
+    curl -s http://127.0.0.1:8000/metrics   # Prometheus scrape target
 """
 
 from __future__ import annotations
