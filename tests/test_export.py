@@ -528,3 +528,50 @@ def test_export_validates_knobs_before_touching_output(tiny_ckpt, tmp_path):
     assert isinstance(
         ServingArtifact.load(out_dir).predict(_images(n=1))[0], str
     )
+
+
+def test_artifact_info_tool(tiny_ckpt, tmp_path, monkeypatch, capsys):
+    """tools/artifact_info.py describes an artifact from manifest.json
+    alone (no JAX import) and mirrors the loader's version gate: exit 0
+    on readable, 1 on not-an-artifact, 2 on newer-than-this-loader."""
+    import sys as _sys
+
+    sys_path_added = "/root/repo/tools" not in _sys.path
+    _sys.path.insert(0, "/root/repo/tools")
+    try:
+        import artifact_info as ai
+    finally:
+        if sys_path_added:
+            _sys.path.remove("/root/repo/tools")
+    from rcnn_ocr_tpu.export import MANIFEST_VERSION
+
+    # the tool's duplicated constant must track the exporter's
+    assert ai.KNOWN_MANIFEST_VERSION == MANIFEST_VERSION
+
+    ckpt_path, charset_path = tiny_ckpt
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    out_dir = str(tmp_path / "art_info")
+    export_serving_artifact(
+        ocr, out_dir, method="ctc_long", batch_size=2, max_length=4
+    )
+    info = ai.artifact_info(out_dir)
+    assert info["format_version"] == 4 and info["readable"]
+    assert info["method"] == "ctc_long" and info["tile_kernel"] == "argmax"
+    assert info["kernel_count"] == 1 and info["total_bytes"] > 0
+
+    monkeypatch.setattr(_sys, "argv", ["artifact_info.py", out_dir])
+    assert ai.main() == 0
+    assert "format_version:  4" in capsys.readouterr().out
+
+    # a future artifact is reported but refused (exit 2), like the loader
+    manifest = json.load(open(os.path.join(out_dir, "manifest.json")))
+    manifest["format_version"] = ai.KNOWN_MANIFEST_VERSION + 1
+    json.dump(manifest, open(os.path.join(out_dir, "manifest.json"), "w"))
+    assert ai.main() == 2
+    assert "NEWER" in capsys.readouterr().out
+
+    monkeypatch.setattr(_sys, "argv", ["artifact_info.py", str(tmp_path)])
+    assert ai.main() == 1

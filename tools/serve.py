@@ -76,6 +76,12 @@ def main() -> None:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument(
+        "--mesh", action="store_true",
+        help="shard serving data-parallel across all visible chips "
+        "(ServingArtifact.load(mesh=True) / OCRInference(mesh=True)); "
+        "the batch size must tile the device count",
+    )
+    p.add_argument(
         "--max-wait-ms",
         type=float,
         default=5.0,
@@ -139,7 +145,7 @@ def main() -> None:
                 f"WARNING: {', '.join(overridden)} ignored with --artifact "
                 "(baked in at export time; re-export to change them)"
             )
-        engine = ServingArtifact.load(args.artifact)
+        engine = ServingArtifact.load(args.artifact, mesh=args.mesh or None)
         predict = serving_predict_fn(engine)
         max_batch = engine.batch_size
     else:
@@ -158,6 +164,7 @@ def main() -> None:
             quantize=args.quantize,
             width_buckets=buckets,
             lm=args.lm,
+            mesh=args.mesh or None,
         )
         canvas = tuple(int(v) for v in args.canvas.split(","))
         predict = serving_predict_fn(
@@ -183,7 +190,10 @@ def main() -> None:
         max_wait_ms=args.max_wait_ms,
     )
     host, port = server.address[:2]
-    print(f"Serving on http://{host}:{port}  (POST /predict, GET /healthz)")
+    print(
+        f"Serving on http://{host}:{port}  "
+        "(POST /predict, GET /healthz, GET /metrics)"
+    )
     # SIGTERM (what container runtimes send) and SIGINT both drain: stop
     # accepting, 503 new submissions, answer everything queued, exit 0
     install_graceful_shutdown(server)
