@@ -34,13 +34,20 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
+# Format ladder (each artifact stamps the MINIMUM version whose loader
+# reads it correctly, so older loaders refuse loudly — see the stamping
+# site in export_serving_artifact):
 # v2: explicit per-method decode dispatch (v1 loaders routed any unknown
-# method through the CTC branch — a v1 loader reading an attention_beam
-# artifact would garble decodes instead of refusing; ADVICE r3)
+#     method through the CTC branch — a v1 loader reading an
+#     attention_beam artifact would garble decodes instead of refusing;
+#     ADVICE r3).  Fixed-width methods, text-merge attention_long, and
+#     top-k tile kernels (ctc_long_beam / blank-snap) still stamp v2.
 # v3: frame-aligned attention_long merge — the exported per-tile kernel
-# carries an EXTRA alignment output, so v3 is stamped only on
-# merge="align" artifacts and a v2 loader refuses them loudly instead of
-# mis-unpacking the kernel outputs
+#     carries an EXTRA alignment output; stamped on merge="align"
+#     artifacts so a v2 loader refuses instead of mis-unpacking
+# v4: argmax tile kernels (hybrid_long* and greedy/midpoint ctc_long) —
+#     a single [B,T] ids output that a v3 loader would mis-unpack as the
+#     top-k (vals, idx) pair; manifest carries tile_kernel="argmax"
 MANIFEST_VERSION = 4
 
 
@@ -118,7 +125,15 @@ def export_serving_artifact(
     if long_mode:
         from rcnn_ocr_tpu.long_lines import resolve_tiling
 
-        tile_w, overlap = resolve_tiling(ocr.img_w, tile_w, overlap)
+        tile_w, overlap = resolve_tiling(
+            ocr.img_w, tile_w, overlap,
+            # only the aligned attention merge computes frames statically
+            # (manifest frames_t = tile_w // TIME_DOWNSAMPLE); every other
+            # long driver derives frames from the kernel output
+            require_frame_aligned=(
+                method in ATTN_LONG_METHODS and merge == "align"
+            ),
+        )
         widths = [int(tile_w)]
     else:
         widths = [int(w) for w in (width_buckets or ocr.width_buckets or [ocr.img_w])]

@@ -161,20 +161,30 @@ def plan_tiles(
 
 
 def resolve_tiling(
-    img_w: int, tile_w: Optional[int], overlap: Optional[int]
+    img_w: int,
+    tile_w: Optional[int],
+    overlap: Optional[int],
+    require_frame_aligned: bool = False,
 ) -> Tuple[int, int]:
     """Default + validate the (tile_w, overlap) pair (shared by the live
-    engine and the exported-artifact long driver)."""
+    engine and the exported-artifact long driver).
+
+    Most long paths derive the per-tile frame count from the kernel
+    output and map px<->frames with a float stride, so ANY tile width
+    works (the CTC stitcher, the hybrid segmenter, the text merge).  The
+    aligned attention merge is the exception: it computes ``frames_t``
+    statically as ``tile_w // TIME_DOWNSAMPLE``, which only equals the
+    encoder's real frame count when the division is exact — those callers
+    pass ``require_frame_aligned=True`` and a non-multiple width is
+    refused loudly instead of silently misaligning every junction."""
     from rcnn_ocr_tpu.models.rcnn import TIME_DOWNSAMPLE
 
     tile_w = int(tile_w or img_w)
-    # every long-path px<->frame mapping (junction cuts, aligned merge,
-    # segment crops) assumes frame stride == TIME_DOWNSAMPLE px exactly;
-    # a non-multiple tile_w would silently drop characters at the edges
-    if tile_w % TIME_DOWNSAMPLE != 0:
+    if require_frame_aligned and tile_w % TIME_DOWNSAMPLE != 0:
         raise ValueError(
-            f"tile_w must be a multiple of {TIME_DOWNSAMPLE} (the model's "
-            f"time downsample), got {tile_w}"
+            f"the aligned attention merge needs tile_w to be a multiple of "
+            f"{TIME_DOWNSAMPLE} (the model's time downsample), got {tile_w}; "
+            f"use merge='text' or pick an aligned tile_w"
         )
     # default: 64 px of shared context per junction, clamped so tiny tile
     # widths (e.g. a 64 px canvas) still leave unique frames
@@ -749,8 +759,8 @@ class LongLineMixin:
         tile_w, overlap = resolve_tiling(self.img_w, tile_w, overlap)
         batch_size = self._round_batch(batch_size)
         pad_one = ResizeAndPad(img_h=self.img_h, img_w=tile_w)
-        # frame stride == px stride: guaranteed by resolve_tiling's
-        # TIME_DOWNSAMPLE divisibility check
+        # px<->frame mapping: hybrid_decode_driver derives frames_t from
+        # the kernel output and uses a float stride, so any tile_w works
 
         kernel = self._ctc_frame_ids_fn()  # argmax ids only (32x less fetch)
         steps = max_length + 1
@@ -868,7 +878,10 @@ class LongLineMixin:
         images_list: List[ImageLike] = [images] if is_single else list(images)
         if not images_list:
             return []
-        tile_w, overlap = resolve_tiling(self.img_w, tile_w, overlap)
+        tile_w, overlap = resolve_tiling(
+            self.img_w, tile_w, overlap,
+            require_frame_aligned=(merge == "align"),
+        )
         batch_size = self._round_batch(batch_size)
         pad_one = ResizeAndPad(img_h=self.img_h, img_w=tile_w)
         tiles, plans = plan_tiles(

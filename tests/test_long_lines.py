@@ -509,17 +509,46 @@ def test_ids_fast_path_matches_topk(engine):
     assert engine.predict_ctc_long(images) == via_ids
 
 
-def test_resolve_tiling_rejects_non_frame_aligned_tile_w():
-    """Every px<->frame mapping in the long path assumes frame stride ==
-    TIME_DOWNSAMPLE px; a non-multiple tile_w would silently drop edge
-    characters, so resolve_tiling refuses it loudly."""
+def test_resolve_tiling_frame_alignment_scoped_to_align_merge():
+    """Only the aligned attention merge computes frames_t statically
+    (tile_w // TIME_DOWNSAMPLE) and needs an exact division; every other
+    long driver derives frames from the kernel output and maps px<->frames
+    with a float stride.  So a non-multiple tile_w is accepted by default
+    (a reference checkpoint trained at a non-multiple img_w keeps its
+    long-line support) and refused ONLY with require_frame_aligned."""
     from rcnn_ocr_tpu.long_lines import resolve_tiling
     from rcnn_ocr_tpu.models.rcnn import TIME_DOWNSAMPLE
 
+    odd_w = TIME_DOWNSAMPLE * 3 + 1
+    tile_w, overlap = resolve_tiling(128, odd_w, None)
+    assert tile_w == odd_w and 0 < overlap < tile_w
     with pytest.raises(ValueError, match="multiple"):
-        resolve_tiling(128, TIME_DOWNSAMPLE * 3 + 1, None)
-    tile_w, overlap = resolve_tiling(128, TIME_DOWNSAMPLE * 16, None)
+        resolve_tiling(128, odd_w, None, require_frame_aligned=True)
+    tile_w, overlap = resolve_tiling(
+        128, TIME_DOWNSAMPLE * 16, None, require_frame_aligned=True
+    )
     assert tile_w == TIME_DOWNSAMPLE * 16 and 0 < overlap < tile_w
+
+
+def test_non_frame_aligned_tile_w_decodes(engine):
+    """The tolerant paths really do work at a non-multiple tile_w: the
+    CTC stitcher and the text merge decode (frames_t comes from the
+    kernel, stride is float), while the align merge refuses loudly."""
+    rng = np.random.default_rng(23)
+    wide = rng.integers(0, 256, (32, 220, 3)).astype(np.uint8)
+    odd_w = 100  # not a multiple of TIME_DOWNSAMPLE=8
+    out = engine.predict_ctc_long(wide, tile_w=odd_w, overlap=32)
+    assert isinstance(out, str)
+    out = engine.predict_long(
+        wide, method="attention", tile_w=odd_w, overlap=32, max_length=5,
+        merge="text",
+    )
+    assert isinstance(out, str)
+    with pytest.raises(ValueError, match="multiple"):
+        engine.predict_long(
+            wide, method="attention", tile_w=odd_w, overlap=32,
+            max_length=5, merge="align",
+        )
 
 
 def test_plan_tiles_keep_resized_single_tile_byte_equal():
