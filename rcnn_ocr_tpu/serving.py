@@ -649,6 +649,14 @@ def serving_predict_fn(
             raise ValueError(
                 f"length_penalty is not supported with method={method!r}"
             )
+        # fail at server START, not on every request: the aligned merge
+        # needs a frame-aligned tile width (engine img_w here)
+        from rcnn_ocr_tpu.long_lines import resolve_tiling
+
+        resolve_tiling(
+            engine.img_w, None, None,
+            require_frame_aligned=(merge == "align"),
+        )
 
         def fn_attn_long(images: List[Any]) -> List[str]:
             out = engine.predict_long(

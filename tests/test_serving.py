@@ -543,3 +543,17 @@ def test_metrics_endpoint_prometheus_format(http_server):
 
     m = re.search(r'ocr_http_responses_total\{code="200"\} (\d+)', text2)
     assert m and int(m.group(1)) >= 3  # 2 predicts + first /metrics
+
+
+def test_attention_long_daemon_fails_fast_on_unaligned_width():
+    """An align-merge attention_long daemon over an engine whose img_w is
+    not frame-aligned must refuse at server START (one loud error), not
+    500 every request; merge='text' works at the same width."""
+    class _Eng:
+        img_w = 100  # not a multiple of TIME_DOWNSAMPLE=8
+
+    with pytest.raises(ValueError, match="multiple"):
+        serving_predict_fn(_Eng(), method="attention_long", merge="align")
+    # text merge tolerates the width — building the fn succeeds
+    fn = serving_predict_fn(_Eng(), method="attention_long", merge="text")
+    assert callable(fn)
