@@ -543,3 +543,56 @@ def test_checkpoint_format_version(tiny_state, tmp_path):
         f.write(serialization.msgpack_serialize(legacy))
     variables, _ = ckpt_io.load_variables(leg)
     assert "params" in variables
+
+
+def test_ckpt_info_tool(tiny_state, tmp_path, monkeypatch, capsys):
+    """tools/ckpt_info.py describes both blob kinds from the msgpack
+    alone and mirrors the loader's version gate (exit 0 readable / 1
+    corrupt / 2 newer-than-this-tree)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    try:
+        import ckpt_info as ci
+    finally:
+        _sys.path.remove("/root/repo/tools")
+
+    model, state, tx = tiny_state
+    cs = Charset.from_tokens(TOKENS)
+    full = str(tmp_path / "full_ckpt.msgpack")
+    ckpt_io.save_checkpoint(
+        full, state, None, epoch=2, global_step=7, best_val_loss=1.0,
+        best_val_acc=0.5, itos=list(cs.itos), stoi=cs.stoi,
+        config={"img_h": 32, "img_w": 64, "hidden_size": 16}, log_dir="l",
+    )
+    info = ci.ckpt_info(full)
+    assert info["kind"] == "full_checkpoint" and info["readable"]
+    assert info["format_version"] == ckpt_io.CHECKPOINT_FORMAT_VERSION
+    assert info["epoch"] == 2 and info["charset_size"] == len(TOKENS)
+    assert info["params"]["params"] > 0 and info["has_batch_stats"]
+    assert info["config"]["hidden_size"] == 16
+
+    weights = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(weights, state)
+    winfo = ci.ckpt_info(weights)
+    assert winfo["kind"] == "weights" and "epoch" not in winfo
+
+    monkeypatch.setattr(_sys, "argv", ["ckpt_info.py", full])
+    assert ci.main() == 0
+    assert "full_checkpoint" in capsys.readouterr().out
+
+    # a future-format blob is reported and refused, like load_checkpoint
+    from flax import serialization
+
+    blob = serialization.msgpack_restore(open(full, "rb").read())
+    blob["format_version"] = ckpt_io.CHECKPOINT_FORMAT_VERSION + 1
+    fut = str(tmp_path / "future.msgpack")
+    open(fut, "wb").write(serialization.msgpack_serialize(blob))
+    monkeypatch.setattr(_sys, "argv", ["ckpt_info.py", fut])
+    assert ci.main() == 2
+    assert "NEWER" in capsys.readouterr().out
+
+    monkeypatch.setattr(
+        _sys, "argv", ["ckpt_info.py", str(tmp_path / "nope.msgpack")]
+    )
+    assert ci.main() == 1
