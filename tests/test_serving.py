@@ -557,3 +557,26 @@ def test_attention_long_daemon_fails_fast_on_unaligned_width():
     # text merge tolerates the width — building the fn succeeds
     fn = serving_predict_fn(_Eng(), method="attention_long", merge="text")
     assert callable(fn)
+
+
+def test_serve_loadtest_tool(http_server):
+    """tools/serve_loadtest.py drives a live daemon concurrently and
+    reconciles client-side counts with the server's /metrics deltas."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    try:
+        import serve_loadtest as lt
+    finally:
+        _sys.path.remove("/root/repo/tools")
+
+    base, eng = http_server
+    img = np.full((6, 9, 3), 42, np.uint8)
+    result = lt.run_loadtest(base, _png_bytes(img), n_requests=12,
+                             concurrency=4)
+    assert result["ok"] == 12 and result["errors"] == 0
+    assert result["server"]["images_served"] == 12
+    assert 1 <= result["server"]["engine_batches"] <= 12
+    assert result["server"]["engine_errors"] == 0
+    assert result["latency_ms"]["p99"] >= result["latency_ms"]["p50"] > 0
+    assert result["rps"] > 0
