@@ -476,6 +476,7 @@ class OCRServer:
         request_timeout_s: float = 120.0,
         max_queued: Optional[int] = None,
         max_body_bytes: int = 64 * 1024 * 1024,
+        listen_backlog: int = 128,
     ):
         self.batcher = MicroBatcher(
             predict_fn,
@@ -485,7 +486,16 @@ class OCRServer:
         )
         self._draining = False
         self.response_counts: dict = {}  # status code -> replies sent
-        self.httpd = ThreadingHTTPServer(
+
+        # the stdlib default listen backlog (request_queue_size=5) drops
+        # connections with RST under bursty concurrency — measured: 64
+        # simultaneous clients against a TPU daemon saw ~10% connection
+        # resets (tools/serve_loadtest.py); a deep backlog costs nothing
+        # and lets the micro-batcher, not the kernel, do the queueing
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = int(listen_backlog)
+
+        self.httpd = _Server(
             (host, port),
             _make_handler(
                 self.batcher, request_timeout_s, max_body_bytes,

@@ -580,3 +580,46 @@ def test_serve_loadtest_tool(http_server):
     assert result["server"]["engine_errors"] == 0
     assert result["latency_ms"]["p99"] >= result["latency_ms"]["p50"] > 0
     assert result["rps"] > 0
+
+
+def test_burst_concurrency_no_connection_resets():
+    """64 simultaneous clients must all be served — the stdlib default
+    listen backlog (request_queue_size=5) RST-dropped ~10% of such a
+    burst on hardware (PERF.md round 4); OCRServer now defaults to a
+    deep backlog so the micro-batcher does the queueing, not the kernel."""
+    eng = RecordingEngine()
+    server = OCRServer(
+        eng.predict, host="127.0.0.1", port=0, max_batch=16, max_wait_ms=5
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.address[:2]
+        base = f"http://{host}:{port}"
+        body = _png_bytes(np.full((6, 9, 3), 7, np.uint8))
+        errors: list = []
+        done: list = []
+        lock = threading.Lock()
+
+        def client():
+            try:
+                status, out = _post(base + "/predict", body, "image/png")
+                with lock:
+                    done.append(status)
+            except Exception as e:
+                with lock:
+                    errors.append(repr(e))
+
+        clients = [
+            threading.Thread(target=client, daemon=True) for _ in range(64)
+        ]
+        for c in clients:
+            c.start()
+        for c in clients:
+            c.join(timeout=60)
+        assert not errors, errors[:5]
+        assert len(done) == 64 and all(s == 200 for s in done)
+        assert server.batcher.served == 64
+    finally:
+        server.close()
+        thread.join(timeout=10)
