@@ -122,6 +122,25 @@ def export_serving_artifact(
             "width_buckets does not apply to long-line methods — they tile "
             "at a single tile_w; pass tile_w/overlap instead"
         )
+    # fusion/rank knobs only reach kernels that implement them — refuse
+    # combos the kernel would DROP, mirroring serving_predict_fn: the
+    # manifest must never record an lm_weight/length_penalty the artifact
+    # does not actually apply (the silently-dropped-knob rule)
+    no_fusion_methods = CTC_LONG_METHODS + (
+        "hybrid_long", "attention_long", "attention", "ctc_greedy",
+    )
+    if lm_weight and method in no_fusion_methods:
+        raise ValueError(
+            f"lm_weight is not supported with method={method!r} "
+            "(the greedy/stitched decode has no fusion hook)"
+        )
+    # length_penalty rank-normalizes the ATTENTION beam only
+    if length_penalty and method not in (
+        "attention_beam", "attention_long_beam", "hybrid_long_beam"
+    ):
+        raise ValueError(
+            f"length_penalty is not supported with method={method!r}"
+        )
     if long_mode:
         from rcnn_ocr_tpu.long_lines import resolve_tiling
 

@@ -365,7 +365,10 @@ def segment_spans(
     frames, so no character ever decodes twice), and — when
     ``max_frames`` is set — recursively split at the most central
     interior blank frame (midpoint when none) so every span fits a
-    static decode width.  Pure and contract-tested; the hybrid
+    static decode width.  The cap is a hard guarantee INCLUDING margins:
+    content at the cap sheds its margin instead of overflowing (an
+    over-wide crop would be silently downscaled by the decode resize,
+    losing the full-resolution read the hybrid path exists for).  Pure and contract-tested; the hybrid
     long-line decode maps these spans to pixel crops.
     """
     T = int(frame_ids.shape[0])
@@ -406,11 +409,23 @@ def segment_spans(
     out: List[Tuple[int, int]] = []
     for s, e in merged:
         out.extend(split(s, e))
-    # margin of context, clamped and kept disjoint
+    # margin of context, clamped and kept disjoint; a span must NEVER
+    # exceed max_frames even with its margins (the hybrid crop is
+    # span_frames * stride px — wider than tile_w it gets silently
+    # DOWNSCALED by the resize-and-pad, defeating the full-resolution
+    # read), so when content sits at the cap the margin gives way
     padded: List[Tuple[int, int]] = []
     for i, (s, e) in enumerate(out):
         lo = max(0, s - margin, out[i - 1][1] if i else 0)
         hi = min(T, e + margin, out[i + 1][0] if i + 1 < len(out) else T)
+        if max_frames is not None and hi - lo > max_frames:
+            # trim margin frames only — the content run fits after split
+            excess = (hi - lo) - max_frames
+            cut_hi = min(hi - e, (excess + 1) // 2)
+            cut_lo = min(s - lo, excess - cut_hi)
+            cut_hi = min(hi - e, excess - cut_lo)  # rebalance short sides
+            lo += cut_lo
+            hi -= cut_hi
         padded.append((lo, hi))
     return padded
 

@@ -442,8 +442,10 @@ def test_segment_spans_fuzz():
             prev_end = e
             covered.update(range(s, e))
             if max_frames is not None:
-                # margin pads each side AFTER the max_frames split
-                assert e - s <= max_frames + 2 * margin
+                # the cap is a HARD guarantee including margins — an
+                # over-wide span would make the hybrid crop exceed tile_w
+                # and get silently downscaled (round-4 review fix)
+                assert e - s <= max_frames
         assert nz <= covered, "a character frame was dropped"
         if not nz:
             assert spans == []
@@ -574,3 +576,23 @@ def test_plan_tiles_keep_resized_single_tile_byte_equal():
     assert len(resized) == len(images)
     for a, b in zip(plain_tiles, kept_tiles):
         np.testing.assert_array_equal(a, b)
+
+
+def test_segment_spans_cap_includes_margin():
+    """An isolated content run of exactly max_frames frames must NOT grow
+    past the cap when margins are applied (reviewer repro: a 10-frame
+    span came back for max_frames=8, making the hybrid crop wider than
+    tile_w and silently downscaled); the margin gives way instead."""
+    from rcnn_ocr_tpu.long_lines import segment_spans
+
+    ids = np.array([0] * 3 + [4] * 8 + [0] * 3)
+    spans = segment_spans(ids, 0, min_gap=3, margin=1, max_frames=8)
+    assert spans == [(3, 11)]  # the content itself, margin shed
+    # with headroom the margin IS applied
+    spans = segment_spans(ids, 0, min_gap=3, margin=1, max_frames=12)
+    assert spans == [(2, 12)]
+    # asymmetric headroom: margin trims only as much as needed
+    ids2 = np.array([4] * 8 + [0] * 6)  # content at the left edge
+    spans = segment_spans(ids2, 0, min_gap=3, margin=2, max_frames=9)
+    (s, e), = spans
+    assert e - s == 9 and s == 0 and e == 9  # 1 margin frame kept right
