@@ -307,6 +307,19 @@ def _report_metrics(true_texts, predicted, image_paths, result_name):
     return {"accuracy": accuracy, "cer": avg_cer, "wer": avg_wer, "n": len(image_paths)}
 
 
+def _parse_lm_weights(raw) -> List[float]:
+    """``--lm-weight`` comma list -> floats (raises ValueError on garbage)."""
+    return [float(v) for v in str(raw).split(",") if v.strip() != ""]
+
+
+def _lm_weight_given(raw) -> bool:
+    """Whether ``--lm-weight`` asks for fusion (numerically non-zero)."""
+    try:
+        return _parse_lm_weights(raw) != [0.0]
+    except ValueError:
+        return True
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description="Evaluate an OCR model on a dataset")
     parser.add_argument("--model", type=str, default=None, help="model checkpoint (.msgpack or .pth)")
@@ -407,7 +420,10 @@ def main() -> int:
             "--beam-width": args.beam_width != parser.get_default("beam_width"),
             "--max-length": args.max_length != parser.get_default("max_length"),
             "--lm": args.lm is not None,
-            "--lm-weight": str(args.lm_weight) != parser.get_default("lm_weight"),
+            # numeric compare: "--lm-weight 0" / "0.00" means OFF, not a
+            # baked-knob conflict (string compare flagged it spuriously);
+            # garbage counts as given so it is refused loudly here too
+            "--lm-weight": _lm_weight_given(args.lm_weight),
             "--length-penalty": args.length_penalty != 0.0,
             "--width-buckets": args.width_buckets is not None,
             "--quantize": args.quantize,
@@ -440,7 +456,11 @@ def main() -> int:
         if not os.path.exists(args.charset):
             print(f"Charset not found: {args.charset}")
             return 1
-    lm_weights = [float(v) for v in str(args.lm_weight).split(",") if v != ""]
+    try:
+        lm_weights = _parse_lm_weights(args.lm_weight)
+    except ValueError:
+        print(f"--lm-weight is not a comma list of numbers: {args.lm_weight!r}")
+        return 1
     if not lm_weights:
         print(f"--lm-weight parsed to an empty sweep: {args.lm_weight!r}")
         return 1

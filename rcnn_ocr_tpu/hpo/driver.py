@@ -145,16 +145,20 @@ def _default_objective(
     return value
 
 
-def _call_objective(objective, base_config, params, trial_dir, report):
-    """Invoke an objective, passing ``report`` only if it accepts it
-    (user objectives keep the documented 3-arg signature)."""
+def _accepts_report(objective) -> bool:
+    """Whether an objective takes the 4th ``report`` pruning callback."""
     import inspect
 
     try:
-        accepts_report = len(inspect.signature(objective).parameters) >= 4
+        return len(inspect.signature(objective).parameters) >= 4
     except (TypeError, ValueError):
-        accepts_report = False
-    if accepts_report:
+        return False
+
+
+def _call_objective(objective, base_config, params, trial_dir, report):
+    """Invoke an objective, passing ``report`` only if it accepts it
+    (user objectives keep the documented 3-arg signature)."""
+    if _accepts_report(objective):
         return objective(base_config, params, trial_dir, report)
     return objective(base_config, params, trial_dir)
 
@@ -249,6 +253,19 @@ def run_hpo(
     """
     space = space or DEFAULT_SPACE
     objective = objective or _default_objective
+    if prune and not _accepts_report(objective):
+        # a 3-arg custom objective can't receive the pruning callback —
+        # say so up front instead of silently running every trial to
+        # completion with prune=True (round-4 review)
+        import warnings
+
+        warnings.warn(
+            "prune=True but the objective does not accept a 4th 'report' "
+            "argument — trials will run to completion; add "
+            "report: Callable[[int, float], bool] and honor its return "
+            "value to enable epoch-level pruning",
+            stacklevel=2,
+        )
     os.makedirs(storage_dir, exist_ok=True)
     results_path = os.path.join(storage_dir, f"{study_name}_results.json")
 

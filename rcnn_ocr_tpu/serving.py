@@ -555,13 +555,26 @@ def install_graceful_shutdown(server: OCRServer, signals=None) -> None:
     blocked inside ``serve_forever``, which ``httpd.shutdown()`` must not
     be called from.  After the drain ``serve_forever`` returns and the
     process can exit 0.
+
+    A SECOND signal is the operator's escape hatch: if the drain wedges
+    (a hung kernel compile, a client that never reads its response), a
+    repeated Ctrl-C / SIGTERM must still kill the process rather than be
+    swallowed by the already-draining handler — it force-exits with
+    status ``128+signum``, the conventional killed-by-signal code.
     """
+    import os as _os
     import signal as _signal
 
     if signals is None:
         signals = (_signal.SIGTERM, _signal.SIGINT)
 
+    draining = threading.Event()
+
     def _handler(signum, frame):
+        if draining.is_set():
+            _os.write(2, b"second signal during drain: forcing exit\n")
+            _os._exit(128 + signum)
+        draining.set()
         threading.Thread(
             target=server.shutdown_gracefully, name="ocr-drain", daemon=True
         ).start()
@@ -582,6 +595,9 @@ def serving_predict_fn(
     merge: str = "align",  # attention_long*: junction merge policy
     min_gap: int = 3,  # hybrid_long*: blank frames that split segments
     margin: int = 1,  # hybrid_long*: context frames around each segment
+    tile_w: Optional[int] = None,  # *_long: tile width (default engine img_w)
+    overlap: Optional[int] = None,  # *_long: junction overlap px
+    snap: str = "midpoint",  # ctc_long*: junction cuts "midpoint" | "blank"
 ) -> Callable[[List[Any]], List[str]]:
     """Adapt an engine to the batcher's ``list -> list[str]`` contract.
 
@@ -593,6 +609,18 @@ def serving_predict_fn(
 
     if isinstance(engine, ServingArtifact):
         return engine.predict
+
+    long_method = method.startswith(("ctc_long", "attention_long", "hybrid_long"))
+    # tiling knobs only steer the long routes — refuse them loudly on the
+    # fixed-width paths instead of silently pinning an unused value
+    if (tile_w is not None or overlap is not None) and not long_method:
+        raise ValueError(
+            f"tile_w/overlap are not supported with method={method!r} "
+            "(fixed-width decode does not tile)"
+        )
+    # junction cuts exist only where frames are stitched (the CTC stitcher)
+    if snap != "midpoint" and not method.startswith("ctc_long"):
+        raise ValueError(f"snap is not supported with method={method!r}")
 
     if method in ("ctc_long", "ctc_long_beam"):
         # the stitched decode collapses on the host, which has no fusion /
@@ -610,9 +638,12 @@ def serving_predict_fn(
         def fn_long(images: List[Any]) -> List[str]:
             out = engine.predict_ctc_long(
                 images,
+                tile_w=tile_w,
+                overlap=overlap,
                 batch_size=batch_size,
                 method="beam" if method == "ctc_long_beam" else "greedy",
                 beam_width=beam_width,
+                snap=snap,
             )
             return out if isinstance(out, list) else [out]
 
@@ -633,6 +664,8 @@ def serving_predict_fn(
         def fn_hybrid(images: List[Any]) -> List[str]:
             out = engine.predict_hybrid_long(
                 images,
+                tile_w=tile_w,
+                overlap=overlap,
                 batch_size=batch_size,
                 max_length=max_length,
                 beam=hybrid_beam,
@@ -660,11 +693,12 @@ def serving_predict_fn(
                 f"length_penalty is not supported with method={method!r}"
             )
         # fail at server START, not on every request: the aligned merge
-        # needs a frame-aligned tile width (engine img_w here)
+        # needs a frame-aligned tile width (the --tile-w override or the
+        # engine img_w default)
         from rcnn_ocr_tpu.long_lines import resolve_tiling
 
         resolve_tiling(
-            engine.img_w, None, None,
+            engine.img_w, tile_w, overlap,
             require_frame_aligned=(merge == "align"),
         )
 
@@ -672,6 +706,8 @@ def serving_predict_fn(
             out = engine.predict_long(
                 images,
                 method="attention_beam" if attn_long_beam else "attention",
+                tile_w=tile_w,
+                overlap=overlap,
                 batch_size=batch_size,
                 max_length=max_length,
                 beam_width=beam_width,

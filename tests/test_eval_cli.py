@@ -104,6 +104,32 @@ def test_empty_lm_weight_errors(monkeypatch, capsys):
     assert "empty sweep" in capsys.readouterr().out
 
 
+def test_garbage_lm_weight_errors(monkeypatch, capsys):
+    """Non-numeric --lm-weight exits with a message, not a traceback."""
+    from evaluate_dataset import main as eval_main
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["evaluate_dataset.py", "--model", __file__, "--charset", __file__,
+         "--csv", "x", "--root", "r", "--lm-weight", "0.2,oops"],
+    )
+    assert eval_main() == 1
+    assert "comma list of numbers" in capsys.readouterr().out
+
+
+def test_lm_weight_given_numeric_compare():
+    """'0' / '0.00' mean fusion OFF — artifact mode must not flag them as
+    a baked-knob conflict (round-4 review: the old string compare did)."""
+    from evaluate_dataset import _lm_weight_given
+
+    assert not _lm_weight_given("0.0")
+    assert not _lm_weight_given("0")
+    assert not _lm_weight_given("0.00")
+    assert _lm_weight_given("0.2")
+    assert _lm_weight_given("0,0.2")
+    assert _lm_weight_given("oops")  # garbage counts as given -> loud refusal
+
+
 def test_eval_cli_artifact_mode(tmp_path, monkeypatch, capsys):
     """`evaluate_dataset.py --artifact DIR` certifies the deployment unit:
     accuracy of the exported artifact on a labeled CSV equals the live

@@ -422,6 +422,34 @@ def test_serving_predict_fn_ctc_long(tmp_path):
         [narrow, wide], batch_size=2, method="beam", beam_width=4
     )
 
+    # the tiling knobs reach the stitcher (round-4 review: the daemon CLI
+    # could not steer tile_w/overlap/snap on live long methods)
+    predict_tiled = serving_predict_fn(
+        ocr, method="ctc_long", batch_size=2,
+        tile_w=64, overlap=16, snap="blank",
+    )
+    assert predict_tiled([narrow, wide]) == ocr.predict_ctc_long(
+        [narrow, wide], tile_w=64, overlap=16, batch_size=2, snap="blank"
+    )
+
+
+def test_serving_predict_fn_rejects_misplaced_tiling_knobs():
+    """tile_w/overlap only steer the *_long routes and snap only the CTC
+    stitcher — a daemon started with them elsewhere must fail loudly, not
+    pin a silently-unused value."""
+
+    class _Engine:  # never called — validation happens first
+        pass
+
+    with pytest.raises(ValueError, match="tile_w"):
+        serving_predict_fn(_Engine(), method="ctc_greedy", tile_w=128)
+    with pytest.raises(ValueError, match="tile_w"):
+        serving_predict_fn(_Engine(), method="attention_beam", overlap=16)
+    with pytest.raises(ValueError, match="snap"):
+        serving_predict_fn(_Engine(), method="attention_long", snap="blank")
+    with pytest.raises(ValueError, match="snap"):
+        serving_predict_fn(_Engine(), method="hybrid_long", snap="blank")
+
 
 def test_serving_predict_fn_ctc_long_rejects_fusion_knobs():
     """The stitched long-line decode collapses on the host (no fusion /
@@ -510,6 +538,37 @@ def test_graceful_shutdown_drains_inflight_requests():
         signal.signal(signal.SIGTERM, old_handler)
         gate.set()
         server.close()
+
+
+def test_graceful_shutdown_second_signal_forces_exit(monkeypatch):
+    """A second SIGTERM/SIGINT during a wedged drain is the operator's
+    escape hatch: it must force-exit with 128+signum instead of being
+    swallowed by the already-draining handler (round-4 review)."""
+    import os
+    import signal
+
+    from rcnn_ocr_tpu.serving import install_graceful_shutdown
+
+    exits = []
+    monkeypatch.setattr(os, "_exit", lambda code: exits.append(code))
+
+    drain_started = threading.Event()
+
+    class _WedgedServer:
+        def shutdown_gracefully(self):
+            drain_started.set()
+            time.sleep(60)  # a drain that never finishes
+
+    old_handler = signal.getsignal(signal.SIGTERM)
+    try:
+        install_graceful_shutdown(_WedgedServer(), signals=(signal.SIGTERM,))
+        signal.raise_signal(signal.SIGTERM)  # first: starts the drain
+        assert drain_started.wait(timeout=10)
+        assert exits == []
+        signal.raise_signal(signal.SIGTERM)  # second: escape hatch
+        assert exits == [128 + signal.SIGTERM]
+    finally:
+        signal.signal(signal.SIGTERM, old_handler)
 
 
 def test_metrics_endpoint_prometheus_format(http_server):

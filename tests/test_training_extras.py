@@ -170,7 +170,7 @@ def test_hpo_parallel_trials_partition_the_mesh(tmp_path):
     out = run_hpo(
         {}, n_trials=4, study_name="par", storage_dir=str(tmp_path / "hpo"),
         space={"lr": ("float", 0.0, 1.0)}, seed=0, objective=objective,
-        parallel_trials=2,
+        parallel_trials=2, prune=False,  # 3-arg objective: pruning n/a
     )
     assert len(out["trials"]) == 4
     assert [t["number"] for t in out["trials"]] == [0, 1, 2, 3]
@@ -217,6 +217,40 @@ def test_hpo_parallel_real_training(tmp_path):
     )
     assert len(out["trials"]) == 2
     assert all(np.isfinite(t["value"]) for t in out["trials"])
+
+
+def test_hpo_warns_when_pruning_cannot_reach_objective(tmp_path):
+    """prune=True with a 3-arg custom objective used to silently run every
+    trial to completion — now it warns up front (round-4 review), and a
+    report-accepting objective stays quiet."""
+    import warnings
+
+    from rcnn_ocr_tpu.hpo.driver import run_hpo
+
+    def objective3(base, params, trial_dir):
+        return float(params["lr"])
+
+    def objective4(base, params, trial_dir, report):
+        return float(params["lr"])
+
+    space = {"lr": ("float", 0.0, 1.0)}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        run_hpo(
+            {}, n_trials=2, study_name="warn3",
+            storage_dir=str(tmp_path / "hpo3"), space=space, seed=0,
+            objective=objective3, prune=True,
+        )
+    assert any("does not accept" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        run_hpo(
+            {}, n_trials=2, study_name="warn4",
+            storage_dir=str(tmp_path / "hpo4"), space=space, seed=0,
+            objective=objective4, prune=True,
+        )
+    assert not any("does not accept" in str(w.message) for w in caught)
 
 
 def test_successive_halving_pruner_logic():

@@ -72,6 +72,19 @@ def main() -> None:
         "--margin", type=int, default=1,
         help="hybrid_long*: context frames around each segment crop",
     )
+    p.add_argument(
+        "--tile-w", type=int, default=None,
+        help="*_long methods: tile width px (default: the engine img_w)",
+    )
+    p.add_argument(
+        "--overlap", type=int, default=None,
+        help="*_long methods: junction overlap px between adjacent tiles",
+    )
+    p.add_argument(
+        "--snap", default="midpoint", choices=["midpoint", "blank"],
+        help="ctc_long*: junction cut policy — overlap midpoint (default) "
+        "or snap to the widest blank run",
+    )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=256)
@@ -108,6 +121,21 @@ def main() -> None:
         and args.method not in ("attention_long", "attention_long_beam")
     ):
         p.error("--merge requires an attention_long method")
+    long_method = args.method.startswith(
+        ("ctc_long", "attention_long", "hybrid_long")
+    )
+    if (
+        (args.tile_w is not None or args.overlap is not None)
+        and not args.artifact
+        and not long_method
+    ):
+        p.error("--tile-w/--overlap require a *_long method")
+    if (
+        args.snap != p.get_default("snap")
+        and not args.artifact
+        and not args.method.startswith("ctc_long")
+    ):
+        p.error("--snap requires a ctc_long method")
 
     if args.compile_cache_dir:
         from rcnn_ocr_tpu.utils import enable_compile_cache
@@ -138,6 +166,9 @@ def main() -> None:
             "--merge": args.merge != p.get_default("merge"),
             "--min-gap": args.min_gap != p.get_default("min_gap"),
             "--margin": args.margin != p.get_default("margin"),
+            "--tile-w": args.tile_w is not None,
+            "--overlap": args.overlap is not None,
+            "--snap": args.snap != p.get_default("snap"),
         }
         overridden = [flag for flag, changed in baked.items() if changed]
         if overridden:
@@ -179,6 +210,9 @@ def main() -> None:
             merge=args.merge,
             min_gap=args.min_gap,
             margin=args.margin,
+            tile_w=args.tile_w,
+            overlap=args.overlap,
+            snap=args.snap,
         )
         max_batch = args.batch_size
 
