@@ -55,6 +55,85 @@ CTC_LONG_METHODS = ("ctc_long", "ctc_long_beam")
 ATTN_LONG_METHODS = ("attention_long", "attention_long_beam")
 HYBRID_LONG_METHODS = ("hybrid_long", "hybrid_long_beam")
 LONG_METHODS = CTC_LONG_METHODS + ATTN_LONG_METHODS + HYBRID_LONG_METHODS
+FIXED_METHODS = ("attention", "attention_beam", "ctc_greedy", "ctc_beam")
+ALL_METHODS = FIXED_METHODS + LONG_METHODS
+
+
+# Knobs a config's ``export_artifact`` block may carry, mapped onto
+# `export_serving_artifact` (plus `slot`/`out_dir`/`quantize`, which steer
+# the checkpoint choice and engine construction in the training loop).
+EXPORT_REQUEST_KEYS = frozenset({
+    "method", "slot", "out_dir", "quantize", "batch_size", "canvas",
+    "max_length", "beam_width", "prune_k", "length_penalty",
+    "width_buckets", "platforms", "tile_w", "overlap", "snap", "merge",
+    "min_gap", "margin",
+})
+
+
+def validate_export_request(req: Any, head: str = "both") -> Dict[str, Any]:
+    """Normalize and validate a config ``export_artifact`` block.
+
+    Called at training START so a typo'd method fails in seconds, not
+    after the last epoch.  ``req`` is ``True`` (all defaults) or a dict of
+    :data:`EXPORT_REQUEST_KEYS`; ``head`` is the training head — a method
+    whose decode head was never trained is refused here.  Returns the
+    normalized dict (method/slot filled in).
+    """
+    out: Dict[str, Any] = {} if req is True else dict(req)
+    if not isinstance(out, dict):
+        raise ValueError(
+            f"export_artifact must be true or a dict of export knobs, got {req!r}"
+        )
+    unknown = sorted(set(out) - EXPORT_REQUEST_KEYS)
+    if unknown:
+        raise ValueError(
+            f"export_artifact: unknown key(s) {unknown}; "
+            f"known: {sorted(EXPORT_REQUEST_KEYS)}"
+        )
+    has_attn = head in ("attention", "both")
+    has_ctc = head in ("ctc", "both")
+    method = out.setdefault(
+        "method", "ctc_greedy" if head == "ctc" else "attention"
+    )
+    if method not in ALL_METHODS:
+        raise ValueError(
+            f"export_artifact: unknown method {method!r}; known: {ALL_METHODS}"
+        )
+    needs_attn = method.startswith(("attention", "hybrid"))
+    needs_ctc = method.startswith(("ctc", "hybrid"))
+    if needs_attn and not has_attn:
+        raise ValueError(
+            f"export_artifact: method {method!r} decodes with the attention "
+            f"head, but head={head!r} does not train one"
+        )
+    if needs_ctc and not has_ctc:
+        raise ValueError(
+            f"export_artifact: method {method!r} decodes with the CTC head, "
+            f"but head={head!r} does not train one"
+        )
+    slot = out.setdefault("slot", "best_acc")
+    if slot not in ("best_acc", "best_loss", "last"):
+        raise ValueError(
+            f"export_artifact: slot must be best_acc|best_loss|last, got {slot!r}"
+        )
+    if out.get("snap", "midpoint") not in ("midpoint", "blank"):
+        raise ValueError(f"export_artifact: bad snap {out['snap']!r}")
+    if out.get("snap", "midpoint") != "midpoint" and method not in CTC_LONG_METHODS:
+        raise ValueError(f"export_artifact: snap requires a ctc_long method")
+    if out.get("merge", "align") not in ("align", "text"):
+        raise ValueError(f"export_artifact: bad merge {out['merge']!r}")
+    if (
+        out.get("tile_w") is not None or out.get("overlap") is not None
+    ) and method not in LONG_METHODS:
+        raise ValueError(
+            f"export_artifact: tile_w/overlap require a *_long method, got {method!r}"
+        )
+    if out.get("canvas") is not None:
+        canvas = tuple(int(v) for v in out["canvas"])
+        if len(canvas) != 2 or min(canvas) <= 0:
+            raise ValueError(f"export_artifact: canvas must be [H, W], got {out['canvas']!r}")
+        out["canvas"] = canvas
+    return out
 
 
 def export_serving_artifact(

@@ -29,7 +29,10 @@ HTTP API::
                     -> {"texts": ["...", ...]}   (raw body -> one entry)
 
 Run it: ``python tools/serve.py --artifact <dir> --port 8000`` (or
-``--model + --charset`` for a live engine).
+``--model + --charset`` for a live engine).  Signals: SIGTERM/SIGINT
+drain gracefully (:func:`install_graceful_shutdown`), SIGHUP hot-reloads
+the deployment unit from disk with zero downtime
+(:func:`install_hot_reload`).
 """
 
 from __future__ import annotations
@@ -97,6 +100,7 @@ class MicroBatcher:
         self.served = 0  # images decoded since start
         self.dispatched_batches = 0  # engine calls that returned texts
         self.errored_batches = 0  # engine calls that raised
+        self.engine_swaps = 0  # hot reloads (swap_predict_fn calls)
         self.started = time.monotonic()
         # rolling observability windows (lock-protected): request latencies
         # (enqueue -> done, seconds) and dispatched batch sizes
@@ -147,6 +151,17 @@ class MicroBatcher:
         with self._lock:
             return sum(hi - lo for _, lo, hi, _ in self._queue)
 
+    def swap_predict_fn(self, fn: Callable[[List[Any]], List[str]]) -> None:
+        """Atomically replace the engine (hot reload).
+
+        The dispatcher reads ``self._predict`` once per batch, so the
+        in-flight batch finishes on the engine that started it and every
+        later batch runs the new one — no queued request is dropped and
+        no response mixes engines."""
+        with self._lock:
+            self._predict = fn
+            self.engine_swaps += 1
+
     def stats(self) -> dict:
         """Rolling serving stats for /healthz (last <=1024 requests/batches).
 
@@ -159,6 +174,8 @@ class MicroBatcher:
             "served": self.served,
             "uptime_s": round(time.monotonic() - self.started, 1),
         }
+        if self.engine_swaps:
+            out["engine_swaps"] = self.engine_swaps
         if lats:
             pick = lambda q: round(lats[min(len(lats) - 1, int(q * len(lats)))] * 1e3, 2)
             out["latency_ms"] = {"p50": pick(0.50), "p95": pick(0.95), "p99": pick(0.99)}
@@ -316,6 +333,9 @@ def prometheus_metrics(
         "# HELP ocr_draining Server is draining (1) or accepting work (0).",
         "# TYPE ocr_draining gauge",
         f"ocr_draining {1 if draining else 0}",
+        "# HELP ocr_engine_swaps_total Hot engine reloads since start.",
+        "# TYPE ocr_engine_swaps_total counter",
+        f"ocr_engine_swaps_total {batcher.engine_swaps}",
     ]
     if "latency_ms" in stats:
         lines += [
@@ -536,6 +556,14 @@ class OCRServer:
         self.batcher.close(timeout=timeout)
         self.close()
 
+    def swap_predict_fn(
+        self, fn: Callable[[List[Any]], List[str]]
+    ) -> None:
+        """Hot-swap the engine without dropping traffic (see
+        :meth:`MicroBatcher.swap_predict_fn`; wire a signal with
+        :func:`install_hot_reload`)."""
+        self.batcher.swap_predict_fn(fn)
+
     def close(self) -> None:
         # httpd.shutdown() waits on an event that only serve_forever()
         # sets — calling it on a never-started server deadlocks forever
@@ -578,6 +606,59 @@ def install_graceful_shutdown(server: OCRServer, signals=None) -> None:
         threading.Thread(
             target=server.shutdown_gracefully, name="ocr-drain", daemon=True
         ).start()
+
+    for s in signals:
+        _signal.signal(s, _handler)
+
+
+def install_hot_reload(
+    server: OCRServer,
+    build_predict_fn: Callable[[], Callable[[List[Any]], List[str]]],
+    signals=None,
+) -> None:
+    """Route SIGHUP to a zero-downtime engine reload.
+
+    The production upgrade story: the operator replaces the artifact
+    directory (or checkpoint) on disk and sends SIGHUP; the daemon builds
+    the NEW engine on a helper thread while the old one keeps serving,
+    then swaps atomically (:meth:`OCRServer.swap_predict_fn`) — no process
+    restart, no dropped requests, no cold-start window for clients.
+
+    ``build_predict_fn`` re-reads the deployment unit from disk and
+    returns the new ``list -> list[str]`` callable (including any warmup
+    it wants off the serving path).  A FAILED build never touches the
+    running engine: the error is logged to stderr and serving continues
+    on the old one — a bad artifact push must not take the daemon down.
+    Concurrent signals coalesce (one reload at a time; signals during a
+    reload are dropped — send another after it finishes).
+    """
+    import os as _os
+    import signal as _signal
+
+    if signals is None:
+        signals = (_signal.SIGHUP,)
+
+    reload_gate = threading.Lock()
+
+    def _work():
+        if not reload_gate.acquire(blocking=False):
+            _os.write(2, b"reload already in progress: signal ignored\n")
+            return
+        try:
+            fn = build_predict_fn()
+            server.swap_predict_fn(fn)
+            _os.write(2, b"engine reloaded\n")
+        except BaseException as e:
+            msg = (
+                "engine reload FAILED (serving continues on the old "
+                f"engine): {type(e).__name__}: {e}\n"
+            )
+            _os.write(2, msg.encode("utf-8", "replace"))
+        finally:
+            reload_gate.release()
+
+    def _handler(signum, frame):
+        threading.Thread(target=_work, name="ocr-reload", daemon=True).start()
 
     for s in signals:
         _signal.signal(s, _handler)

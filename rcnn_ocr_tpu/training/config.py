@@ -94,6 +94,15 @@ DEFAULTS: Dict[str, Any] = {
     # evaluate with it, and deploy it in the *_weights checkpoint slots
     # (raw params stay in the full checkpoints for resume)
     "ema_decay": 0.0,
+    # train-to-deploy handoff: export a serving artifact (export.py) from
+    # the best checkpoint when training finishes — true for defaults
+    # (method picked from `head`), or a dict of export knobs (`method`,
+    # `slot` best_acc|best_loss|last, `out_dir` default exp_dir/artifact,
+    # `canvas`, `batch_size`, `max_length`, `beam_width`, `quantize`, the
+    # *_long tiling knobs, ...; see export.EXPORT_REQUEST_KEYS).  The
+    # block is validated at training START so a typo fails in seconds,
+    # not after the last epoch.  Preempted and pruned runs skip export.
+    "export_artifact": None,
     "use_pallas": False,  # XLA fusion currently beats the pallas kernels at these shapes
     "device_augment": False,  # run train augmentation on-device (ops/augment.py)
     "log_every": 50,  # per-step TB scalars every N steps (device fetch cadence)

@@ -161,6 +161,14 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
     profile_dir = cfg.get("profile_dir") or os.path.join(exp_dir, "profile")
     profile_warmup = 5  # skip compile + cold-cache steps before tracing
 
+    # --- train-to-deploy handoff (validated NOW: a typo'd export block
+    # must fail in seconds, not after the last epoch) ---
+    export_req = cfg.get("export_artifact")
+    if export_req:
+        from rcnn_ocr_tpu.export import validate_export_request
+
+        export_req = validate_export_request(export_req, head=head)
+
     # --- mesh / devices ---
     mesh_shape = cfg.get("mesh_shape")
     mesh_axes = tuple(cfg.get("mesh_axes") or ("data",))
@@ -936,4 +944,47 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
     result.update(
         {"val_acc": best_val_acc, "val_loss": best_val_loss, "exp_dir": exp_dir}
     )
+
+    # --- train-to-deploy handoff: export the serving artifact from the
+    # requested checkpoint slot (validated at training start above).
+    # Preempted runs will resume (export then), pruned HPO trials are
+    # throwaway, and only the lead host owns the deployment unit.
+    if (
+        export_req
+        and is_lead_host
+        and not result.get("preempted")
+        and not result.get("pruned")
+    ):
+        slot_path = os.path.join(exp_dir, f"{export_req['slot']}_ckpt.msgpack")
+        if not os.path.exists(slot_path):
+            # eval_every > epochs run: no slot was ever written — say so
+            # instead of crashing after a finished (if eval-less) run
+            logger.info(
+                f"Artifact export skipped: checkpoint slot not found "
+                f"({slot_path}); no eval epoch wrote it"
+            )
+        else:
+            from rcnn_ocr_tpu.export import export_serving_artifact
+            from rcnn_ocr_tpu.inference import OCRInference
+
+            knobs = {
+                k: v
+                for k, v in export_req.items()
+                if k not in ("slot", "out_dir", "quantize")
+            }
+            out_dir = export_req.get("out_dir") or os.path.join(
+                exp_dir, "artifact"
+            )
+            ocr = OCRInference(
+                slot_path,
+                quantize=bool(export_req.get("quantize", False)),
+                verbose=False,
+            )
+            result["artifact_dir"] = export_serving_artifact(
+                ocr, out_dir, **knobs
+            )
+            logger.info(
+                f"Exported serving artifact: {out_dir} "
+                f"(method={export_req['method']}, slot={export_req['slot']})"
+            )
     return result

@@ -575,3 +575,46 @@ def test_artifact_info_tool(tiny_ckpt, tmp_path, monkeypatch, capsys):
 
     monkeypatch.setattr(_sys, "argv", ["artifact_info.py", str(tmp_path)])
     assert ai.main() == 1
+
+
+def test_validate_export_request():
+    """Config `export_artifact` blocks are validated at training START —
+    typo'd knobs and head-incompatible methods must fail in seconds, not
+    after the last epoch (train-to-deploy handoff, round 4)."""
+    from rcnn_ocr_tpu.export import validate_export_request
+
+    # true -> defaults, method picked from the head
+    assert validate_export_request(True, head="both")["method"] == "attention"
+    assert validate_export_request(True, head="ctc")["method"] == "ctc_greedy"
+    assert validate_export_request(True, head="attention")["slot"] == "best_acc"
+
+    out = validate_export_request(
+        {"method": "ctc_long", "canvas": [32, 64], "slot": "last"}, head="both"
+    )
+    assert out["canvas"] == (32, 64) and out["slot"] == "last"
+
+    with pytest.raises(ValueError, match="unknown key"):
+        validate_export_request({"methd": "attention"}, head="both")
+    with pytest.raises(ValueError, match="unknown method"):
+        validate_export_request({"method": "telepathy"}, head="both")
+    # head compatibility: the method's decode head must have been trained
+    with pytest.raises(ValueError, match="CTC head"):
+        validate_export_request({"method": "ctc_greedy"}, head="attention")
+    with pytest.raises(ValueError, match="attention head"):
+        validate_export_request({"method": "attention_beam"}, head="ctc")
+    with pytest.raises(ValueError, match="attention head"):
+        validate_export_request({"method": "hybrid_long"}, head="ctc")
+    with pytest.raises(ValueError, match="slot"):
+        validate_export_request({"slot": "best_vibes"}, head="both")
+    with pytest.raises(ValueError, match="snap"):
+        validate_export_request(
+            {"method": "attention", "snap": "blank"}, head="both"
+        )
+    with pytest.raises(ValueError, match="tile_w"):
+        validate_export_request(
+            {"method": "ctc_greedy", "tile_w": 128}, head="both"
+        )
+    with pytest.raises(ValueError, match="canvas"):
+        validate_export_request(
+            {"method": "attention", "canvas": [64]}, head="both"
+        )

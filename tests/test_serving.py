@@ -682,3 +682,82 @@ def test_burst_concurrency_no_connection_resets():
     finally:
         server.close()
         thread.join(timeout=10)
+
+
+def test_batcher_swap_predict_fn():
+    """Hot swap: the next batch runs the new engine, the swap counter
+    shows in stats, and no queued request is dropped."""
+    b = MicroBatcher(lambda imgs: [f"old{i}" for i in range(len(imgs))],
+                     max_batch=4, max_wait_ms=0)
+    try:
+        assert b.submit(_imgs([1])) == ["old0"]
+        assert "engine_swaps" not in b.stats()
+        b.swap_predict_fn(lambda imgs: [f"new{i}" for i in range(len(imgs))])
+        assert b.submit(_imgs([2])) == ["new0"]
+        assert b.stats()["engine_swaps"] == 1
+    finally:
+        b.close()
+
+
+def test_install_hot_reload_sighup_swaps_engine():
+    """SIGHUP = zero-downtime upgrade: the daemon rebuilds the engine on a
+    helper thread and swaps it between batches; a FAILED build keeps the
+    old engine serving (a bad artifact push must not take the daemon
+    down).  /metrics counts the swaps."""
+    import signal
+
+    from rcnn_ocr_tpu.serving import install_hot_reload
+
+    eng = RecordingEngine()
+    server = OCRServer(
+        eng.predict, host="127.0.0.1", port=0, max_batch=8, max_wait_ms=0
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.address[:2]
+    base = f"http://{host}:{port}"
+
+    builds = []
+
+    def build_ok():
+        builds.append("ok")
+        return lambda imgs: ["reloaded"] * len(imgs)
+
+    old_handler = signal.getsignal(signal.SIGHUP)
+    try:
+        install_hot_reload(server, build_ok)
+        img = _imgs([3])[0]
+        status, out = _post(base + "/predict", _png_bytes(img), "image/png")
+        assert status == 200 and out["texts"] == ["t3"]
+
+        signal.raise_signal(signal.SIGHUP)
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and not builds:
+            time.sleep(0.01)
+        # wait until the swap is visible through HTTP
+        while time.monotonic() < deadline:
+            status, out = _post(
+                base + "/predict", _png_bytes(img), "image/png"
+            )
+            if out["texts"] == ["reloaded"]:
+                break
+            time.sleep(0.01)
+        assert out["texts"] == ["reloaded"]
+
+        # a failing build leaves the reloaded engine in place
+        def build_bad():
+            raise RuntimeError("corrupt artifact")
+
+        install_hot_reload(server, build_bad)
+        signal.raise_signal(signal.SIGHUP)
+        time.sleep(0.3)
+        status, out = _post(base + "/predict", _png_bytes(img), "image/png")
+        assert status == 200 and out["texts"] == ["reloaded"]
+
+        with urllib.request.urlopen(base + "/metrics", timeout=10) as resp:
+            metrics = resp.read().decode()
+        assert "ocr_engine_swaps_total 1" in metrics
+    finally:
+        signal.signal(signal.SIGHUP, old_handler)
+        server.close()
+        thread.join(timeout=10)

@@ -358,3 +358,53 @@ def test_single_encode_eval_step_matches_multi_pass():
     np.testing.assert_array_equal(
         np.asarray(got["ctc_frame_ids"]), np.asarray(jnp.argmax(ctc_logits, -1))
     )
+
+
+@pytest.mark.slow
+def test_training_exports_serving_artifact(tiny_env):
+    """`export_artifact` in the config is the train-to-deploy handoff:
+    training ends by exporting the requested checkpoint slot as a serving
+    artifact, and the artifact decodes identically to a live engine on
+    the same slot.  A typo'd block must fail BEFORE any epoch runs."""
+    from rcnn_ocr_tpu.export import ServingArtifact
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    exp_dir = str(tiny_env["tmp"] / "exp_export")
+    cfg = _base_cfg(
+        tiny_env, exp_dir, head="both", epochs=1,
+        export_artifact={
+            "method": "ctc_greedy", "slot": "last",
+            "canvas": [32, 64], "batch_size": 4, "max_length": 6,
+        },
+    )
+    result = run_training(cfg)
+    art_dir = result["artifact_dir"]
+    assert art_dir == os.path.join(exp_dir, "artifact")
+    manifest = __import__("json").load(
+        open(os.path.join(art_dir, "manifest.json"), encoding="utf-8")
+    )
+    assert manifest["method"] == "ctc_greedy"
+
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (24, 48, 3), np.uint8) for _ in range(3)]
+    art = ServingArtifact.load(art_dir)
+    # the handoff exports with the serving default dtype (bf16) — the
+    # equality engine must match it
+    live = OCRInference(
+        os.path.join(exp_dir, "last_ckpt.msgpack"), verbose=False,
+    )
+    assert art.predict(imgs) == live.predict_serving(
+        imgs, method="ctc_greedy", canvas=(32, 64), batch_size=4,
+        max_length=6,
+    )
+    # the handoff logged its work
+    log = open(os.path.join(exp_dir, "train.log"), encoding="utf-8").read()
+    assert "Exported serving artifact" in log
+
+    # a bad block fails at training START (no epoch, no exp artifacts)
+    bad_dir = str(tiny_env["tmp"] / "exp_export_bad")
+    with pytest.raises(ValueError, match="unknown method"):
+        run_training(_base_cfg(
+            tiny_env, bad_dir, export_artifact={"method": "telepathy"},
+        ))
+    assert not os.path.exists(os.path.join(bad_dir, "last_ckpt.msgpack"))

@@ -145,6 +145,7 @@ def main() -> None:
     from rcnn_ocr_tpu.serving import (
         OCRServer,
         install_graceful_shutdown,
+        install_hot_reload,
         serving_predict_fn,
     )
 
@@ -176,9 +177,15 @@ def main() -> None:
                 f"WARNING: {', '.join(overridden)} ignored with --artifact "
                 "(baked in at export time; re-export to change them)"
             )
-        engine = ServingArtifact.load(args.artifact, mesh=args.mesh or None)
-        predict = serving_predict_fn(engine)
-        max_batch = engine.batch_size
+        # the build runs again on SIGHUP (hot reload): it must re-read
+        # the deployment unit from disk each time
+        def build_predict():
+            engine = ServingArtifact.load(
+                args.artifact, mesh=args.mesh or None
+            )
+            return serving_predict_fn(engine), engine.batch_size
+
+        predict, max_batch = build_predict()
     else:
         from rcnn_ocr_tpu.inference import OCRInference
 
@@ -187,34 +194,38 @@ def main() -> None:
             if args.width_buckets
             else None
         )
-        engine = OCRInference(
-            args.model,
-            args.charset,
-            img_h=args.img_h,
-            img_w=args.img_w,
-            quantize=args.quantize,
-            width_buckets=buckets,
-            lm=args.lm,
-            mesh=args.mesh or None,
-        )
         canvas = tuple(int(v) for v in args.canvas.split(","))
-        predict = serving_predict_fn(
-            engine,
-            method=args.method,
-            batch_size=args.batch_size,
-            canvas=canvas,
-            max_length=args.max_length,
-            beam_width=args.beam_width,
-            length_penalty=args.length_penalty,
-            lm_weight=args.lm_weight,
-            merge=args.merge,
-            min_gap=args.min_gap,
-            margin=args.margin,
-            tile_w=args.tile_w,
-            overlap=args.overlap,
-            snap=args.snap,
-        )
-        max_batch = args.batch_size
+
+        def build_predict():
+            engine = OCRInference(
+                args.model,
+                args.charset,
+                img_h=args.img_h,
+                img_w=args.img_w,
+                quantize=args.quantize,
+                width_buckets=buckets,
+                lm=args.lm,
+                mesh=args.mesh or None,
+            )
+            fn = serving_predict_fn(
+                engine,
+                method=args.method,
+                batch_size=args.batch_size,
+                canvas=canvas,
+                max_length=args.max_length,
+                beam_width=args.beam_width,
+                length_penalty=args.length_penalty,
+                lm_weight=args.lm_weight,
+                merge=args.merge,
+                min_gap=args.min_gap,
+                margin=args.margin,
+                tile_w=args.tile_w,
+                overlap=args.overlap,
+                snap=args.snap,
+            )
+            return fn, args.batch_size
+
+        predict, max_batch = build_predict()
 
     server = OCRServer(
         predict,
@@ -226,11 +237,16 @@ def main() -> None:
     host, port = server.address[:2]
     print(
         f"Serving on http://{host}:{port}  "
-        "(POST /predict, GET /healthz, GET /metrics)"
+        "(POST /predict, GET /healthz, GET /metrics; "
+        "SIGHUP reloads the model from disk without downtime)"
     )
     # SIGTERM (what container runtimes send) and SIGINT both drain: stop
     # accepting, 503 new submissions, answer everything queued, exit 0
     install_graceful_shutdown(server)
+    # SIGHUP = zero-downtime upgrade: replace the artifact/checkpoint on
+    # disk, signal, and the daemon swaps engines between batches (a failed
+    # build logs and keeps serving on the old engine)
+    install_hot_reload(server, lambda: build_predict()[0])
     try:
         server.serve_forever()
     except KeyboardInterrupt:
