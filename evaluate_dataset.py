@@ -94,6 +94,7 @@ def evaluate_model(
     artifact: Optional[str] = None,
     tile_w: Optional[int] = None,
     overlap: Optional[int] = None,
+    error_analysis: bool = False,
 ):
     if serving and decode not in (
         "attention", "attention_beam", "ctc_greedy", "ctc_beam"
@@ -157,7 +158,9 @@ def evaluate_model(
             out = art.predict(image_paths[i : i + art.batch_size])
             predicted.extend(out if isinstance(out, list) else [out])
         return _report_metrics(
-            true_texts, predicted, image_paths, os.path.basename(artifact.rstrip("/"))
+            true_texts, predicted, image_paths,
+            os.path.basename(artifact.rstrip("/")),
+            error_analysis=error_analysis,
         )
 
     if lm_weight and decode not in (
@@ -254,11 +257,105 @@ def evaluate_model(
             raise ValueError(f"unknown decode mode: {decode}")
 
     return _report_metrics(
-        true_texts, predicted, image_paths, os.path.basename(model_path)
+        true_texts, predicted, image_paths, os.path.basename(model_path),
+        error_analysis=error_analysis,
     )
 
 
-def _report_metrics(true_texts, predicted, image_paths, result_name):
+def _error_analysis(true_texts, predicted, cers) -> dict:
+    """Length-stratified metrics + top character confusions.
+
+    The analysis a production accuracy review actually starts from: WHERE
+    the errors live (text-length buckets — long-line degradation shows
+    here first) and WHAT the model confuses (minimal-edit substitution /
+    insertion / deletion counts via `metrics.edit_ops`)."""
+    from collections import Counter
+
+    from rcnn_ocr_tpu.training.metrics import edit_ops
+
+    buckets = [(1, 5), (6, 10), (11, 15), (16, 20), (21, None)]
+    by_length = []
+    for lo, hi in buckets:
+        rows = [
+            (t, p, c)
+            for t, p, c in zip(true_texts, predicted, cers)
+            if len(t) >= lo and (hi is None or len(t) <= hi)
+        ]
+        if not rows:
+            continue
+        by_length.append({
+            "length": f"{lo}-{hi if hi is not None else ''}".rstrip("-") + ("+" if hi is None else ""),
+            "n": len(rows),
+            "accuracy": sum(1 for t, p, _ in rows if t == p) / len(rows),
+            "cer": float(np.mean([c for _, _, c in rows])),
+        })
+
+    subs: Counter = Counter()
+    ins: Counter = Counter()
+    dels: Counter = Counter()
+    skipped_long = 0
+    for t, p in zip(true_texts, predicted):
+        if t == p:
+            continue
+        if len(t) * len(p) > 4_000_000:  # pathological pair; O(nm) DP
+            skipped_long += 1
+            continue
+        for op, rc, hc in edit_ops(t, p):
+            if op == "sub":
+                subs[(rc, hc)] += 1
+            elif op == "ins":
+                ins[hc] += 1
+            else:
+                dels[rc] += 1
+    return {
+        "by_length": by_length,
+        "top_substitutions": [
+            {"true": rc, "predicted": hc, "count": n}
+            for (rc, hc), n in subs.most_common(15)
+        ],
+        "top_insertions": [
+            {"predicted": hc, "count": n} for hc, n in ins.most_common(10)
+        ],
+        "top_deletions": [
+            {"true": rc, "count": n} for rc, n in dels.most_common(10)
+        ],
+        "pairs_skipped_too_long": skipped_long,
+    }
+
+
+def _print_error_analysis(analysis: dict) -> None:
+    print("\nAccuracy by true-text length:")
+    print(f"{'length':>8} {'n':>6} {'accuracy':>10} {'CER':>8}")
+    for row in analysis["by_length"]:
+        print(
+            f"{row['length']:>8} {row['n']:>6} "
+            f"{row['accuracy']:>10.4f} {row['cer']:>8.4f}"
+        )
+    if analysis["top_substitutions"]:
+        print("\nTop character confusions (true -> predicted x count):")
+        for row in analysis["top_substitutions"]:
+            print(f"  {row['true']!r} -> {row['predicted']!r} x {row['count']}")
+    if analysis["top_insertions"]:
+        ins = ", ".join(
+            f"{r['predicted']!r} x {r['count']}"
+            for r in analysis["top_insertions"]
+        )
+        print(f"Top spurious insertions: {ins}")
+    if analysis["top_deletions"]:
+        dels = ", ".join(
+            f"{r['true']!r} x {r['count']}" for r in analysis["top_deletions"]
+        )
+        print(f"Top dropped characters:  {dels}")
+    if analysis["pairs_skipped_too_long"]:
+        print(
+            f"(confusions skipped for {analysis['pairs_skipped_too_long']} "
+            "pathologically long pairs)"
+        )
+
+
+def _report_metrics(
+    true_texts, predicted, image_paths, result_name, error_analysis=False
+):
     """Accuracy/CER/WER summary + per-sample CSV (shared by the live-engine
     and --artifact evaluation paths)."""
     accuracy = compute_accuracy(true_texts, predicted)
@@ -304,7 +401,11 @@ def _report_metrics(true_texts, predicted, image_paths, result_name):
     output_path = f"evaluation_results_{result_name}.csv"
     results_df.to_csv(output_path, index=False, encoding="utf-8")
     print(f"Per-sample results written to: {output_path}")
-    return {"accuracy": accuracy, "cer": avg_cer, "wer": avg_wer, "n": len(image_paths)}
+    out = {"accuracy": accuracy, "cer": avg_cer, "wer": avg_wer, "n": len(image_paths)}
+    if error_analysis:
+        out["analysis"] = _error_analysis(true_texts, predicted, cers)
+        _print_error_analysis(out["analysis"])
+    return out
 
 
 def _parse_lm_weights(raw) -> List[float]:
@@ -395,6 +496,18 @@ def main() -> int:
         "--save-calibration", metavar="PATH", default=None,
         help="with --static-quant: write a copy of the checkpoint with the "
         "calibrated scales embedded (re-opens straight onto the static path)",
+    )
+    parser.add_argument(
+        "--error-analysis", action="store_true",
+        help="append accuracy-by-text-length and top character "
+        "confusion/insertion/deletion tables (minimal-edit alignment) — "
+        "where the errors live and what the model confuses",
+    )
+    parser.add_argument(
+        "--report-json", metavar="PATH", default=None,
+        help="write the metrics (and --error-analysis tables, and the "
+        "lm-weight sweep when given a list) as JSON — for CI accuracy "
+        "gates and dashboards",
     )
     parser.add_argument(
         "--compile-cache-dir", default=None,
@@ -498,6 +611,7 @@ def main() -> int:
                 artifact=args.artifact,
                 tile_w=args.tile_w,
                 overlap=args.overlap,
+                error_analysis=args.error_analysis,
             )
             sweep.append((w, metrics))
         if len(sweep) > 1:
@@ -509,6 +623,21 @@ def main() -> int:
                         f"{w:>10.3f} {m['accuracy']:>10.4f} "
                         f"{m['cer']:>8.4f} {m['wer']:>8.4f}"
                     )
+        if args.report_json:
+            import json as json_mod
+
+            payload = (
+                sweep[0][1]
+                if len(sweep) == 1
+                else {
+                    "sweep": [
+                        dict(m, lm_weight=w) for w, m in sweep if m
+                    ]
+                }
+            )
+            with open(args.report_json, "w", encoding="utf-8") as f:
+                json_mod.dump(payload, f, ensure_ascii=False, indent=2)
+            print(f"JSON report written to: {args.report_json}")
     except Exception as e:
         print(f"Error: {e}")
         return 1

@@ -90,3 +90,48 @@ def compute_accuracy(references: List[str], hypotheses: List[str]) -> float:
         return 0.0
     hits = sum(1 for r, h in zip(references, hypotheses) if r == h)
     return hits / total
+
+
+def edit_ops(reference: str, hypothesis: str) -> List[tuple]:
+    """Minimal-edit alignment operations between two strings.
+
+    Returns the error operations of one optimal Levenshtein alignment —
+    ``("sub", ref_ch, hyp_ch)`` / ``("del", ref_ch, None)`` /
+    ``("ins", None, hyp_ch)`` — in reference order; matches are omitted.
+    This is the ANALYSIS path (character-confusion reports on the eval
+    CLI), not the metric hot path: distances come from the native C++
+    Levenshtein above, and this Python DP only runs when a report is
+    asked for.  Ties break substitution-first, then deletion — one
+    deterministic alignment out of the possibly-many optimal ones.
+    """
+    n, m = len(reference), len(hypothesis)
+    prev = list(range(m + 1))
+    rows = [prev]
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        rc = reference[i - 1]
+        for j in range(1, m + 1):
+            cost = rc != hypothesis[j - 1]
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        rows.append(cur)
+        prev = cur
+    ops: List[tuple] = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        if (
+            i > 0
+            and j > 0
+            and rows[i][j]
+            == rows[i - 1][j - 1] + (reference[i - 1] != hypothesis[j - 1])
+        ):
+            if reference[i - 1] != hypothesis[j - 1]:
+                ops.append(("sub", reference[i - 1], hypothesis[j - 1]))
+            i, j = i - 1, j - 1
+        elif i > 0 and rows[i][j] == rows[i - 1][j] + 1:
+            ops.append(("del", reference[i - 1], None))
+            i -= 1
+        else:
+            ops.append(("ins", None, hypothesis[j - 1]))
+            j -= 1
+    ops.reverse()
+    return ops

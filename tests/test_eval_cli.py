@@ -296,3 +296,92 @@ def test_artifact_mode_refuses_geometry_and_calibration_flags(
         )
         assert eval_main() == 1
         assert "cannot be used with --artifact" in capsys.readouterr().out
+
+
+def test_error_analysis_tables():
+    """_error_analysis stratifies by true-text length and counts minimal-
+    edit confusions (the production accuracy-review starting point)."""
+    from evaluate_dataset import _error_analysis
+    from rcnn_ocr_tpu.training.metrics import character_error_rate
+
+    true_texts = ["abc", "hello", "abcdefghijkl", "x" * 25]
+    predicted = ["adc", "hello", "abcdefghijkl", "x" * 24]
+    cers = [character_error_rate(t, p) for t, p in zip(true_texts, predicted)]
+    a = _error_analysis(true_texts, predicted, cers)
+
+    rows = {r["length"]: r for r in a["by_length"]}
+    assert rows["1-5"]["n"] == 2 and rows["1-5"]["accuracy"] == 0.5
+    assert rows["11-15"]["accuracy"] == 1.0
+    assert rows["21+"]["n"] == 1 and rows["21+"]["accuracy"] == 0.0
+    assert a["top_substitutions"] == [
+        {"true": "b", "predicted": "d", "count": 1}
+    ]
+    assert a["top_deletions"] == [{"true": "x", "count": 1}]
+    assert a["top_insertions"] == []
+    assert a["pairs_skipped_too_long"] == 0
+
+
+def test_eval_cli_error_analysis_and_report_json(tmp_path, monkeypatch, capsys):
+    """--error-analysis prints the length/confusion tables and
+    --report-json writes the metrics for CI gates."""
+    import json as json_mod
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from evaluate_dataset import main as eval_main
+    from rcnn_ocr_tpu.models import RCNN
+    from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+    from rcnn_ocr_tpu.training.optim import build_optimizer
+    from rcnn_ocr_tpu.training.train_step import create_train_state
+
+    tokens = ["<PAD>", "<SOS>", "<EOS>", "<BLANK>", "a", "b"]
+    model = RCNN(
+        num_classes=len(tokens), hidden_size=16, width_mult=0.25,
+        with_ctc_head=True, dtype=jnp.float32,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(2)}, jnp.zeros((1, 32, 64, 3)),
+        text=jnp.zeros((1, 5), jnp.int32), batch_max_length=4,
+        method=model.init_all,
+    )
+    state = create_train_state(model, variables, build_optimizer("Adam", 1e-3))
+    cs_path = tmp_path / "cs.txt"
+    cs_path.write_text("\n".join(tokens) + "\n", encoding="utf-8")
+    ckpt = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(ckpt, state)
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(3):
+        img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+        cv2.imwrite(str(root / f"im{i}.png"), img)
+        rows.append((f"im{i}.png", "ab"))
+    csv_path = tmp_path / "labels.csv"
+    csv_path.write_text(
+        "filename,text\n" + "\n".join(f"{f},{t}" for f, t in rows) + "\n",
+        encoding="utf-8",
+    )
+
+    report = tmp_path / "report.json"
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["evaluate_dataset.py", "--model", ckpt, "--charset", str(cs_path),
+         "--csv", str(csv_path), "--root", str(root),
+         "--img-h", "32", "--img-w", "64", "--decode", "ctc_greedy",
+         "--max-length", "4", "--error-analysis",
+         "--report-json", str(report)],
+    )
+    assert eval_main() == 0
+    out = capsys.readouterr().out
+    assert "Accuracy by true-text length:" in out
+    assert "JSON report written to:" in out
+
+    payload = json_mod.load(open(report, encoding="utf-8"))
+    assert payload["n"] == 3
+    assert 0.0 <= payload["accuracy"] <= 1.0
+    assert "analysis" in payload and "by_length" in payload["analysis"]

@@ -48,3 +48,25 @@ def test_wer():
 def test_accuracy():
     assert compute_accuracy([], []) == 0.0
     assert compute_accuracy(["a", "b"], ["a", "c"]) == 0.5
+
+
+def test_edit_ops_alignment():
+    """`edit_ops` returns one optimal alignment: op count == Levenshtein
+    distance on random pairs, and the ops are the expected ones on the
+    textbook example."""
+    import random
+
+    from rcnn_ocr_tpu.training.metrics import edit_ops, levenshtein
+
+    assert edit_ops("kitten", "sitting") == [
+        ("sub", "k", "s"), ("sub", "e", "i"), ("ins", None, "g"),
+    ]
+    assert edit_ops("", "ab") == [("ins", None, "a"), ("ins", None, "b")]
+    assert edit_ops("ab", "") == [("del", "a", None), ("del", "b", None)]
+    assert edit_ops("same", "same") == []
+
+    rng = random.Random(0)
+    for _ in range(300):
+        a = "".join(rng.choices("abcde", k=rng.randint(0, 12)))
+        b = "".join(rng.choices("abcde", k=rng.randint(0, 12)))
+        assert len(edit_ops(a, b)) == levenshtein(a, b), (a, b)
