@@ -761,3 +761,88 @@ def test_install_hot_reload_sighup_swaps_engine():
         signal.signal(signal.SIGHUP, old_handler)
         server.close()
         thread.join(timeout=10)
+
+
+def test_ocr_client_predict_health_metrics():
+    """The client SDK round-trips against a live daemon: batch predict
+    (paths + arrays + raw bytes in one call), health, metrics."""
+    from rcnn_ocr_tpu.client import OCRClient
+
+    eng = RecordingEngine()
+    server = OCRServer(
+        eng.predict, host="127.0.0.1", port=0, max_batch=8, max_wait_ms=0
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.address[:2]
+        client = OCRClient(f"http://{host}:{port}", timeout_s=30)
+        assert client.wait_ready(timeout_s=30)["status"] == "ok"
+
+        import os
+        import tempfile
+
+        import cv2
+
+        imgs = _imgs([1, 2, 3])
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "img.png")
+            cv2.imwrite(path, imgs[0])
+            out = client.predict([path, imgs[1], _png_bytes(imgs[2])])
+        assert out == ["t1", "t2", "t3"]
+        assert client.health()["served"] == 3
+        assert "ocr_served_images_total 3" in client.metrics()
+        assert client.predict([]) == []
+    finally:
+        server.close()
+        thread.join(timeout=10)
+
+
+def test_ocr_client_retries_503_and_raises_permanent():
+    """503 (draining/queue-full) is the daemon's retryable status: the
+    client backs off and retries until the server recovers; 400s raise
+    immediately without retries."""
+    from rcnn_ocr_tpu.client import OCRClient, OCRClientError
+
+    eng = RecordingEngine()
+    server = OCRServer(
+        eng.predict, host="127.0.0.1", port=0, max_batch=8, max_wait_ms=0
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.address[:2]
+        client = OCRClient(
+            f"http://{host}:{port}", timeout_s=30,
+            max_retries=10, backoff_s=0.05,
+        )
+        # flip the server to draining; a background timer recovers it
+        server._draining = True
+
+        def recover():
+            time.sleep(0.4)
+            server._draining = False
+
+        threading.Thread(target=recover, daemon=True).start()
+        assert client.predict(_imgs([4])) == ["t4"]  # retried through 503s
+
+        # permanent failure: garbage body -> 400, no retry
+        t0 = time.monotonic()
+        with pytest.raises(OCRClientError) as ei:
+            client.predict([b"not an image"])
+        assert ei.value.status == 400
+        assert time.monotonic() - t0 < 5  # no backoff ladder on 400
+
+        # retries exhausted -> raises with the last status
+        server._draining = True
+        fast = OCRClient(
+            f"http://{host}:{port}", timeout_s=30,
+            max_retries=1, backoff_s=0.01,
+        )
+        with pytest.raises(OCRClientError) as ei:
+            fast.predict(_imgs([5]))
+        assert ei.value.status == 503
+    finally:
+        server._draining = False
+        server.close()
+        thread.join(timeout=10)
