@@ -273,7 +273,10 @@ def _error_analysis(true_texts, predicted, cers) -> dict:
 
     from rcnn_ocr_tpu.training.metrics import edit_ops
 
-    buckets = [(1, 5), (6, 10), (11, 15), (16, 20), (21, None)]
+    # first bucket starts at 0: empty ground-truth rows (blank-line
+    # images, a real OCR failure class when text appears on them) must
+    # show in the table, not silently vanish from the stratification
+    buckets = [(0, 5), (6, 10), (11, 15), (16, 20), (21, None)]
     by_length = []
     for lo, hi in buckets:
         rows = [
@@ -635,6 +638,13 @@ def main() -> int:
                     ]
                 }
             )
+            if payload is None or payload == {"sweep": []}:
+                # an empty dataset must not hand a CI gate `null` with a
+                # green exit code
+                print(
+                    f"No metrics to report — {args.report_json} not written"
+                )
+                return 1
             with open(args.report_json, "w", encoding="utf-8") as f:
                 json_mod.dump(payload, f, ensure_ascii=False, indent=2)
             print(f"JSON report written to: {args.report_json}")

@@ -60,11 +60,12 @@ ALL_METHODS = FIXED_METHODS + LONG_METHODS
 
 
 # Knobs a config's ``export_artifact`` block may carry, mapped onto
-# `export_serving_artifact` (plus `slot`/`out_dir`/`quantize`, which steer
-# the checkpoint choice and engine construction in the training loop).
+# `export_serving_artifact` (plus `slot`/`out_dir`/`quantize`/`lm`, which
+# steer the checkpoint choice and engine construction in the training
+# loop — `lm` is an LM.npz path baked into fusion-capable beam kernels).
 EXPORT_REQUEST_KEYS = frozenset({
-    "method", "slot", "out_dir", "quantize", "batch_size", "canvas",
-    "max_length", "beam_width", "prune_k", "length_penalty",
+    "method", "slot", "out_dir", "quantize", "lm", "batch_size", "canvas",
+    "max_length", "beam_width", "prune_k", "length_penalty", "lm_weight",
     "width_buckets", "platforms", "tile_w", "overlap", "snap", "merge",
     "min_gap", "margin",
 })
@@ -79,8 +80,11 @@ def validate_export_request(req: Any, head: str = "both") -> Dict[str, Any]:
     whose decode head was never trained is refused here.  Returns the
     normalized dict (method/slot filled in).
     """
-    out: Dict[str, Any] = {} if req is True else dict(req)
-    if not isinstance(out, dict):
+    if req is True:
+        out: Dict[str, Any] = {}
+    elif isinstance(req, dict):
+        out = dict(req)
+    else:
         raise ValueError(
             f"export_artifact must be true or a dict of export knobs, got {req!r}"
         )
@@ -127,6 +131,34 @@ def validate_export_request(req: Any, head: str = "both") -> Dict[str, Any]:
     ) and method not in LONG_METHODS:
         raise ValueError(
             f"export_artifact: tile_w/overlap require a *_long method, got {method!r}"
+        )
+    # the remaining rules mirror export_serving_artifact's own refusals —
+    # validating them HERE is the whole point (fail before the first
+    # epoch, not after the last one)
+    if out.get("width_buckets") and method in LONG_METHODS:
+        raise ValueError(
+            "export_artifact: width_buckets does not apply to *_long "
+            "methods (they tile at a single tile_w)"
+        )
+    no_fusion = CTC_LONG_METHODS + (
+        "hybrid_long", "attention_long", "attention", "ctc_greedy",
+    )
+    if out.get("lm_weight") and method in no_fusion:
+        raise ValueError(
+            f"export_artifact: lm_weight is not supported with method="
+            f"{method!r} (the greedy/stitched decode has no fusion hook)"
+        )
+    if out.get("lm_weight") and not out.get("lm"):
+        raise ValueError(
+            "export_artifact: lm_weight requires lm (path to a bigram "
+            "LM.npz from tools/train_lm.py)"
+        )
+    if out.get("length_penalty") and method not in (
+        "attention_beam", "attention_long_beam", "hybrid_long_beam"
+    ):
+        raise ValueError(
+            f"export_artifact: length_penalty is not supported with "
+            f"method={method!r}"
         )
     if out.get("canvas") is not None:
         canvas = tuple(int(v) for v in out["canvas"])

@@ -91,6 +91,7 @@ class MicroBatcher:
             raise ValueError("max_batch must be >= 1")
         self._predict = predict_fn
         self.max_batch = int(max_batch)
+        self._max_queued_auto = not max_queued  # derived, rescale on swap
         self.max_queued = int(max_queued) if max_queued else 16 * self.max_batch
         self.max_wait_s = max(0.0, float(max_wait_ms)) / 1000.0
         self._queue: deque = deque()  # (_Pending, lo, hi) image spans
@@ -151,16 +152,29 @@ class MicroBatcher:
         with self._lock:
             return sum(hi - lo for _, lo, hi, _ in self._queue)
 
-    def swap_predict_fn(self, fn: Callable[[List[Any]], List[str]]) -> None:
+    def swap_predict_fn(
+        self,
+        fn: Callable[[List[Any]], List[str]],
+        max_batch: Optional[int] = None,
+    ) -> None:
         """Atomically replace the engine (hot reload).
 
         The dispatcher reads ``self._predict`` once per batch, so the
         in-flight batch finishes on the engine that started it and every
         later batch runs the new one — no queued request is dropped and
-        no response mixes engines."""
-        with self._lock:
+        no response mixes engines.  Pass ``max_batch`` when the new
+        engine's device batch differs (a re-exported artifact): the
+        dispatcher cuts the new size from the next batch on, and a
+        default-derived ``max_queued`` rescales with it."""
+        with self._wake:
             self._predict = fn
             self.engine_swaps += 1
+            if max_batch is not None and int(max_batch) != self.max_batch:
+                if max_batch < 1:
+                    raise ValueError("max_batch must be >= 1")
+                self.max_batch = int(max_batch)
+                if self._max_queued_auto:
+                    self.max_queued = 16 * self.max_batch
 
     def stats(self) -> dict:
         """Rolling serving stats for /healthz (last <=1024 requests/batches).
@@ -557,12 +571,14 @@ class OCRServer:
         self.close()
 
     def swap_predict_fn(
-        self, fn: Callable[[List[Any]], List[str]]
+        self,
+        fn: Callable[[List[Any]], List[str]],
+        max_batch: Optional[int] = None,
     ) -> None:
         """Hot-swap the engine without dropping traffic (see
         :meth:`MicroBatcher.swap_predict_fn`; wire a signal with
         :func:`install_hot_reload`)."""
-        self.batcher.swap_predict_fn(fn)
+        self.batcher.swap_predict_fn(fn, max_batch=max_batch)
 
     def close(self) -> None:
         # httpd.shutdown() waits on an event that only serve_forever()
@@ -625,10 +641,14 @@ def install_hot_reload(
     restart, no dropped requests, no cold-start window for clients.
 
     ``build_predict_fn`` re-reads the deployment unit from disk and
-    returns the new ``list -> list[str]`` callable (including any warmup
-    it wants off the serving path).  A FAILED build never touches the
-    running engine: the error is logged to stderr and serving continues
-    on the old one — a bad artifact push must not take the daemon down.
+    returns the new ``list -> list[str]`` callable, or a ``(callable,
+    max_batch)`` pair when the new engine's device batch differs (a
+    re-exported artifact) — the batcher re-sizes from the next batch on.
+    Run any warmup INSIDE the build (one dummy predict compiles the new
+    kernels on this helper thread instead of stalling the dispatcher —
+    ``tools/serve.py`` does).  A FAILED build never touches the running
+    engine: the error is logged to stderr and serving continues on the
+    old one — a bad artifact push must not take the daemon down.
     Concurrent signals coalesce (one reload at a time; signals during a
     reload are dropped — send another after it finishes).
     """
@@ -645,8 +665,9 @@ def install_hot_reload(
             _os.write(2, b"reload already in progress: signal ignored\n")
             return
         try:
-            fn = build_predict_fn()
-            server.swap_predict_fn(fn)
+            built = build_predict_fn()
+            fn, mb = built if isinstance(built, tuple) else (built, None)
+            server.swap_predict_fn(fn, max_batch=mb)
             _os.write(2, b"engine reloaded\n")
         except BaseException as e:
             msg = (

@@ -955,7 +955,12 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
         and not result.get("preempted")
         and not result.get("pruned")
     ):
-        slot_path = os.path.join(exp_dir, f"{export_req['slot']}_ckpt.msgpack")
+        # the WEIGHTS slot, not the full checkpoint: EMA runs deploy the
+        # EMA tree (what validation measured and what chose this slot —
+        # checkpoint._weights_blob), while the full blob's raw params
+        # exist for resume.  Weights blobs carry no config/charset, so
+        # geometry and charset come from the training config in scope.
+        slot_path = weight_paths[export_req["slot"]]
         if not os.path.exists(slot_path):
             # eval_every > epochs run: no slot was ever written — say so
             # instead of crashing after a finished (if eval-less) run
@@ -970,14 +975,19 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
             knobs = {
                 k: v
                 for k, v in export_req.items()
-                if k not in ("slot", "out_dir", "quantize")
+                if k not in ("slot", "out_dir", "quantize", "lm")
             }
             out_dir = export_req.get("out_dir") or os.path.join(
                 exp_dir, "artifact"
             )
             ocr = OCRInference(
                 slot_path,
+                charset_path,
+                img_h=img_h,
+                img_w=img_w,
+                hidden_size=hidden_size,
                 quantize=bool(export_req.get("quantize", False)),
+                lm=export_req.get("lm"),
                 verbose=False,
             )
             result["artifact_dir"] = export_serving_artifact(

@@ -304,20 +304,31 @@ def test_error_analysis_tables():
     from evaluate_dataset import _error_analysis
     from rcnn_ocr_tpu.training.metrics import character_error_rate
 
-    true_texts = ["abc", "hello", "abcdefghijkl", "x" * 25]
-    predicted = ["adc", "hello", "abcdefghijkl", "x" * 24]
-    cers = [character_error_rate(t, p) for t, p in zip(true_texts, predicted)]
+    # incl. an empty-truth row (blank image with spurious text): it must
+    # appear in the 0-5 bucket, not vanish from the stratification
+    true_texts = ["abc", "hello", "abcdefghijkl", "x" * 25, ""]
+    predicted = ["adc", "hello", "abcdefghijkl", "x" * 24, "z"]
+    import math
+
+    cers = [
+        c if math.isfinite(c) else 1.0
+        for c in (
+            character_error_rate(t, p)
+            for t, p in zip(true_texts, predicted)
+        )
+    ]
     a = _error_analysis(true_texts, predicted, cers)
 
     rows = {r["length"]: r for r in a["by_length"]}
-    assert rows["1-5"]["n"] == 2 and rows["1-5"]["accuracy"] == 0.5
+    assert rows["0-5"]["n"] == 3 and rows["0-5"]["accuracy"] == 1 / 3
     assert rows["11-15"]["accuracy"] == 1.0
     assert rows["21+"]["n"] == 1 and rows["21+"]["accuracy"] == 0.0
+    assert sum(r["n"] for r in a["by_length"]) == len(true_texts)
     assert a["top_substitutions"] == [
         {"true": "b", "predicted": "d", "count": 1}
     ]
     assert a["top_deletions"] == [{"true": "x", "count": 1}]
-    assert a["top_insertions"] == []
+    assert a["top_insertions"] == [{"predicted": "z", "count": 1}]
     assert a["pairs_skipped_too_long"] == 0
 
 
@@ -385,3 +396,28 @@ def test_eval_cli_error_analysis_and_report_json(tmp_path, monkeypatch, capsys):
     assert payload["n"] == 3
     assert 0.0 <= payload["accuracy"] <= 1.0
     assert "analysis" in payload and "by_length" in payload["analysis"]
+
+
+def test_report_json_empty_dataset_fails_loudly(tmp_path, monkeypatch, capsys):
+    """A dataset that matches zero images must NOT hand a CI gate a
+    `null` report with a green exit code (round-4 review)."""
+    from evaluate_dataset import main as eval_main
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    csv_path = tmp_path / "labels.csv"
+    csv_path.write_text("filename,text\nmissing.png,ab\n", encoding="utf-8")
+    report = tmp_path / "report.json"
+    model = tmp_path / "m.msgpack"
+    model.write_bytes(b"")
+    charset = tmp_path / "cs.txt"
+    charset.write_text("<PAD>\n<SOS>\n<EOS>\n<BLANK>\na\n", encoding="utf-8")
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["evaluate_dataset.py", "--model", str(model), "--charset",
+         str(charset), "--csv", str(csv_path), "--root", str(root),
+         "--report-json", str(report)],
+    )
+    assert eval_main() == 1
+    assert not report.exists()

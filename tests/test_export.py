@@ -618,3 +618,41 @@ def test_validate_export_request():
         validate_export_request(
             {"method": "attention", "canvas": [64]}, head="both"
         )
+
+
+def test_validate_export_request_mirrors_exporter_refusals():
+    """Every knob combo export_serving_artifact refuses must fail at
+    validation time too — the feature's contract is fail-before-epoch-1,
+    not fail-after-the-last-one (round-4 review)."""
+    from rcnn_ocr_tpu.export import validate_export_request
+
+    with pytest.raises(ValueError, match="length_penalty"):
+        validate_export_request(
+            {"method": "ctc_greedy", "length_penalty": 0.6}, head="both"
+        )
+    with pytest.raises(ValueError, match="width_buckets"):
+        validate_export_request(
+            {"method": "ctc_long", "width_buckets": [64, 128]}, head="both"
+        )
+    with pytest.raises(ValueError, match="fusion"):
+        validate_export_request(
+            {"method": "ctc_greedy", "lm_weight": 0.3, "lm": "x.npz"},
+            head="both",
+        )
+    with pytest.raises(ValueError, match="requires lm"):
+        validate_export_request(
+            {"method": "attention_beam", "lm_weight": 0.3}, head="both"
+        )
+    # the valid combos pass
+    out = validate_export_request(
+        {"method": "attention_beam", "lm": "lm.npz", "lm_weight": 0.3,
+         "length_penalty": 0.6},
+        head="both",
+    )
+    assert out["lm_weight"] == 0.3
+    # a non-dict non-true value gets the FRIENDLY message, not a
+    # dict() traceback
+    with pytest.raises(ValueError, match="must be true or a dict"):
+        validate_export_request("true", head="both")
+    with pytest.raises(ValueError, match="must be true or a dict"):
+        validate_export_request(1, head="both")

@@ -846,3 +846,54 @@ def test_ocr_client_retries_503_and_raises_permanent():
         server._draining = False
         server.close()
         thread.join(timeout=10)
+
+
+def test_batcher_swap_resizes_max_batch():
+    """A hot swap can carry the new engine's device batch: the dispatcher
+    cuts the new size from the next batch on, and a default-derived
+    max_queued rescales (an explicit one is the operator's and stays)."""
+    b = MicroBatcher(lambda imgs: ["x"] * len(imgs), max_batch=8, max_wait_ms=0)
+    try:
+        assert (b.max_batch, b.max_queued) == (8, 128)
+        b.swap_predict_fn(lambda imgs: ["y"] * len(imgs), max_batch=2)
+        assert (b.max_batch, b.max_queued) == (2, 32)
+        assert b.submit(_imgs([1, 2, 3, 4, 5])) == ["y"] * 5  # sliced at 2
+    finally:
+        b.close()
+
+    b2 = MicroBatcher(
+        lambda imgs: ["x"] * len(imgs),
+        max_batch=8, max_wait_ms=0, max_queued=100,
+    )
+    try:
+        b2.swap_predict_fn(lambda imgs: ["y"] * len(imgs), max_batch=4)
+        assert (b2.max_batch, b2.max_queued) == (4, 100)
+    finally:
+        b2.close()
+
+
+def test_install_hot_reload_tuple_build_resizes_batcher():
+    """A build returning (fn, max_batch) re-sizes the batcher on swap
+    (tools/serve.py returns the re-exported artifact's batch size)."""
+    import signal
+
+    from rcnn_ocr_tpu.serving import install_hot_reload
+
+    eng = RecordingEngine()
+    server = OCRServer(
+        eng.predict, host="127.0.0.1", port=0, max_batch=8, max_wait_ms=0
+    )
+    old_handler = signal.getsignal(signal.SIGHUP)
+    try:
+        install_hot_reload(
+            server, lambda: (lambda imgs: ["swapped"] * len(imgs), 2)
+        )
+        signal.raise_signal(signal.SIGHUP)
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and server.batcher.max_batch != 2:
+            time.sleep(0.01)
+        assert server.batcher.max_batch == 2
+        assert server.batcher.submit(_imgs([1])) == ["swapped"]
+    finally:
+        signal.signal(signal.SIGHUP, old_handler)
+        server.close()

@@ -366,12 +366,18 @@ def test_training_exports_serving_artifact(tiny_env):
     training ends by exporting the requested checkpoint slot as a serving
     artifact, and the artifact decodes identically to a live engine on
     the same slot.  A typo'd block must fail BEFORE any epoch runs."""
+    import jax
+
     from rcnn_ocr_tpu.export import ServingArtifact
     from rcnn_ocr_tpu.inference import OCRInference
 
     exp_dir = str(tiny_env["tmp"] / "exp_export")
     cfg = _base_cfg(
         tiny_env, exp_dir, head="both", epochs=1,
+        # EMA on: the artifact must carry the DEPLOY weights (the EMA
+        # tree validation measured — the weights slot), not the full
+        # checkpoint's raw params (round-4 review)
+        ema_decay=0.5,
         export_artifact={
             "method": "ctc_greedy", "slot": "last",
             "canvas": [32, 64], "batch_size": 4, "max_length": 6,
@@ -389,13 +395,31 @@ def test_training_exports_serving_artifact(tiny_env):
     imgs = [rng.integers(0, 256, (24, 48, 3), np.uint8) for _ in range(3)]
     art = ServingArtifact.load(art_dir)
     # the handoff exports with the serving default dtype (bf16) — the
-    # equality engine must match it
+    # equality engine must match it; weights blobs carry no config, so
+    # geometry comes explicitly (like the handoff itself)
     live = OCRInference(
-        os.path.join(exp_dir, "last_ckpt.msgpack"), verbose=False,
+        os.path.join(exp_dir, "last_weights.msgpack"),
+        tiny_env["charset"], img_h=32, img_w=64, verbose=False,
     )
     assert art.predict(imgs) == live.predict_serving(
         imgs, method="ctc_greedy", canvas=(32, 64), batch_size=4,
         max_length=6,
+    )
+    # and those ARE the EMA weights: the artifact's params differ from
+    # the full checkpoint's raw params
+    from flax import serialization as _ser
+
+    art_params = _ser.msgpack_restore(
+        open(os.path.join(art_dir, "params.msgpack"), "rb").read()
+    )
+    raw_blob = _ser.msgpack_restore(
+        open(os.path.join(exp_dir, "last_ckpt.msgpack"), "rb").read()
+    )
+    flat_art = jax.tree_util.tree_leaves(art_params.get("params", art_params))
+    flat_raw = jax.tree_util.tree_leaves(raw_blob["params"])
+    assert any(
+        not np.allclose(np.asarray(a, np.float32), np.asarray(r, np.float32))
+        for a, r in zip(flat_art, flat_raw)
     )
     # the handoff logged its work
     log = open(os.path.join(exp_dir, "train.log"), encoding="utf-8").read()

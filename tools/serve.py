@@ -246,7 +246,17 @@ def main() -> None:
     # SIGHUP = zero-downtime upgrade: replace the artifact/checkpoint on
     # disk, signal, and the daemon swaps engines between batches (a failed
     # build logs and keeps serving on the old engine)
-    install_hot_reload(server, lambda: build_predict()[0])
+    def rebuild_for_reload():
+        import numpy as _np
+
+        fn, mb = build_predict()
+        # warm OFF the serving path: one dummy predict compiles the new
+        # engine's kernels on the reload thread, so the swap does not
+        # stall the dispatcher for a remote-compile window (minutes cold)
+        fn([_np.full((16, 32, 3), 255, _np.uint8)])
+        return fn, mb
+
+    install_hot_reload(server, rebuild_for_reload)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
