@@ -60,11 +60,15 @@ ALL_METHODS = FIXED_METHODS + LONG_METHODS
 
 
 # Knobs a config's ``export_artifact`` block may carry, mapped onto
-# `export_serving_artifact` (plus `slot`/`out_dir`/`quantize`/`lm`, which
-# steer the checkpoint choice and engine construction in the training
-# loop — `lm` is an LM.npz path baked into fusion-capable beam kernels).
+# `export_serving_artifact` (plus `slot`/`out_dir`/`quantize`/`lm`/
+# `calibrate`, which steer the checkpoint choice and engine construction
+# in the training loop — `lm` is an LM.npz path baked into fusion-capable
+# beam kernels; `calibrate` records static int8 activation scales on that
+# many validation images before exporting, i.e. the headline
+# int8-static serving path straight out of a training config).
 EXPORT_REQUEST_KEYS = frozenset({
-    "method", "slot", "out_dir", "quantize", "lm", "batch_size", "canvas",
+    "method", "slot", "out_dir", "quantize", "lm", "calibrate",
+    "batch_size", "canvas",
     "max_length", "beam_width", "prune_k", "length_penalty", "lm_weight",
     "width_buckets", "platforms", "tile_w", "overlap", "snap", "merge",
     "min_gap", "margin",
@@ -160,6 +164,20 @@ def validate_export_request(req: Any, head: str = "both") -> Dict[str, Any]:
             f"export_artifact: length_penalty is not supported with "
             f"method={method!r}"
         )
+    cal = out.get("calibrate")
+    # identity, not equality: 0 == False would slip past an `in` check
+    # and become a silent no-op in the training loop
+    if cal is not None and cal is not False:
+        if cal is not True and (not isinstance(cal, int) or cal < 1):
+            raise ValueError(
+                f"export_artifact: calibrate must be true or a positive "
+                f"image count, got {cal!r}"
+            )
+        if not out.get("quantize"):
+            raise ValueError(
+                "export_artifact: calibrate records static int8 activation "
+                "scales — it requires quantize: true"
+            )
     if out.get("canvas") is not None:
         canvas = tuple(int(v) for v in out["canvas"])
         if len(canvas) != 2 or min(canvas) <= 0:

@@ -975,7 +975,7 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
             knobs = {
                 k: v
                 for k, v in export_req.items()
-                if k not in ("slot", "out_dir", "quantize", "lm")
+                if k not in ("slot", "out_dir", "quantize", "lm", "calibrate")
             }
             out_dir = export_req.get("out_dir") or os.path.join(
                 exp_dir, "artifact"
@@ -990,6 +990,25 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
                 lm=export_req.get("lm"),
                 verbose=False,
             )
+            calibrate = export_req.get("calibrate")
+            if calibrate:
+                # static int8 (the bench headline path) straight out of
+                # the training run: record activation scales on the val
+                # sets' own images, then the scales ride in the artifact
+                n_cal = 256 if calibrate is True else int(calibrate)
+                cal_paths: List[str] = []
+                for ds in val_sets:
+                    for i in range(len(ds)):
+                        if len(cal_paths) >= n_cal:
+                            break
+                        cal_paths.append(ds.sample_path(i))
+                    if len(cal_paths) >= n_cal:
+                        break
+                ocr.calibrate(cal_paths, batch_size=batch_size)
+                logger.info(
+                    f"Calibrated static int8 scales on {len(cal_paths)} "
+                    "validation images"
+                )
             result["artifact_dir"] = export_serving_artifact(
                 ocr, out_dir, **knobs
             )

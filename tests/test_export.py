@@ -656,3 +656,27 @@ def test_validate_export_request_mirrors_exporter_refusals():
         validate_export_request("true", head="both")
     with pytest.raises(ValueError, match="must be true or a dict"):
         validate_export_request(1, head="both")
+
+
+def test_validate_export_request_calibrate_rules():
+    from rcnn_ocr_tpu.export import validate_export_request
+
+    out = validate_export_request(
+        {"method": "ctc_greedy", "quantize": True, "calibrate": 64},
+        head="both",
+    )
+    assert out["calibrate"] == 64
+    with pytest.raises(ValueError, match="quantize"):
+        validate_export_request(
+            {"method": "ctc_greedy", "calibrate": True}, head="both"
+        )
+    with pytest.raises(ValueError, match="positive"):
+        validate_export_request(
+            {"method": "ctc_greedy", "quantize": True, "calibrate": 0},
+            head="both",
+        )
+    with pytest.raises(ValueError, match="positive"):
+        validate_export_request(
+            {"method": "ctc_greedy", "quantize": True, "calibrate": "lots"},
+            head="both",
+        )

@@ -432,3 +432,35 @@ def test_training_exports_serving_artifact(tiny_env):
             tiny_env, bad_dir, export_artifact={"method": "telepathy"},
         ))
     assert not os.path.exists(os.path.join(bad_dir, "last_ckpt.msgpack"))
+
+
+@pytest.mark.slow
+def test_training_export_calibrated_int8_artifact(tiny_env):
+    """export_artifact with quantize+calibrate ships the headline
+    int8-STATIC serving path straight out of the training config: the
+    artifact's manifest records the static activation-quant mode and the
+    calibrated scales ride in its params."""
+    from flax import serialization as _ser
+
+    exp_dir = str(tiny_env["tmp"] / "exp_export_int8")
+    cfg = _base_cfg(
+        tiny_env, exp_dir, head="both", epochs=1,
+        export_artifact={
+            "method": "ctc_greedy", "slot": "last",
+            "canvas": [32, 64], "batch_size": 4, "max_length": 6,
+            "quantize": True, "calibrate": 8,
+        },
+    )
+    result = run_training(cfg)
+    art_dir = result["artifact_dir"]
+    manifest = __import__("json").load(
+        open(os.path.join(art_dir, "manifest.json"), encoding="utf-8")
+    )
+    assert manifest["quantize"] is True
+    assert manifest["act_quant"] == "static"
+    params = _ser.msgpack_restore(
+        open(os.path.join(art_dir, "params.msgpack"), "rb").read()
+    )
+    assert "quant_stats" in params
+    log = open(os.path.join(exp_dir, "train.log"), encoding="utf-8").read()
+    assert "Calibrated static int8 scales on 8 validation images" in log
