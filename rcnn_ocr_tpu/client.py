@@ -128,12 +128,17 @@ class OCRClient:
             )
 
     # -- API -----------------------------------------------------------------
-    def predict(self, images: List[Any]) -> List[str]:
+    def predict(
+        self, images: List[Any], confidence: bool = False
+    ) -> List[Any]:
         """Decode a batch of images (paths / encoded bytes / uint8 arrays).
 
         Ships one JSON base64 batch; retries the daemon's retryable 503s
         (queue full, draining) with exponential backoff; raises
-        :class:`OCRClientError` on permanent failure.
+        :class:`OCRClientError` on permanent failure.  With
+        ``confidence=True`` returns ``(text, confidence)`` pairs — the
+        daemon must have been started with ``--confidence`` (an
+        attention-read method), else this raises.
         """
         if not images:
             return []
@@ -158,6 +163,16 @@ class OCRClient:
                     raise OCRClientError(
                         f"malformed response: {out!r}", status=status
                     )
+                if confidence:
+                    confs = out.get("confidences")
+                    if not isinstance(confs, list) or len(confs) != len(texts):
+                        raise OCRClientError(
+                            "server returned no confidences — start the "
+                            "daemon with --confidence (attention-read "
+                            "methods only)",
+                            status=status,
+                        )
+                    return list(zip(texts, confs))
                 return texts
             retryable = status in (503, None)
             if not retryable or attempt >= self.max_retries:

@@ -27,6 +27,8 @@ HTTP API::
     POST /predict   body = raw encoded image bytes (PNG/JPEG/BMP/...)
                     or JSON {"images": ["<base64>", ...]}
                     -> {"texts": ["...", ...]}   (raw body -> one entry)
+                    (+ "confidences": [...] when the daemon runs with
+                    --confidence on an attention-read method)
 
 Run it: ``python tools/serve.py --artifact <dir> --port 8000`` (or
 ``--model + --charset`` for a live engine).  Signals: SIGTERM/SIGINT
@@ -388,6 +390,7 @@ def _make_handler(
     max_body_bytes: int,
     is_draining: Callable[[], bool] = lambda: False,
     response_counts: Optional[dict] = None,
+    confidence: bool = False,  # engine yields (text, conf) pairs
 ):
     from rcnn_ocr_tpu.data.transforms import imdecode_cv2
 
@@ -487,6 +490,11 @@ def _make_handler(
                 return self._reply(504, {"error": "decode timed out"})
             except Exception as e:
                 return self._reply(500, {"error": str(e)})
+            if confidence:
+                return self._reply(200, {
+                    "texts": [t for t, _ in texts],
+                    "confidences": [float(c) for _, c in texts],
+                })
             self._reply(200, {"texts": texts})
 
     return Handler
@@ -511,6 +519,7 @@ class OCRServer:
         max_queued: Optional[int] = None,
         max_body_bytes: int = 64 * 1024 * 1024,
         listen_backlog: int = 128,
+        confidence: bool = False,  # predict_fn yields (text, conf) pairs
     ):
         self.batcher = MicroBatcher(
             predict_fn,
@@ -535,6 +544,7 @@ class OCRServer:
                 self.batcher, request_timeout_s, max_body_bytes,
                 is_draining=lambda: self._draining,
                 response_counts=self.response_counts,
+                confidence=confidence,
             ),
         )
         self.httpd.daemon_threads = True
@@ -700,17 +710,43 @@ def serving_predict_fn(
     tile_w: Optional[int] = None,  # *_long: tile width (default engine img_w)
     overlap: Optional[int] = None,  # *_long: junction overlap px
     snap: str = "midpoint",  # ctc_long*: junction cuts "midpoint" | "blank"
+    return_confidence: bool = False,  # attention-read methods: (text, conf)
 ) -> Callable[[List[Any]], List[str]]:
     """Adapt an engine to the batcher's ``list -> list[str]`` contract.
 
     ``ServingArtifact`` already matches; ``OCRInference`` gets its
     ``predict_serving`` kwargs pinned here so every dispatched batch rides
-    the same jitted kernels.
+    the same jitted kernels.  With ``return_confidence`` the fn yields
+    ``(text, confidence)`` pairs instead of strings (the batcher is
+    payload-agnostic; ``OCRServer(confidence=True)`` formats them) —
+    refused at construction for methods with no confidence contract,
+    mirroring the engines.
     """
     from rcnn_ocr_tpu.export import ServingArtifact
 
+    CONF_METHODS = (
+        "attention", "attention_beam", "hybrid_long", "hybrid_long_beam",
+    )
     if isinstance(engine, ServingArtifact):
-        return engine.predict
+        if not return_confidence:
+            return engine.predict
+        if engine.method not in CONF_METHODS:
+            raise ValueError(
+                "return_confidence requires an attention-reading artifact "
+                f"(got method={engine.method!r})"
+            )
+
+        def fn_art_conf(images: List[Any]):
+            out = engine.predict(images, return_confidence=True)
+            return out if isinstance(out, list) else [out]
+
+        return fn_art_conf
+
+    if return_confidence and method not in CONF_METHODS:
+        raise ValueError(
+            f"return_confidence is not supported with method={method!r} "
+            "(attention-read decodes only)"
+        )
 
     long_method = method.startswith(("ctc_long", "attention_long", "hybrid_long"))
     # tiling knobs only steer the long routes — refuse them loudly on the
@@ -776,6 +812,7 @@ def serving_predict_fn(
                 lm_weight=lm_weight,
                 min_gap=min_gap,
                 margin=margin,
+                return_confidence=return_confidence,
             )
             return out if isinstance(out, list) else [out]
 
@@ -831,6 +868,7 @@ def serving_predict_fn(
             beam_width=beam_width,
             length_penalty=length_penalty,
             lm_weight=lm_weight,
+            return_confidence=return_confidence,
         )
         return out if isinstance(out, list) else [out]
 

@@ -897,3 +897,71 @@ def test_install_hot_reload_tuple_build_resizes_batcher():
     finally:
         signal.signal(signal.SIGHUP, old_handler)
         server.close()
+
+
+def test_daemon_confidence_responses_and_client():
+    """--confidence daemons return per-text confidences; the client SDK
+    surfaces them as (text, conf) pairs and fails loudly against a daemon
+    that was not started with confidences."""
+    from rcnn_ocr_tpu.client import OCRClient, OCRClientError
+
+    def predict_conf(images):
+        return [(f"t{int(np.asarray(im).ravel()[0])}", 0.5) for im in images]
+
+    server = OCRServer(
+        predict_conf, host="127.0.0.1", port=0, max_batch=8,
+        max_wait_ms=0, confidence=True,
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.address[:2]
+        base = f"http://{host}:{port}"
+        img = _imgs([7])[0]
+        status, out = _post(base + "/predict", _png_bytes(img), "image/png")
+        assert status == 200
+        assert out == {"texts": ["t7"], "confidences": [0.5]}
+
+        client = OCRClient(base, timeout_s=30)
+        assert client.predict(_imgs([3, 4]), confidence=True) == [
+            ("t3", 0.5), ("t4", 0.5)
+        ]
+        # plain predict still works (texts only)
+        assert client.predict(_imgs([5])) == ["t5"]
+    finally:
+        server.close()
+        thread.join(timeout=10)
+
+    # a confidence-less daemon + confidence=True client -> loud error
+    eng = RecordingEngine()
+    server2 = OCRServer(
+        eng.predict, host="127.0.0.1", port=0, max_batch=8, max_wait_ms=0
+    )
+    thread2 = threading.Thread(target=server2.serve_forever, daemon=True)
+    thread2.start()
+    try:
+        host, port = server2.address[:2]
+        client = OCRClient(f"http://{host}:{port}", timeout_s=30)
+        with pytest.raises(OCRClientError, match="confidence"):
+            client.predict(_imgs([1]), confidence=True)
+    finally:
+        server2.close()
+        thread2.join(timeout=10)
+
+
+def test_serving_predict_fn_confidence_validation():
+    """return_confidence is refused at construction for methods with no
+    confidence contract (mirrors the engines), live and artifact."""
+
+    class _Engine:
+        pass
+
+    with pytest.raises(ValueError, match="return_confidence"):
+        serving_predict_fn(_Engine(), method="ctc_greedy",
+                           return_confidence=True)
+    with pytest.raises(ValueError, match="return_confidence"):
+        serving_predict_fn(_Engine(), method="ctc_long",
+                           return_confidence=True)
+    with pytest.raises(ValueError, match="return_confidence"):
+        serving_predict_fn(_Engine(), method="attention_long",
+                           return_confidence=True)

@@ -85,6 +85,11 @@ def main() -> None:
         help="ctc_long*: junction cut policy — overlap midpoint (default) "
         "or snap to the widest blank run",
     )
+    p.add_argument(
+        "--confidence", action="store_true",
+        help="attention-read methods: responses carry per-text "
+        "confidences ({'texts': [...], 'confidences': [...]})",
+    )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=256)
@@ -136,6 +141,15 @@ def main() -> None:
         and not args.method.startswith("ctc_long")
     ):
         p.error("--snap requires a ctc_long method")
+    if (
+        args.confidence
+        and not args.artifact  # artifact method known only after load
+        and args.method not in (
+            "attention", "attention_beam", "hybrid_long", "hybrid_long_beam"
+        )
+    ):
+        p.error("--confidence requires an attention-read method "
+                "(attention, attention_beam, hybrid_long[_beam])")
 
     if args.compile_cache_dir:
         from rcnn_ocr_tpu.utils import enable_compile_cache
@@ -183,7 +197,10 @@ def main() -> None:
             engine = ServingArtifact.load(
                 args.artifact, mesh=args.mesh or None
             )
-            return serving_predict_fn(engine), engine.batch_size
+            fn = serving_predict_fn(
+                engine, return_confidence=args.confidence
+            )
+            return fn, engine.batch_size
 
         predict, max_batch = build_predict()
     else:
@@ -222,6 +239,7 @@ def main() -> None:
                 tile_w=args.tile_w,
                 overlap=args.overlap,
                 snap=args.snap,
+                return_confidence=args.confidence,
             )
             return fn, args.batch_size
 
@@ -233,6 +251,7 @@ def main() -> None:
         port=args.port,
         max_batch=max_batch,
         max_wait_ms=args.max_wait_ms,
+        confidence=args.confidence,
     )
     host, port = server.address[:2]
     print(
