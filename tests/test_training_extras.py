@@ -438,3 +438,46 @@ def test_run_training_eval_callback_prunes(tmp_path):
     assert result["epochs_run"] == 2
     assert [e for e, _ in calls] == [1, 2]
     assert os.path.exists(tmp_path / "exp" / "last_ckpt.msgpack")
+
+
+def test_hpo_report_tool(tmp_path, capsys):
+    """tools/hpo_report.py reads both result shapes (mid-run and final),
+    ranks trials, flags pruned/failed, and reports pruning savings."""
+    import json
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import hpo_report
+
+    trials = [
+        {"number": 0, "value": 0.5, "params": {"lr": 0.001},
+         "seconds": 10.0, "pruned": False, "epochs_run": 9},
+        {"number": 1, "value": 0.2, "params": {"lr": 0.1},
+         "seconds": 4.0, "pruned": True, "epochs_run": 3},
+        {"number": 2, "value": float("-inf"), "params": {"lr": 9.0},
+         "seconds": 1.0, "pruned": False, "epochs_run": 1},
+    ]
+    final = {
+        "best_value": 0.5, "best_params": {"lr": 0.001}, "trials": trials,
+    }
+    path = tmp_path / "s_results.json"
+    path.write_text(json.dumps(final), encoding="utf-8")
+    assert hpo_report.main([str(path)]) == 0
+    out = capsys.readouterr().out
+    assert "pruned" in out and "failed" in out
+    assert "best params: lr=0.001" in out
+    # 3 trials x 9 full epochs = 27; 13 spent -> 14 saved
+    assert "epochs spent: 13 of 27" in out and "14 saved" in out
+
+    # mid-run shape + storage-dir resolution (single study auto-picked)
+    midrun = {"best": {"best_value": 0.5, "best_params": {"lr": 0.001}},
+              "trials": trials[:2]}
+    path.write_text(json.dumps(midrun), encoding="utf-8")
+    assert hpo_report.main([str(tmp_path)]) == 0
+    assert "best value: 0.5000" in capsys.readouterr().out
+
+    # missing / empty -> exit 1
+    assert hpo_report.main([str(tmp_path / "nope.json")]) == 1
+    capsys.readouterr()
+    path.write_text(json.dumps({"trials": []}), encoding="utf-8")
+    assert hpo_report.main([str(path)]) == 1
