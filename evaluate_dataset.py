@@ -15,8 +15,11 @@ Extensions over the reference: ``--decode`` picks the head and search
 plus the unbounded-width long-line paths ``ctc_long[_beam]`` |
 ``attention_long[_beam]`` | ``hybrid_long[_beam]`` with ``--tile-w`` /
 ``--overlap``), ``--lm/--lm-weight`` fuse a bigram LM into the beams (a
-comma list of weights sweeps them and prints a comparison table), and
-reference ``.pth`` checkpoints load directly.
+comma list of weights sweeps them and prints a comparison table),
+``--artifact DIR`` certifies an exported deployment unit instead of a
+checkpoint, ``--error-analysis`` appends length-stratified metrics and
+character-confusion tables, ``--report-json`` writes everything as JSON
+for CI gates, and reference ``.pth`` checkpoints load directly.
 """
 
 from __future__ import annotations

@@ -680,3 +680,34 @@ def test_validate_export_request_calibrate_rules():
             {"method": "ctc_greedy", "quantize": True, "calibrate": "lots"},
             head="both",
         )
+
+
+def test_serving_predict_fn_artifact_confidence(tiny_ckpt, tmp_path):
+    """The daemon adapter surfaces artifact confidences: the wrapped fn
+    yields the same (text, conf) pairs as a direct artifact predict, and
+    a non-attention artifact is refused at construction."""
+    from rcnn_ocr_tpu.serving import serving_predict_fn
+
+    ckpt_path, charset_path = tiny_ckpt
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    attn_dir = str(tmp_path / "art_attn")
+    export_serving_artifact(
+        ocr, attn_dir, method="attention", batch_size=2, canvas=(32, 64),
+        max_length=4,
+    )
+    art = ServingArtifact.load(attn_dir)
+    fn = serving_predict_fn(art, return_confidence=True)
+    imgs = _images(n=2)
+    assert fn(imgs) == art.predict(imgs, return_confidence=True)
+
+    ctc_dir = str(tmp_path / "art_ctc")
+    export_serving_artifact(
+        ocr, ctc_dir, method="ctc_greedy", batch_size=2, canvas=(32, 64),
+    )
+    with pytest.raises(ValueError, match="attention-reading"):
+        serving_predict_fn(
+            ServingArtifact.load(ctc_dir), return_confidence=True
+        )
