@@ -302,6 +302,15 @@ def run_hpo(
 
     trials_log: List[Dict[str, Any]] = []
 
+    def _dump_results(payload: Dict[str, Any]) -> None:
+        # atomic: tools/hpo_report.py reads this file while the study is
+        # RUNNING — a plain overwrite leaves a truncated-JSON window that
+        # grows with the trial count
+        tmp = results_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=2)
+        os.replace(tmp, results_path)
+
     if have_optuna:
         storage = f"sqlite:///{os.path.join(storage_dir, 'optuna_ocr.db')}"
         study = optuna.create_study(
@@ -323,6 +332,7 @@ def run_hpo(
             params = sample_params(trial, space)
             trial_dir = os.path.join(storage_dir, f"{study_name}_trial{trial.number}")
             epochs_seen = {"n": 0}
+            t0 = time.time()
 
             def report(epoch, value):
                 epochs_seen["n"] = epoch
@@ -335,30 +345,48 @@ def run_hpo(
                 value = run_objective(base_config, params, trial_dir, report)
             except PrunedTrial as p:
                 trial.set_user_attr("epochs_run", p.epochs_run)
+                trial.set_user_attr("seconds", round(time.time() - t0, 1))
                 raise optuna.TrialPruned() from p
             trial.set_user_attr("epochs_run", epochs_seen["n"])
+            trial.set_user_attr("seconds", round(time.time() - t0, 1))
             return value
+
+        def _optuna_trials_log(st) -> List[Dict[str, Any]]:
+            return [
+                {
+                    "number": t.number,
+                    "value": t.value,
+                    "params": t.params,
+                    "seconds": t.user_attrs.get("seconds"),
+                    "pruned": t.state == optuna.trial.TrialState.PRUNED,
+                    "epochs_run": t.user_attrs.get("epochs_run"),
+                }
+                for t in st.trials
+                if t.state.is_finished()
+            ]
+
+        def _optuna_best(st) -> Dict[str, Any]:
+            try:
+                return {"best_value": st.best_value, "best_params": st.best_params}
+            except ValueError:  # every trial pruned before its first report
+                return {"best_value": -math.inf, "best_params": None}
+
+        def _write_progress(st, _trial) -> None:
+            # per-trial snapshot so tools/hpo_report.py works MID-study on
+            # this backend too (the builtin path writes per trial below)
+            _dump_results(
+                {"best": _optuna_best(st), "trials": _optuna_trials_log(st)}
+            )
 
         study.optimize(
             opt_objective,
             n_trials=n_trials,
             n_jobs=parallel_trials,
             catch=(),
+            callbacks=[_write_progress],
         )
-        try:
-            best = {"best_value": study.best_value, "best_params": study.best_params}
-        except ValueError:  # every trial pruned before its first report
-            best = {"best_value": -math.inf, "best_params": None}
-        trials_log = [
-            {
-                "number": t.number,
-                "value": t.value,
-                "params": t.params,
-                "pruned": t.state == optuna.trial.TrialState.PRUNED,
-                "epochs_run": t.user_attrs.get("epochs_run"),
-            }
-            for t in study.trials
-        ]
+        best = _optuna_best(study)
+        trials_log = _optuna_trials_log(study)
     else:
         import numpy as np
 
@@ -418,8 +446,7 @@ def run_hpo(
                 )
                 if value > best["best_value"]:
                     best = {"best_value": value, "best_params": params}
-                with open(results_path, "w", encoding="utf-8") as f:
-                    json.dump({"best": best, "trials": trials_log}, f, indent=2)
+                _dump_results({"best": best, "trials": trials_log})
 
         if parallel_trials > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -432,6 +459,5 @@ def run_hpo(
                 run_one(i)
 
     out = {**best, "trials": trials_log}
-    with open(results_path, "w", encoding="utf-8") as f:
-        json.dump(out, f, indent=2)
+    _dump_results(out)
     return out

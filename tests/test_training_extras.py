@@ -321,8 +321,17 @@ def test_hpo_optuna_backend_pruning_wiring(tmp_path, monkeypatch):
     class TrialPruned(Exception):
         pass
 
+    class _TrialState:
+        # real optuna's TrialState members expose is_finished(); only
+        # finished trials exist in this stub
+        def __init__(self, name):
+            self.name = name
+
+        def is_finished(self):
+            return True
+
     class _State:
-        PRUNED, COMPLETE = "PRUNED", "COMPLETE"
+        PRUNED, COMPLETE = _TrialState("PRUNED"), _TrialState("COMPLETE")
 
     class _Trial:
         def __init__(self, number):
@@ -359,8 +368,9 @@ def test_hpo_optuna_backend_pruning_wiring(tmp_path, monkeypatch):
     class _Study:
         def __init__(self):
             self.trials = []
+            self.callback_calls = 0
 
-        def optimize(self, fn, n_trials, n_jobs, catch=()):
+        def optimize(self, fn, n_trials, n_jobs, catch=(), callbacks=()):
             for i in range(n_trials):
                 t = _Trial(i)
                 self.trials.append(t)
@@ -368,6 +378,9 @@ def test_hpo_optuna_backend_pruning_wiring(tmp_path, monkeypatch):
                     t.value = fn(t)
                 except TrialPruned:
                     t.state = _State.PRUNED
+                for cb in callbacks or ():
+                    cb(self, t)
+                    self.callback_calls += 1
 
         @property
         def best_value(self):
@@ -417,6 +430,16 @@ def test_hpo_optuna_backend_pruning_wiring(tmp_path, monkeypatch):
     assert out["best_value"] == pytest.approx(
         max(t["value"] for t in done)
     )
+    # per-trial progress snapshots (the hpo_report mid-study contract)
+    # and wall-seconds recorded on every trial, pruned included
+    assert all(t.get("seconds") is not None for t in out["trials"])
+    import json as json_mod
+
+    blob = json_mod.load(
+        open(os.path.join(str(tmp_path / "s"), "s_results.json"),
+             encoding="utf-8")
+    )
+    assert len(blob["trials"]) == 4
 
 
 @pytest.mark.slow
@@ -481,3 +504,41 @@ def test_hpo_report_tool(tmp_path, capsys):
     capsys.readouterr()
     path.write_text(json.dumps({"trials": []}), encoding="utf-8")
     assert hpo_report.main([str(path)]) == 1
+
+
+def test_hpo_results_file_feeds_report_tool(tmp_path, capsys):
+    """The driver's results file (whichever backend) is what
+    tools/hpo_report.py reads: written atomically per trial, with
+    wall-seconds recorded for every finished trial."""
+    import json
+    import sys as _sys
+
+    from rcnn_ocr_tpu.hpo.driver import run_hpo
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import hpo_report
+
+    def objective(base, params, trial_dir):
+        return float(params["lr"])
+
+    storage = str(tmp_path / "hpo")
+    run_hpo(
+        {}, n_trials=3, study_name="rep", storage_dir=storage,
+        space={"lr": ("float", 0.0, 1.0)}, seed=0, objective=objective,
+        prune=False,
+    )
+    blob = json.load(
+        open(os.path.join(storage, "rep_results.json"), encoding="utf-8")
+    )
+    assert len(blob["trials"]) == 3
+    assert all(t.get("seconds") is not None for t in blob["trials"])
+    capsys.readouterr()
+    assert hpo_report.main([storage, "--study", "rep"]) == 0
+    out = capsys.readouterr().out
+    assert "best params: lr=" in out
+
+    # corrupt file -> graceful exit 1, not a traceback
+    bad = tmp_path / "bad_results.json"
+    bad.write_text("{\"trials\": [", encoding="utf-8")
+    assert hpo_report.main([str(bad)]) == 1
+    assert "not a results JSON" in capsys.readouterr().out

@@ -26,9 +26,15 @@ from typing import Any, Dict, List
 def load_results(path: str) -> Dict[str, Any]:
     """Read a results file in either shape the driver writes:
     mid-run ``{"best": {...}, "trials": [...]}`` or final
-    ``{"best_value": ..., "best_params": ..., "trials": [...]}``."""
+    ``{"best_value": ..., "best_params": ..., "trials": [...]}``.
+    Raises ValueError on unparseable JSON (main turns it into exit 1 —
+    the driver writes atomically, so this means a foreign/corrupt file,
+    not a mid-write snapshot)."""
     with open(path, encoding="utf-8") as f:
-        blob = json.load(f)
+        try:
+            blob = json.load(f)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"not a results JSON file: {e}") from e
     if "best" in blob:  # mid-run shape
         best = blob["best"]
     else:
@@ -94,11 +100,22 @@ def render_report(results: Dict[str, Any]) -> str:
         t["epochs_run"] for t in trials if t.get("epochs_run") is not None
     ]
     if epochs and n_pruned:
-        full = max(epochs)
+        # only trials whose epoch count is KNOWN enter both sides of the
+        # comparison, and the per-trial budget is taken from completed
+        # (unpruned) trials — counting unknown trials in the denominator
+        # (or budgeting from an all-pruned max) would overstate savings
+        completed = [
+            t["epochs_run"] for t in trials
+            if t.get("epochs_run") is not None and not t.get("pruned")
+        ]
+        full = max(completed) if completed else max(epochs)
         spent = sum(epochs)
+        budget = full * len(epochs)
         lines.append(
-            f"epochs spent: {spent} of {full * len(trials)} a prune-less "
-            f"study would have run ({full * len(trials) - spent} saved)"
+            f"epochs spent: {spent} of {budget} a prune-less study would "
+            f"have run ({budget - spent} saved"
+            + ("" if completed else "; lower bound — every trial pruned")
+            + ")"
         )
     best = results["best"]
     if best.get("best_params") is not None:
@@ -136,7 +153,11 @@ def main(argv=None) -> int:
     if not os.path.exists(path):
         print(f"results file not found: {path}")
         return 1
-    results = load_results(path)
+    try:
+        results = load_results(path)
+    except ValueError as e:
+        print(str(e))
+        return 1
     if not results["trials"]:
         print(f"no trials recorded yet in {path}")
         return 1
