@@ -421,3 +421,52 @@ def test_report_json_empty_dataset_fails_loudly(tmp_path, monkeypatch, capsys):
     )
     assert eval_main() == 1
     assert not report.exists()
+
+
+def test_error_gallery_tool(tmp_path, capsys):
+    """tools/error_gallery.py renders the worst rows of an eval CSV to a
+    PNG, skips exact matches by default, and fails loudly on a foreign
+    CSV."""
+    import cv2
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import error_gallery
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.default_rng(11)
+    rows = [
+        ("a.png", "abc", "xbc", 0.33, False),
+        ("b.png", "hello", "hello", 0.0, True),
+        ("c.png", "word", "", 1.0, False),
+    ]
+    for fname, *_ in rows:
+        cv2.imwrite(
+            str(root / fname), rng.integers(0, 256, (20, 60, 3), np.uint8)
+        )
+    csv_path = tmp_path / "evaluation_results_m.csv"
+    csv_path.write_text(
+        "image_path,true_text,predicted_text,cer,wer,exact_match\n"
+        + "\n".join(
+            f"{f},{t},{p},{c},{c},{m}" for f, t, p, c, m in rows
+        ) + "\n",
+        encoding="utf-8",
+    )
+    out_png = tmp_path / "worst.png"
+    assert error_gallery.main(
+        [str(csv_path), "--root", str(root), "--out", str(out_png), "--n", "2"]
+    ) == 0
+    assert out_png.exists() and out_png.stat().st_size > 0
+    assert "wrote 2 panels" in capsys.readouterr().out
+
+    # exact matches are skipped: only 2 error rows qualify even at n=16
+    assert error_gallery.main(
+        [str(csv_path), "--root", str(root), "--out", str(out_png)]
+    ) == 0
+    assert "wrote 2 panels" in capsys.readouterr().out
+
+    # a foreign CSV is refused with a message, not a KeyError
+    bad = tmp_path / "foreign.csv"
+    bad.write_text("a,b\n1,2\n", encoding="utf-8")
+    assert error_gallery.main([str(bad)]) == 1
+    assert "not an evaluation_results CSV" in capsys.readouterr().out
