@@ -990,6 +990,18 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
                 lm=export_req.get("lm"),
                 verbose=False,
             )
+            # a bucketed training run hands its (possibly auto-derived)
+            # bucket set to the deployment unit: fixed-width methods get
+            # one exported kernel per training width unless the request
+            # names its own set (long methods tile at tile_w instead)
+            from rcnn_ocr_tpu.export import LONG_METHODS
+
+            if (
+                width_buckets
+                and "width_buckets" not in export_req
+                and export_req["method"] not in LONG_METHODS
+            ):
+                knobs["width_buckets"] = list(width_buckets)
             calibrate = export_req.get("calibrate")
             if calibrate:
                 # static int8 (the bench headline path) straight out of

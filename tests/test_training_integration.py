@@ -464,3 +464,37 @@ def test_training_export_calibrated_int8_artifact(tiny_env):
     assert "quant_stats" in params
     log = open(os.path.join(exp_dir, "train.log"), encoding="utf-8").read()
     assert "Calibrated static int8 scales on 8 validation images" in log
+
+
+@pytest.mark.slow
+def test_training_export_inherits_width_buckets(tiny_env):
+    """A bucketed training run hands its auto-derived bucket widths to
+    the exported artifact: one serving kernel per training width, unless
+    the export block names its own set."""
+    exp_dir = str(tiny_env["tmp"] / "exp_export_buckets")
+    cfg = _base_cfg(
+        tiny_env, exp_dir, head="both", epochs=1, width_buckets=2,
+        export_artifact={
+            "method": "ctc_greedy", "slot": "last",
+            "canvas": [32, 64], "batch_size": 4, "max_length": 6,
+        },
+    )
+    result = run_training(cfg)
+    manifest = json.load(
+        open(os.path.join(result["artifact_dir"], "manifest.json"),
+             encoding="utf-8")
+    )
+    # the derived training buckets are logged; the artifact must carry
+    # exactly that set
+    log = open(os.path.join(exp_dir, "train.log"), encoding="utf-8").read()
+    import re
+
+    m = re.search(r"width_buckets=auto\(k=2\) -> \[([0-9, ]+)\]", log)
+    assert m, "training did not derive buckets"
+    derived = [int(v) for v in m.group(1).split(",")]
+    assert manifest["widths"] == sorted(derived)
+    kernels = [
+        f for f in os.listdir(result["artifact_dir"])
+        if f.endswith(".stablehlo")
+    ]
+    assert len(kernels) == len(derived)
