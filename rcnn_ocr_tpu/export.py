@@ -126,10 +126,22 @@ def validate_export_request(req: Any, head: str = "both") -> Dict[str, Any]:
         )
     if out.get("snap", "midpoint") not in ("midpoint", "blank"):
         raise ValueError(f"export_artifact: bad snap {out['snap']!r}")
-    if out.get("snap", "midpoint") != "midpoint" and method not in CTC_LONG_METHODS:
-        raise ValueError(f"export_artifact: snap requires a ctc_long method")
     if out.get("merge", "align") not in ("align", "text"):
         raise ValueError(f"export_artifact: bad merge {out['merge']!r}")
+    # knob PRESENCE must match the method: a policy knob the exporter
+    # would never read (even at its default value) signals a
+    # misconfigured block — refuse rather than silently drop it
+    for knob, methods, what in (
+        ("snap", CTC_LONG_METHODS, "the ctc_long junction stitcher"),
+        ("merge", ATTN_LONG_METHODS, "the attention_long junction merge"),
+        ("min_gap", HYBRID_LONG_METHODS, "the hybrid_long segmenter"),
+        ("margin", HYBRID_LONG_METHODS, "the hybrid_long segmenter"),
+    ):
+        if knob in out and method not in methods:
+            raise ValueError(
+                f"export_artifact: {knob} only steers {what} "
+                f"(method={method!r} never reads it)"
+            )
     if (
         out.get("tile_w") is not None or out.get("overlap") is not None
     ) and method not in LONG_METHODS:
@@ -156,6 +168,12 @@ def validate_export_request(req: Any, head: str = "both") -> Dict[str, Any]:
         raise ValueError(
             "export_artifact: lm_weight requires lm (path to a bigram "
             "LM.npz from tools/train_lm.py)"
+        )
+    if out.get("lm") and not out.get("lm_weight"):
+        raise ValueError(
+            "export_artifact: lm without lm_weight never fuses — set "
+            "lm_weight > 0 (the beam kernel bakes the table in only when "
+            "the fusion weight is nonzero)"
         )
     if out.get("length_penalty") and method not in (
         "attention_beam", "attention_long_beam", "hybrid_long_beam"
@@ -287,13 +305,6 @@ def export_serving_artifact(
         widths = [int(w) for w in (width_buckets or ocr.width_buckets or [ocr.img_w])]
     canvas_h, canvas_w = int(canvas[0]), int(canvas[1])
     os.makedirs(out_dir, exist_ok=True)
-    # re-export into the same directory must not leave dead kernels from a
-    # previous width set — the directory IS the deployment unit
-    for fname in os.listdir(out_dir):
-        if fname.startswith(
-            ("serving_w", "tiles_w", "decode_w")
-        ) and fname.endswith(".stablehlo"):
-            os.remove(os.path.join(out_dir, fname))
 
     var_specs = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), ocr.variables
@@ -306,6 +317,12 @@ def export_serving_artifact(
 
     files: Dict[str, str] = {}
     decode_files: Dict[str, str] = {}
+    # every kernel is traced and serialized IN MEMORY before any existing
+    # file is touched: tracing is where head-mismatch / unknown-method /
+    # missing-LM errors surface, and a failed re-export must leave a
+    # previously good artifact directory fully intact (same rule as the
+    # knob validation above)
+    pending_kernels: List[Tuple[str, bytes]] = []
     for w in widths:
         if method in HYBRID_LONG_METHODS:
             # hybrid ships TWO kernels per width: the CTC tile kernel
@@ -322,8 +339,7 @@ def export_serving_artifact(
                 tile_kernel, platforms=list(platforms) if platforms else None
             )(var_specs, tiles_spec)
             fname = f"tiles_w{w}.stablehlo"
-            with open(os.path.join(out_dir, fname), "wb") as f:
-                f.write(bytes(exp_tiles.serialize()))
+            pending_kernels.append((fname, bytes(exp_tiles.serialize())))
             files[str(w)] = fname
             dec_kernel = ocr.decode_kernel(
                 max_length=max_length,
@@ -337,8 +353,7 @@ def export_serving_artifact(
                 dec_kernel, platforms=list(platforms) if platforms else None
             )(var_specs, tiles_spec)
             dname = f"decode_w{w}.stablehlo"
-            with open(os.path.join(out_dir, dname), "wb") as f:
-                f.write(bytes(exp_dec.serialize()))
+            pending_kernels.append((dname, bytes(exp_dec.serialize())))
             decode_files[str(w)] = dname
             continue
         if long_mode:
@@ -383,9 +398,20 @@ def export_serving_artifact(
                 kernel, platforms=list(platforms) if platforms else None
             )(var_specs, raw_spec, sizes_spec)
             fname = f"serving_w{w}.stablehlo"
-        with open(os.path.join(out_dir, fname), "wb") as f:
-            f.write(bytes(exported.serialize()))
+        pending_kernels.append((fname, bytes(exported.serialize())))
         files[str(w)] = fname
+
+    # all kernels traced successfully — NOW touch the directory: purge
+    # dead kernels from a previous width set (the directory IS the
+    # deployment unit), then write the new set
+    for fname in os.listdir(out_dir):
+        if fname.startswith(
+            ("serving_w", "tiles_w", "decode_w")
+        ) and fname.endswith(".stablehlo"):
+            os.remove(os.path.join(out_dir, fname))
+    for fname, blob in pending_kernels:
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(blob)
 
     host_vars = jax.tree_util.tree_map(np.asarray, ocr.variables)
     with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
@@ -398,10 +424,10 @@ def export_serving_artifact(
     cs = ocr.charset
     # stamp the MINIMUM loader version that reads this artifact correctly,
     # so older loaders refuse loudly instead of mis-unpacking:
-    #   4 — argmax tile kernels (single [B,T] output; a v3 loader would
-    #       unpack them as the (vals, idx) pair)
-    #   3 — align attention_long kernels (extra alignment output) and the
-    #       hybrid two-kernel set
+    #   4 — argmax tile kernels: hybrid_long* (two-kernel set) and
+    #       greedy/midpoint ctc_long (single [B,T] output; a v3 loader
+    #       would unpack them as the (vals, idx) pair)
+    #   3 — align attention_long kernels (extra alignment output)
     #   2 — everything else
     uses_argmax_kernel = method in HYBRID_LONG_METHODS or (
         method == "ctc_long" and snap == "midpoint"
@@ -674,7 +700,6 @@ class ServingArtifact:
             from rcnn_ocr_tpu.postprocess import decode_attention_row
 
             ids = self._ids
-            beam = self.method == "attention_long_beam"
             aligned = m.get("merge", "text") == "align"
             tok_rows: List[np.ndarray] = []
             align_rows: List[np.ndarray] = []

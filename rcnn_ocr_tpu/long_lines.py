@@ -189,8 +189,16 @@ def resolve_tiling(
     # default: 64 px of shared context per junction, clamped so tiny tile
     # widths (e.g. a 64 px canvas) still leave unique frames
     overlap = int(overlap) if overlap is not None else min(64, tile_w // 2)
-    if not 0 < overlap < tile_w:
-        raise ValueError(f"overlap must be in (0, {tile_w}), got {overlap}")
+    # upper bound: each tile must ADVANCE by at least one encoder frame
+    # (TIME_DOWNSAMPLE px); with a near-total overlap the stitcher's
+    # >=1-frame-per-tile clamp would decode shared frames more than once
+    # (duplicated characters) — refuse loudly instead
+    if not 0 < overlap <= tile_w - TIME_DOWNSAMPLE:
+        raise ValueError(
+            f"overlap must be in (0, {tile_w - TIME_DOWNSAMPLE}] "
+            f"(tile_w - one {TIME_DOWNSAMPLE}-px encoder frame) so every "
+            f"tile contributes unique frames, got {overlap}"
+        )
     return tile_w, overlap
 
 
@@ -481,7 +489,12 @@ def hybrid_decode_driver(
             min_gap=min_gap, margin=margin, max_frames=frames_t,
         ):
             px_lo = max(0, int(s * stride))
-            px_hi = min(full_w, int(round(e * stride)))
+            # clamp to tile_w: floor(lo) + round(hi) can otherwise reach
+            # tile_w + 1 px at a non-frame-aligned tile_w (fractional
+            # stride), and a crop wider than the canvas would be silently
+            # DOWNSCALED by pad_one — the exact failure segment_spans'
+            # max_frames cap exists to prevent
+            px_hi = min(full_w, int(round(e * stride)), px_lo + tile_w)
             if px_hi <= px_lo:
                 continue
             crops.append(resized[img_i][:, px_lo:px_hi])

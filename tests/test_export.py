@@ -711,3 +711,71 @@ def test_serving_predict_fn_artifact_confidence(tiny_ckpt, tmp_path):
         serving_predict_fn(
             ServingArtifact.load(ctc_dir), return_confidence=True
         )
+
+
+def test_failed_reexport_leaves_artifact_intact(tiny_ckpt, tmp_path):
+    """Kernels are traced in memory BEFORE any existing file is touched:
+    a failed re-export (here: unknown method surfaces during tracing /
+    knob validation) must leave the previously good artifact loadable —
+    not a manifest pointing at deleted kernels (round-4 review)."""
+    ckpt_path, charset_path = tiny_ckpt
+    ocr = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        verbose=False,
+    )
+    out_dir = str(tmp_path / "artifact")
+    export_serving_artifact(
+        ocr, out_dir, method="attention", batch_size=2, canvas=(32, 64),
+        max_length=4,
+    )
+    imgs = _images(n=2)
+    before = ServingArtifact.load(out_dir).predict(imgs)
+
+    # attention-only engine: the CTC kernel build raises mid-export
+    attn_only = OCRInference(
+        ckpt_path, charset_path, img_h=32, img_w=64, dtype=jnp.float32,
+        with_ctc_head=False, verbose=False,
+    )
+    with pytest.raises(ValueError, match="CTC head"):
+        export_serving_artifact(
+            attn_only, out_dir, method="ctc_greedy", batch_size=2,
+            canvas=(32, 64),
+        )
+    # the old artifact still serves, byte-identically
+    assert ServingArtifact.load(out_dir).predict(imgs) == before
+
+
+def test_validate_export_request_knob_presence_rules():
+    """Policy knobs the exporter would never read are refused on
+    PRESENCE (round-4 review: merge/min_gap/margin on a ctc_long block
+    were silently dropped), and lm-without-lm_weight is refused too (the
+    kernel only bakes the table when the fusion weight is nonzero)."""
+    from rcnn_ocr_tpu.export import validate_export_request
+
+    with pytest.raises(ValueError, match="merge only steers"):
+        validate_export_request(
+            {"method": "ctc_long", "merge": "text"}, head="both"
+        )
+    with pytest.raises(ValueError, match="min_gap only steers"):
+        validate_export_request(
+            {"method": "ctc_long", "min_gap": 5}, head="both"
+        )
+    with pytest.raises(ValueError, match="margin only steers"):
+        validate_export_request(
+            {"method": "attention", "margin": 2}, head="both"
+        )
+    with pytest.raises(ValueError, match="snap only steers"):
+        validate_export_request(
+            {"method": "hybrid_long", "snap": "midpoint"}, head="both"
+        )
+    with pytest.raises(ValueError, match="never fuses"):
+        validate_export_request(
+            {"method": "attention_beam", "lm": "lm.npz"}, head="both"
+        )
+    # the knobs pass on their own methods
+    assert validate_export_request(
+        {"method": "hybrid_long", "min_gap": 5, "margin": 2}, head="both"
+    )["min_gap"] == 5
+    assert validate_export_request(
+        {"method": "ctc_long", "snap": "blank"}, head="both"
+    )["snap"] == "blank"

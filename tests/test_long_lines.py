@@ -596,3 +596,57 @@ def test_segment_spans_cap_includes_margin():
     spans = segment_spans(ids2, 0, min_gap=3, margin=2, max_frames=9)
     (s, e), = spans
     assert e - s == 9 and s == 0 and e == 9  # 1 margin frame kept right
+
+
+def test_resolve_tiling_rejects_near_total_overlap():
+    """Each tile must advance by at least one encoder frame: with a step
+    smaller than the 8-px frame stride the stitcher's >=1-frame-per-tile
+    clamp would decode shared frames twice (duplicated characters) —
+    refused loudly at resolve time (round-4 review)."""
+    from rcnn_ocr_tpu.long_lines import resolve_tiling
+    from rcnn_ocr_tpu.models.rcnn import TIME_DOWNSAMPLE
+
+    tile_w = 512
+    # the largest legal overlap leaves exactly one frame of advance
+    _, ov = resolve_tiling(tile_w, tile_w, tile_w - TIME_DOWNSAMPLE)
+    assert ov == tile_w - TIME_DOWNSAMPLE
+    with pytest.raises(ValueError, match="unique frames"):
+        resolve_tiling(tile_w, tile_w, tile_w - TIME_DOWNSAMPLE + 1)
+    with pytest.raises(ValueError, match="unique frames"):
+        resolve_tiling(tile_w, tile_w, tile_w - 1)
+
+
+def test_hybrid_crop_never_exceeds_tile_w():
+    """floor(lo)/round(hi) px math at a non-frame-aligned tile_w could
+    produce a tile_w+1 crop that pad_one would silently DOWNSCALE — the
+    driver clamps the crop to tile_w (round-4 review)."""
+    from rcnn_ocr_tpu.long_lines import hybrid_decode_driver
+
+    tile_w, frames_t, img_h = 514, 128, 32  # stride = 4.015625 px/frame
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (img_h, 4 * tile_w, 3)).astype(np.uint8)
+
+    def tile_fn(batch):
+        # every frame non-blank -> segment_spans emits max-width spans
+        return np.ones((batch.shape[0], frames_t), np.int32) * 7
+
+    seen_widths = []
+
+    def pad_one(crop):
+        seen_widths.append(crop.shape[1])
+        assert crop.shape[1] <= tile_w, "crop wider than the decode canvas"
+        out = np.zeros((img_h, tile_w, 3), np.float32)
+        out[:, : crop.shape[1]] = crop[:, :tile_w]
+        return out
+
+    def decode_fn(batch):
+        return np.zeros((batch.shape[0], 3), np.int32), None
+
+    out = hybrid_decode_driver(
+        [img], img_h=img_h, tile_w=tile_w, overlap=64, batch_size=4,
+        blank_id=0, min_gap=3, margin=1,
+        pad_one=pad_one, tile_fn=tile_fn, decode_fn=decode_fn,
+        decode_row=lambda pred, aux: "x",
+    )
+    assert out == ["x" * len(seen_widths)]
+    assert seen_widths and max(seen_widths) <= tile_w
