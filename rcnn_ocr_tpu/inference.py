@@ -457,24 +457,22 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
         lm = self._fusion_lm(lm_weight)
 
         def build():
-            from rcnn_ocr_tpu.ops.ctc import ctc_beam_search_jax
+            from rcnn_ocr_tpu.ops.ctc import ctc_beam_from_logits
 
             def run(variables, images):
                 logits = self.model.apply(
                     variables, device_normalize(images), train=False,
                     method=self.model.ctc_logits,
                 )
-                log_probs = jax.nn.log_softmax(logits, axis=-1)
-                vals, idx = jax.lax.top_k(log_probs, prune_k)
-                labels, lens, _ = ctc_beam_search_jax(
-                    vals, idx.astype(jnp.int32),
+                return ctc_beam_from_logits(
+                    logits,
                     blank_id=self.charset.ctc_blank_id,
                     beam_width=beam_width,
+                    prune_k=prune_k,
                     lm_logp=lm,
                     lm_weight=lm_weight,
                     sos_id=self.charset.sos_id,
                 )
-                return labels, lens
 
             return self._jit(run)
 
@@ -584,9 +582,19 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
         return int(shp[0]), int(shp[1])
 
     def _resolve_auto_buckets(self, images_list: List[ImageLike]) -> None:
-        """First call with data resolves ``width_buckets="auto:K"`` (the
-        training loop's waste-minimizing DP over this batch's widths)."""
-        if not self._auto_bucket_k or self.width_buckets or not images_list:
+        """First MULTI-image call resolves ``width_buckets="auto:K"`` (the
+        training loop's waste-minimizing DP over this batch's widths).
+
+        A single-image call (e.g. the documented daemon warm-up request)
+        must NOT lock the bucket set: one narrow line would pin a single
+        narrow bucket for the instance lifetime and every later wide
+        image would be silently squeezed into it.  Until a real batch
+        arrives, calls decode at the fixed ``img_w`` — padding waste, not
+        an accuracy hazard.  The widest bucket is always lifted to
+        ``img_w`` for the same reason: images wider than the sample batch
+        map to the largest bucket, which must be the full engine width.
+        """
+        if not self._auto_bucket_k or self.width_buckets or len(images_list) < 2:
             return
         from rcnn_ocr_tpu.data.loader import optimal_width_buckets, scaled_width
 
@@ -594,9 +602,10 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
         for img in images_list:
             h, w = self._probe_hw(img)
             scaled.append(scaled_width(h, w, self.img_h))
-        self.width_buckets = optimal_width_buckets(
+        buckets = optimal_width_buckets(
             scaled, self._auto_bucket_k, multiple=8, max_width=self.img_w
         )
+        self.width_buckets = sorted(set(buckets[:-1]) | {self.img_w})
         self._bucket_transforms = {
             w: ResizeAndPad(img_h=self.img_h, img_w=w) for w in self.width_buckets
         }

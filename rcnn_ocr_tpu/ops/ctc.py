@@ -396,3 +396,38 @@ def ids_to_text(
     return [
         "".join(itos[int(t)] for t in row if int(t) not in skip) for row in label_rows
     ]
+
+
+def ctc_beam_from_logits(
+    logits: jnp.ndarray,  # [B, T, V] CTC head outputs
+    *,
+    blank_id: int,
+    beam_width: int,
+    prune_k: int,  # top-k frame candidates the beam considers (>= 1)
+    lm_logp=None,  # [V, V] bigram log P(next|prev) or None
+    lm_weight: float = 0.0,
+    sos_id: int = 1,
+) -> tuple:
+    """log-softmax -> top-k frame pruning -> device prefix beam.
+
+    The ONE sequence every on-device CTC beam caller runs (`predict_ctc`'s
+    kernel and the serving/export kernel), factored so the pruning and
+    fusion semantics cannot diverge between paths.  Returns
+    ``(labels [B, T], lengths [B])``.
+    """
+    import jax
+
+    if prune_k < 1:
+        raise ValueError(f"prune_k must be >= 1 inside a kernel, got {prune_k}")
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    vals, idx = jax.lax.top_k(log_probs, prune_k)
+    labels, lens, _ = ctc_beam_search_jax(
+        vals,
+        idx.astype(jnp.int32),
+        blank_id=blank_id,
+        beam_width=beam_width,
+        lm_logp=lm_logp,
+        lm_weight=lm_weight,
+        sos_id=sos_id,
+    )
+    return labels, lens

@@ -34,6 +34,19 @@ class ServingEngineMixin:
         from rcnn_ocr_tpu.ops.ctc import ctc_greedy_decode_jnp
 
         lm = self._fusion_lm(lm_weight) if (attn_beam or beam_width) else None
+        # prune_k shapes ONLY the ctc-beam kernel: <= 0 means the full
+        # vocabulary (static too — a top_k(0) kernel would silently decode
+        # everything to ''); zeroed for every other method so the cache
+        # key never re-compiles byte-identical kernels under different
+        # unused values
+        if ctc and beam_width:
+            prune_k = (
+                self.charset.num_classes
+                if prune_k <= 0
+                else min(int(prune_k), self.charset.num_classes)
+            )
+        else:
+            prune_k = 0
 
         def build():
             from rcnn_ocr_tpu.ops.preprocess import resize_pad_normalize
@@ -56,21 +69,17 @@ class ServingEngineMixin:
                         variables, x, train=False, method=self.model.ctc_logits
                     )
                     if beam_width:
-                        from rcnn_ocr_tpu.ops.ctc import ctc_beam_search_jax
+                        from rcnn_ocr_tpu.ops.ctc import ctc_beam_from_logits
 
-                        log_probs = jax.nn.log_softmax(logits, axis=-1)
-                        vals, idx = jax.lax.top_k(
-                            log_probs, min(prune_k, self.charset.num_classes)
-                        )
-                        labels, lens, _ = ctc_beam_search_jax(
-                            vals, idx.astype(jnp.int32),
+                        return ctc_beam_from_logits(
+                            logits,
                             blank_id=self.charset.ctc_blank_id,
                             beam_width=beam_width,
+                            prune_k=prune_k,
                             lm_logp=lm,
                             lm_weight=lm_weight,
                             sos_id=self.charset.sos_id,
                         )
-                        return labels, lens
                     return ctc_greedy_decode_jnp(logits, self.charset.ctc_blank_id)
                 logits = self.model.apply(
                     variables, x, train=False, batch_max_length=steps - 1
@@ -112,6 +121,23 @@ class ServingEngineMixin:
             raise ValueError("this checkpoint has no CTC head")
         if not ctc and not self.model.with_attention_head:
             raise ValueError("this checkpoint has no attention head")
+        # refuse knobs this kernel would DROP (the silently-dropped-knob
+        # rule): a caller who asked for fusion/rank-normalization must not
+        # ship a kernel that never applies it
+        beam_method = method in ("attention_beam", "ctc_beam")
+        if beam_method and beam_width <= 1:
+            raise ValueError(
+                f"method={method!r} needs beam_width > 1, got {beam_width} "
+                "(a width-<=1 'beam' would silently run the greedy kernel)"
+            )
+        if lm_weight and not beam_method:
+            raise ValueError(
+                f"lm_weight is not supported with method={method!r}"
+            )
+        if length_penalty and method != "attention_beam":
+            raise ValueError(
+                f"length_penalty is not supported with method={method!r}"
+            )
         return self._serving_fn(
             max_length + 1,
             target_w or self.img_w,
@@ -119,12 +145,8 @@ class ServingEngineMixin:
             beam_width=beam_width if method == "ctc_beam" else 0,
             prune_k=prune_k,
             attn_beam=beam_width if method == "attention_beam" else 0,
-            length_penalty=(
-                length_penalty if method == "attention_beam" else 0.0
-            ),
-            lm_weight=(
-                lm_weight if method in ("attention_beam", "ctc_beam") else 0.0
-            ),
+            length_penalty=length_penalty,
+            lm_weight=lm_weight,
         )
 
     def decode_kernel(
@@ -150,6 +172,14 @@ class ServingEngineMixin:
         if beam_width and beam_width > 1:
             fn = self._attn_beam_align_fn if with_alignment else self._attn_beam_fn
             return fn(steps, int(beam_width), length_penalty, lm_weight)
+        # greedy kernels have no fusion/rank hooks — refuse, don't drop
+        if lm_weight:
+            raise ValueError(
+                "lm_weight requires beam_width > 1 (the greedy decode "
+                "kernel has no fusion hook)"
+            )
+        if length_penalty:
+            raise ValueError("length_penalty requires beam_width > 1")
         if with_alignment:
             return self._greedy_align_fn(steps)
         return self._greedy_fn(steps)
@@ -233,6 +263,12 @@ class ServingEngineMixin:
             )
         if length_penalty and not attn_beam:
             raise ValueError("length_penalty requires method='attention_beam'")
+        if (attn_beam or method == "ctc_beam") and beam_width <= 1:
+            raise ValueError(
+                f"method={method!r} needs beam_width > 1, got {beam_width} "
+                "(a width-<=1 'beam' would silently run the greedy kernel "
+                "and mis-decode its output as beam results)"
+            )
         if not ctc and not self.model.with_attention_head:
             raise ValueError("this checkpoint has no attention head; use predict_ctc()")
         from concurrent.futures import ThreadPoolExecutor

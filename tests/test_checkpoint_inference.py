@@ -596,3 +596,92 @@ def test_ckpt_info_tool(tiny_state, tmp_path, monkeypatch, capsys):
         _sys, "argv", ["ckpt_info.py", str(tmp_path / "nope.msgpack")]
     )
     assert ci.main() == 1
+
+
+def test_serving_beam_knob_validation_and_prune_k_full_vocab(
+    tiny_state, tmp_path
+):
+    """Round-4 review fixes: (a) prune_k<=0 on the serving ctc_beam means
+    the FULL vocabulary (a top_k(0) kernel silently decoded everything to
+    ''), and identical kernels share a cache entry regardless of unused
+    prune_k values; (b) beam methods refuse beam_width<=1 (the greedy
+    kernel would run and its output be mis-decoded as beam results);
+    (c) the public kernel accessors refuse knobs they would drop."""
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    model, state, _ = tiny_state
+    charset_path = tmp_path / "cs.txt"
+    charset_path.write_text("\n".join(TOKENS) + "\n", encoding="utf-8")
+    ckpt_path = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(ckpt_path, state)
+    ocr = OCRInference(
+        ckpt_path, str(charset_path), img_h=32, img_w=64,
+        dtype=jnp.float32, verbose=False,
+    )
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (24, 40, 3)).astype(np.uint8) for _ in range(2)]
+
+    # prune_k=0 == full vocabulary == any k >= num_classes
+    full = ocr.predict_serving(
+        imgs, max_length=4, batch_size=2, canvas=(32, 64),
+        method="ctc_beam", beam_width=4, prune_k=0,
+    )
+    clamped = ocr.predict_serving(
+        imgs, max_length=4, batch_size=2, canvas=(32, 64),
+        method="ctc_beam", beam_width=4, prune_k=999,
+    )
+    assert full == clamped
+    # ...and the two calls shared ONE kernel cache entry (no re-compile
+    # for byte-identical kernels under different unused prune_k spellings)
+    keys = [k for k in ocr._jit_cache if k[0] == "serving"]
+    assert len(keys) == 1
+
+    # beam methods refuse a width that would silently run greedy
+    with pytest.raises(ValueError, match="beam_width > 1"):
+        ocr.predict_serving(
+            imgs, canvas=(32, 64), method="attention_beam", beam_width=0,
+        )
+    with pytest.raises(ValueError, match="beam_width > 1"):
+        ocr.predict_serving(
+            imgs, canvas=(32, 64), method="ctc_beam", beam_width=1,
+        )
+    with pytest.raises(ValueError, match="beam_width > 1"):
+        ocr.serving_kernel(method="attention_beam", beam_width=1)
+
+    # public kernel accessors refuse knobs they would drop
+    with pytest.raises(ValueError, match="lm_weight"):
+        ocr.serving_kernel(method="attention", lm_weight=0.5)
+    with pytest.raises(ValueError, match="length_penalty"):
+        ocr.serving_kernel(method="ctc_beam", beam_width=4, length_penalty=1.0)
+    with pytest.raises(ValueError, match="fusion hook"):
+        ocr.decode_kernel(beam_width=0, lm_weight=0.5)
+    with pytest.raises(ValueError, match="length_penalty"):
+        ocr.decode_kernel(beam_width=1, length_penalty=2.0)
+
+
+def test_auto_buckets_not_locked_by_single_warmup_image(tiny_state, tmp_path):
+    """A one-image call (the documented daemon warm-up) must not pin the
+    auto bucket set — and once resolved, the widest bucket is the full
+    engine width so wide images are never squeezed (round-4 review)."""
+    from rcnn_ocr_tpu.inference import OCRInference
+
+    model, state, _ = tiny_state
+    charset_path = tmp_path / "cs.txt"
+    charset_path.write_text("\n".join(TOKENS) + "\n", encoding="utf-8")
+    ckpt_path = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(ckpt_path, state)
+    ocr = OCRInference(
+        ckpt_path, str(charset_path), img_h=32, img_w=64,
+        width_buckets="auto:2", dtype=jnp.float32, verbose=False,
+    )
+    rng = np.random.default_rng(1)
+    narrow = rng.integers(0, 256, (32, 12, 3)).astype(np.uint8)
+
+    # warm-up: one narrow image — decodes fine, resolution still deferred
+    ocr.predict(narrow, max_length=4)
+    assert ocr.width_buckets is None
+
+    wide = rng.integers(0, 256, (32, 60, 3)).astype(np.uint8)
+    ocr.predict([narrow, wide], max_length=4, batch_size=2)
+    assert ocr.width_buckets is not None
+    assert max(ocr.width_buckets) == 64  # the full engine width
