@@ -38,6 +38,7 @@ from __future__ import annotations
 import csv
 import os
 import random
+import threading
 from collections import Counter
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
@@ -72,11 +73,15 @@ class SkipLog:
         self.examples: Dict[str, List] = {r: [] for r in reasons}
         self.missing_chars: Counter = Counter()
         self.cap = cap
+        # note() is called from the indexing thread pool — unguarded
+        # read-modify-writes lose increments and the report undercounts
+        self._lock = threading.Lock()
 
     def note(self, reason: str, example=None) -> None:
-        self.counts[reason] += 1
-        if example is not None and len(self.examples[reason]) < self.cap:
-            self.examples[reason].append(example)
+        with self._lock:
+            self.counts[reason] += 1
+            if example is not None and len(self.examples[reason]) < self.cap:
+                self.examples[reason].append(example)
 
     def total(self) -> int:
         return sum(self.counts.values())
@@ -235,8 +240,17 @@ class OCRDataset:
             self._quarantine_announced = True
 
     def _pick_substitute(self, avoid: int) -> int:
+        # quarantined samples are rare: draw-and-retry is O(1) per fetch
+        # (the old full healthy-list rebuild was an O(n) scan per bad
+        # fetch, every epoch, on multi-million-row datasets); the exact
+        # scan remains as the correctness fallback when most rows are bad
+        n = len(self.samples)
+        for _ in range(32):
+            i = self._substitute_rng.randrange(n)
+            if i != avoid and not self._invalid_mask[i]:
+                return i
         healthy = [
-            i for i in range(len(self.samples))
+            i for i in range(n)
             if i != avoid and not self._invalid_mask[i]
         ]
         if not healthy:
@@ -300,7 +314,8 @@ class OCRDataset:
         if self._strict_charset:
             foreign = [c for c in label if c not in self.stoi]
             if foreign:
-                self._audit.missing_chars.update(foreign)
+                with self._audit._lock:
+                    self._audit.missing_chars.update(foreign)
                 uniq = "".join(sorted(set(foreign)))[:20]
                 self._audit.note("charset", (fname, label[:50], uniq))
                 return None
@@ -425,6 +440,28 @@ class MultiDataset:
         return sum(len(ds) for ds in self.datasets)
 
 
+def exact_quotas(batch_size: int, proportions) -> List[int]:
+    """Per-dataset batch quotas that sum EXACTLY to ``batch_size``.
+
+    The reference rounds each ``batch_size * prop`` independently
+    (`/root/reference/data/dataset.py`), which can sum past the batch
+    size (e.g. three 1/3 shares of 32 -> 11+11+11 = 33) — harmless for
+    torch's dynamic shapes, but this framework compiles ONE static batch
+    shape, and an oversized batch breaks grad-accum divisibility and the
+    mesh sharding contract.  Largest-remainder apportionment keeps every
+    quota within 1 of the reference's and the sum exact (deliberate,
+    documented divergence).
+    """
+    floors = [int(batch_size * p) for p in proportions]
+    remainders = [batch_size * p - f for p, f in zip(proportions, floors)]
+    short = batch_size - sum(floors)
+    for i in sorted(
+        range(len(proportions)), key=lambda i: -remainders[i]
+    )[:short]:
+        floors[i] += 1
+    return floors
+
+
 class ProportionalBatchSampler:
     """Batch sampler mixing K datasets at fixed per-batch proportions.
 
@@ -447,7 +484,7 @@ class ProportionalBatchSampler:
         self.batch_size = batch_size
         self.proportions = list(proportions)
         self._rng = np.random.default_rng(seed)
-        self._quotas = [int(round(batch_size * p)) for p in proportions]
+        self._quotas = exact_quotas(batch_size, proportions)
         self._streams = [self._endless_shuffle(len(ds)) for ds in self.datasets]
 
     def _endless_shuffle(self, n: int) -> Iterator[int]:

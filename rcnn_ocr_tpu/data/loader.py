@@ -228,6 +228,11 @@ class DataLoader:
                     continue
             return False
 
+        # a producer crash must SURFACE in the consumer, not masquerade as
+        # a normally finished epoch (the sentinel alone would let training
+        # continue on silently truncated/empty epochs)
+        producer_error: List[BaseException] = []
+
         def producer():
             try:
                 for indices in self.batch_sampler:
@@ -236,6 +241,8 @@ class DataLoader:
                     batch = self._make_batch(indices, pool)
                     if batch is not None and not put(batch):
                         return
+            except BaseException as e:
+                producer_error.append(e)
             finally:
                 put(sentinel)
 
@@ -245,6 +252,8 @@ class DataLoader:
             while True:
                 batch = q.get()
                 if batch is sentinel:
+                    if producer_error:
+                        raise producer_error[0]
                     break
                 yield batch
         finally:
@@ -414,16 +423,11 @@ def probe_dataset_buckets(
 
     Uses :func:`rcnn_ocr_tpu.data.transforms.image_size` (no pixel decode)
     over the dataset's ``sample_path`` view, threaded — a one-time indexing
-    pass, ~microseconds per file.
+    pass, ~microseconds per file.  Composes the two probing primitives so
+    there is ONE header-probe implementation to maintain.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
-    from rcnn_ocr_tpu.data.transforms import image_size
-
-    paths = [dataset.sample_path(i) for i in range(len(dataset))]
-    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
-        sizes = list(pool.map(image_size, paths))
-    return assign_width_buckets(sizes, img_h, buckets)
+    scaled = probe_scaled_widths(dataset, img_h, num_workers=num_workers)
+    return [bucket_for_width(w, buckets) for w in scaled]
 
 
 class ProcessShardedBatchSampler:
@@ -449,18 +453,45 @@ class ProcessShardedBatchSampler:
         self.pidx = process_index
         self.pcount = process_count
 
+    @staticmethod
+    def _parts(batch):
+        """(width tag or None, row list) of a global batch."""
+        if isinstance(batch, BucketBatch):
+            return batch.width, list(batch.indices)
+        return None, list(batch)
+
+    def _emit(self, width, rows):
+        local = rows[self.pidx * (len(rows) // self.pcount):
+                     (self.pidx + 1) * (len(rows) // self.pcount)]
+        return BucketBatch(width, local) if width is not None else local
+
     def __iter__(self):
+        # rows a P-way split cannot place (len % P) CARRY into the next
+        # same-width batch instead of being dropped: dropping them
+        # silently excluded up to P-1 rows of EVERY partial batch from
+        # validation metrics (and training epochs).  The carry is keyed by
+        # the batch's static width so bucketed batches never mix widths;
+        # every process computes the identical carry (replicated
+        # samplers), so collectives stay in lockstep.  At epoch end at
+        # most P-1 rows per width remain unplaceable.
+        carries: dict = {}
         for batch in self.sampler:
-            local = len(batch) // self.pcount
-            if local == 0:
-                # a global batch with fewer rows than processes cannot be
-                # split; every process skips it (replicated samplers agree),
-                # keeping the per-process step counts — and therefore the
-                # collectives — in lockstep
+            width, rows = self._parts(batch)
+            rows = carries.pop(width, []) + rows
+            placeable = (len(rows) // self.pcount) * self.pcount
+            if placeable == 0:
+                carries[width] = rows
                 continue
-            yield batch[self.pidx * local : (self.pidx + 1) * local]
+            carries[width] = rows[placeable:]
+            yield self._emit(width, rows[:placeable])
+        for width, rows in carries.items():
+            placeable = (len(rows) // self.pcount) * self.pcount
+            if placeable:
+                yield self._emit(width, rows[:placeable])
 
     def __len__(self) -> int:
+        # advisory (progress bars): the carry can add one flush batch per
+        # width at epoch end
         return len(self.sampler)  # type: ignore[arg-type]
 
 
@@ -526,7 +557,11 @@ class BucketedProportionalBatchSampler:
         self.proportions = list(proportions)
         self.quota_mode = quota_mode
         self._rng = np.random.default_rng(seed)
-        self._quotas = [int(round(batch_size * p)) for p in proportions]
+        # largest-remainder so the quotas sum EXACTLY to the static batch
+        # (independent round() can sum past it — see dataset.exact_quotas)
+        from rcnn_ocr_tpu.data.dataset import exact_quotas
+
+        self._quotas = exact_quotas(batch_size, proportions)
         self.buckets = sorted({int(b) for bo in bucket_ofs for b in bo})
 
         self._pools: List[Dict[int, np.ndarray]] = []

@@ -149,6 +149,14 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
         raise ValueError("eval_every must be >= 1")
     train_proportions = cfg.get("train_proportions")
     val_size = cfg.get("val_size", 3000)
+    if val_size is not None and int(val_size) < 1:
+        # a falsy 0 used to silently become the 3000 default — the
+        # random-split validator needs at least one row; zero-validation
+        # runs should supply explicit val_csvs/val_roots instead
+        raise ValueError(
+            f"val_size must be >= 1 (got {val_size}); for no random-split "
+            "holdout provide explicit val_csvs/val_roots"
+        )
     num_workers = cfg.get("num_workers", 0)
     head = cfg.get("head", "attention")
     compute_dtype = _dtype_from_name(cfg.get("compute_dtype", "bfloat16"))
@@ -225,7 +233,9 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
         lstm_layers=cfg.get("lstm_layers", 2),
         width_mult=cfg.get("width_mult", 1.0),
         dtype=compute_dtype,
-        use_pallas=cfg.get("use_pallas", True) and jax.devices()[0].platform == "tpu",
+        # fallback literal matches the measured DEFAULTS entry (XLA fusion
+        # beats the pallas kernels at these shapes — CLAUDE.md)
+        use_pallas=cfg.get("use_pallas", False) and jax.devices()[0].platform == "tpu",
     )
 
     rng = jax.random.PRNGKey(seed)
@@ -360,7 +370,7 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
             logger.info(f"  Dataset {i}: separate validation set from {val_roots[i]}")
         else:
             full = make_ds(train_csv, train_root, None)
-            n_val = min(val_size if val_size else 3000, len(full))
+            n_val = min(val_size if val_size is not None else 3000, len(full))
             n_train = len(full) - n_val
             if n_train <= 0:
                 raise ValueError(
@@ -591,6 +601,40 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
     start_epoch = 1
     global_step = 0
     best_val_loss, best_val_acc = float("inf"), -1.0
+    if resume_path and os.path.isfile(resume_path) and resume_path.endswith(
+        (".pth", ".pt")
+    ):
+        # a reference checkpoint carries weights only (no optimizer /
+        # scheduler / counters) — warm-start from it rather than silently
+        # training from scratch inside the resumed experiment dir
+        from rcnn_ocr_tpu.utils.common import load_model
+
+        _, imported, _ = load_model(
+            resume_path,
+            itos=list(charset.itos),
+            hidden_size=hidden_size,
+        )
+        state = state.replace(
+            params=jax.tree_util.tree_map(
+                jax.device_put, imported["params"], p_shard
+            ),
+            batch_stats=jax.device_put(
+                imported.get("batch_stats", state.batch_stats),
+                replicated_sharding(mesh),
+            ),
+        )
+        logger.info(
+            f"Warm start from torch checkpoint: {resume_path} "
+            "(weights only — optimizer/scheduler/epoch counters start fresh)"
+        )
+    elif resume_path and os.path.isfile(resume_path) and not resume_path.endswith(
+        ".msgpack"
+    ):
+        raise ValueError(
+            f"resume_path points at an unsupported checkpoint format: "
+            f"{resume_path} (expected .msgpack, or .pth/.pt for a "
+            "weights-only warm start)"
+        )
     if resume_path and os.path.isfile(resume_path) and resume_path.endswith(".msgpack"):
         blob = ckpt_io.load_checkpoint_blob(resume_path)
         state = ckpt_io.restore_train_state(blob, state)
@@ -815,11 +859,12 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
                                     not in (charset.sos_id, charset.eos_id, charset.pad_id)
                                 ][:width]
                                 pred_ids[r, : len(row)] = row
+                        itos = list(charset.itos)  # ONE copy, not 2/sample
                         for p_row, t_row in zip(pred_ids, tgt_ids):
                             hyps.append(
                                 decode_tokens(
                                     p_row,
-                                    list(charset.itos),
+                                    itos,
                                     charset.pad_id,
                                     charset.eos_id,
                                     charset.blank_id,
@@ -828,7 +873,7 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
                             refs.append(
                                 decode_tokens(
                                     t_row,
-                                    list(charset.itos),
+                                    itos,
                                     charset.pad_id,
                                     charset.eos_id,
                                     charset.blank_id,

@@ -172,3 +172,46 @@ def test_concat_dataset(synth, tmp_path, tiny_charset):
     assert len(cat) == len(ds1) + len(ds2)
     _, last_label = cat[len(cat) - 1]
     assert last_label == ds2.samples[-1][1]
+
+
+def test_exact_quotas_sum_to_batch():
+    """Largest-remainder apportionment: quotas sum EXACTLY to batch_size
+    (independent round() summed three 1/3 shares of 32 to 33, breaking
+    the static-batch contract — round-4 review), each within 1 of the
+    reference's rounding."""
+    from rcnn_ocr_tpu.data.dataset import exact_quotas
+
+    assert exact_quotas(32, [1 / 3, 1 / 3, 1 / 3]) == [11, 11, 10]
+    assert exact_quotas(32, [0.5, 0.5]) == [16, 16]
+    assert exact_quotas(8, [0.9, 0.1]) == [7, 1]
+    assert exact_quotas(4, [0.26, 0.26, 0.26, 0.22]) == [1, 1, 1, 1]
+    import random
+
+    rng = random.Random(0)
+    for _ in range(200):
+        k = rng.randint(1, 6)
+        raw = [rng.random() + 1e-9 for _ in range(k)]
+        props = [p / sum(raw) for p in raw]
+        bs = rng.randint(k, 64)
+        q = exact_quotas(bs, props)
+        assert sum(q) == bs
+        assert all(abs(qi - bs * pi) < 1.0 + 1e-9 for qi, pi in zip(q, props))
+
+
+def test_proportional_sampler_batches_never_exceed_batch_size(tmp_path):
+    """Three 1/3 proportions at batch 32 used to yield 33-row batches."""
+    from rcnn_ocr_tpu.data.dataset import ProportionalBatchSampler
+
+    class _DS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+    sampler = ProportionalBatchSampler(
+        [_DS(60), _DS(60), _DS(60)], batch_size=32,
+        proportions=[1 / 3, 1 / 3, 1 / 3], seed=0,
+    )
+    batches = list(sampler)
+    assert batches and all(len(b) == 32 for b in batches)

@@ -498,3 +498,46 @@ def test_training_export_inherits_width_buckets(tiny_env):
         if f.endswith(".stablehlo")
     ]
     assert len(kernels) == len(derived)
+
+
+@pytest.mark.slow
+def test_resume_from_torch_checkpoint_warm_starts(tiny_env):
+    """resume_path at a reference .pth (a path Config's resume resolution
+    can produce) used to be SILENTLY skipped — fresh weights overwrote
+    the resumed experiment.  It now warm-starts the model weights (no
+    optimizer/counters — a .pth has none) and says so; an unknown
+    checkpoint format is refused loudly (round-4 review)."""
+    from rcnn_ocr_tpu.interop.torch_export import save_torch_checkpoint
+    from rcnn_ocr_tpu.training import checkpoint as ckpt_io
+
+    exp_dir = str(tiny_env["tmp"] / "exp_warm_src")
+    cfg = _base_cfg(tiny_env, exp_dir, epochs=1)
+    run_training(cfg)
+
+    # export the trained weights to the reference layout
+    from rcnn_ocr_tpu.utils.common import load_model
+
+    _, variables, _ = load_model(
+        os.path.join(exp_dir, "last_ckpt.msgpack")
+    )
+    pth = str(tiny_env["tmp"] / "warm.pth")
+    save_torch_checkpoint(pth, variables)
+
+    exp2 = str(tiny_env["tmp"] / "exp_warm_dst")
+    cfg2 = _base_cfg(tiny_env, exp2, epochs=1, resume_path=pth)
+    result = run_training(cfg2)
+    assert np.isfinite(result["val_loss"])
+    # Config's resume overlay may redirect exp_dir next to the checkpoint
+    log = open(
+        os.path.join(result["exp_dir"], "train.log"), encoding="utf-8"
+    ).read()
+    assert "Warm start from torch checkpoint" in log
+
+    # unknown format: loud refusal, not a silent fresh start
+    bogus = tiny_env["tmp"] / "ckpt.foo"
+    bogus.write_bytes(b"junk")
+    with pytest.raises(ValueError, match="unsupported checkpoint format"):
+        run_training(_base_cfg(
+            tiny_env, str(tiny_env["tmp"] / "exp_warm_bad"),
+            epochs=1, resume_path=str(bogus),
+        ))
