@@ -212,6 +212,15 @@ class AttentionDecoder(nn.Module):
             logits_t = self._mask_blank(logits_t.astype(jnp.float32))
             pred = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
             if use_sampling:
+                # DELIBERATE divergence from the reference's scheduled
+                # sampling (model.py:138-144): the reference argmaxes the
+                # UNMASKED logits of a dropout-perturbed hidden state, so
+                # it can feed <BLANK> back into the decoder early in joint
+                # training; this feedback uses the blank-MASKED,
+                # deterministic argmax — the token stream the model will
+                # actually see at inference.  Trajectories under
+                # sampling_prob > 0 therefore differ from the reference's
+                # (documented in PARITY.md).
                 # one coin per step for the whole batch, like the reference
                 coin = jax.random.uniform(jax.random.fold_in(base_rng, 100_000 + t))
                 next_targets = jnp.where(coin < self.sampling_prob, pred, teacher_t)
@@ -265,9 +274,12 @@ class AttentionDecoder(nn.Module):
         accumulating (matching `decode_tokens`' stop-at-EOS semantics).
 
         Returns ``(tokens [B, steps] int32, scores [B] float32)`` — the best
-        hypothesis per row; ``scores`` is its cumulative log-prob, optionally
-        normalized by ``len**length_penalty`` (0 = pure sum, the greedy-
-        comparable default).  ``beam_width=1`` reproduces greedy decoding.
+        hypothesis per row.  ``length_penalty`` rank-normalizes the FINAL
+        winner selection by ``len**length_penalty`` (0 = pure sum, the
+        greedy-comparable default), but ``scores`` is always the winner's
+        RAW cumulative log-prob — `postprocess.decode_beam_row`'s
+        per-character geometric-mean confidence depends on that.
+        ``beam_width=1`` reproduces greedy decoding.
 
         ``lm_logp`` ([V, V] bigram ``log P(next | prev)``) enables shallow
         fusion: each step adds ``lm_weight * lm_logp[prev_token]`` to the

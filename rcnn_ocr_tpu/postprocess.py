@@ -24,8 +24,14 @@ from rcnn_ocr_tpu.vocab.charset import decode_tokens
 
 
 def pad_rows(rows: List[Any], batch_size: int) -> Tuple[List[Any], int]:
-    """Pad a short chunk to the static batch by repeating the last row."""
+    """Pad a short chunk to the static batch by repeating the last row.
+
+    An empty chunk is a contract error (there is nothing to repeat) —
+    callers chunking possibly-empty work lists must skip empties; raising
+    here beats an IndexError deep inside a decode loop."""
     n_real = len(rows)
+    if n_real == 0:
+        raise ValueError("pad_rows needs at least one row")
     if n_real < batch_size:
         rows = rows + [rows[-1]] * (batch_size - n_real)
     return rows, n_real
