@@ -150,7 +150,11 @@ def param_shardings(
                 for dim, axis in enumerate(spec):
                     if axis is None:
                         continue
-                    if dim >= leaf.ndim or leaf.shape[dim] % model_size != 0:
+                    # divisibility against the axis the spec actually
+                    # names (a custom rule may shard over any mesh axis,
+                    # not just 'model')
+                    axis_size = mesh.shape.get(axis, model_size)
+                    if dim >= leaf.ndim or leaf.shape[dim] % axis_size != 0:
                         ok = False
                         break
                 if ok:
@@ -210,6 +214,21 @@ def local_batch_rows(*arrays) -> list:
     """
     outs = []
     for arr in arrays:
+        # contract check: inputs must be sharded on dim 0 (batch).  An
+        # array sharded on some other dim has identical dim-0 slice
+        # starts on every shard — the dedup below would then silently
+        # keep ONE shard's data (a fraction of the rows) with no error.
+        n_shards = len(arr.addressable_shards)
+        starts = {s.index[0].start or 0 for s in arr.addressable_shards}
+        if n_shards > 1 and len(starts) == 1 and any(
+            (idx.start or 0) != 0
+            for s in arr.addressable_shards
+            for idx in s.index[1:]
+        ):
+            raise ValueError(
+                "local_batch_rows expects batch-sharded (dim 0) arrays; "
+                f"got an array sharded on a non-leading dim: {arr.sharding}"
+            )
         seen = set()
         shards = []
         for s in arr.addressable_shards:

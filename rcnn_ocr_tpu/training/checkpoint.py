@@ -91,11 +91,18 @@ def save_checkpoint(
         state, scheduler_state, epoch, global_step, best_val_loss,
         best_val_acc, itos, stoi, config, log_dir,
     )
-    data = serialization.msgpack_serialize(blob)
+    _atomic_write(path, serialization.msgpack_serialize(blob))
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    """tmp-write + os.replace: a preemption never corrupts a slot.
+
+    THE one write path for every checkpoint byte (sync, weights, async
+    worker) so write-path hardening never has to land three times."""
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
-    os.replace(tmp, path)  # atomic: a preemption never corrupts a slot
+    os.replace(tmp, path)
 
 
 def _weights_blob(state) -> Dict[str, Any]:
@@ -113,11 +120,7 @@ def _weights_blob(state) -> Dict[str, Any]:
 
 
 def save_weights(path: str, state) -> None:
-    blob = _weights_blob(state)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(serialization.msgpack_serialize(blob))
-    os.replace(tmp, path)
+    _atomic_write(path, serialization.msgpack_serialize(_weights_blob(state)))
 
 
 class AsyncCheckpointer:
@@ -145,11 +148,7 @@ class AsyncCheckpointer:
                 if item is None:
                     return
                 path, blob = item
-                data = serialization.msgpack_serialize(blob)
-                tmp = path + ".tmp"
-                with open(tmp, "wb") as f:
-                    f.write(data)
-                os.replace(tmp, path)
+                _atomic_write(path, serialization.msgpack_serialize(blob))
             except Exception as e:  # surfaced on wait()
                 self._errors.append((item[0] if item else "?", e))
             finally:
@@ -175,9 +174,15 @@ class AsyncCheckpointer:
             raise RuntimeError(f"async checkpoint write failed for {path}: {err}")
 
     def close(self):
-        self.wait()
-        self._q.put(None)
-        self._worker.join(timeout=5.0)
+        # the shutdown sentinel goes in a finally: if wait() raises a
+        # stashed write error, the worker must still be released or it
+        # blocks on q.get() forever (one leaked thread per failed trial
+        # in a long-lived multi-trial HPO process)
+        try:
+            self.wait()
+        finally:
+            self._q.put(None)
+            self._worker.join(timeout=5.0)
 
 
 def load_checkpoint_blob(path: str) -> Dict[str, Any]:

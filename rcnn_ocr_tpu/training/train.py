@@ -639,12 +639,20 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
         blob = ckpt_io.load_checkpoint_blob(resume_path)
         state = ckpt_io.restore_train_state(blob, state)
         # restored leaves are host arrays — re-shard onto the mesh so the
-        # first step's input shardings match its output's (no recompile)
+        # first step's input shardings match its output's (no recompile);
+        # the EMA tree rides the SAME param shardings or the first
+        # post-resume step of an EMA run recompiles (and under TP the EMA
+        # tree would never be placed with p_shard at all)
         state = state.replace(
             step=jax.device_put(state.step, replicated_sharding(mesh)),
             params=jax.tree_util.tree_map(jax.device_put, state.params, p_shard),
             batch_stats=jax.device_put(state.batch_stats, replicated_sharding(mesh)),
             opt_state=jax.device_put(state.opt_state, replicated_sharding(mesh)),
+            ema_params=(
+                jax.tree_util.tree_map(jax.device_put, state.ema_params, p_shard)
+                if state.ema_params is not None
+                else None
+            ),
         )
         if scheduler is not None and blob.get("scheduler_state"):
             scheduler.load_state_dict(blob["scheduler_state"])

@@ -111,6 +111,14 @@ def make_train_step(
     """
 
     def _advance_ema(ema, new_params):
+        if ema_decay > 0.0 and ema is None:
+            # trace-time check: ema_decay>0 against a state built without
+            # an EMA tree would otherwise silently train with no EMA and
+            # die much later (or deploy raw weights without warning)
+            raise ValueError(
+                "ema_decay > 0 requires a state built with "
+                "create_train_state(..., ema=True)"
+            )
         if ema_decay <= 0.0 or ema is None:
             return ema
         d = jnp.float32(ema_decay)
