@@ -94,32 +94,84 @@ def image_size(path: str) -> "tuple[int, int]":
             h = int.from_bytes(head[20:24], "big")
             return h, w
         if head.startswith(b"BM") and len(head) >= 26:
-            w = int.from_bytes(head[18:22], "little", signed=True)
-            h = int.from_bytes(head[22:26], "little", signed=True)
-            return abs(h), abs(w)
-        if head[:6] in (b"GIF87a", b"GIF89a"):
+            # dib header size at offset 14 picks the field layout: the
+            # 12-byte OS/2 BITMAPCOREHEADER stores int16 w/h at 18/20;
+            # everything newer (BITMAPINFOHEADER 40+) int32 at 18/22 —
+            # parsing core-header files with the 40-byte offsets yields
+            # multi-million-pixel nonsense (round-4 review)
+            dib = int.from_bytes(head[14:18], "little")
+            if dib == 12:
+                w = int.from_bytes(head[18:20], "little", signed=True)
+                h = int.from_bytes(head[20:22], "little", signed=True)
+            else:
+                w = int.from_bytes(head[18:22], "little", signed=True)
+                h = int.from_bytes(head[22:26], "little", signed=True)
+            if w != 0 and h != 0:
+                return abs(h), abs(w)
+            # zero dims = a header this parser doesn't understand; fall
+            # through to the decode below
+        elif head[:6] in (b"GIF87a", b"GIF89a"):
             w = int.from_bytes(head[6:8], "little")
             h = int.from_bytes(head[8:10], "little")
             return h, w
-        if head.startswith(b"\xff\xd8"):  # JPEG: walk segments to an SOF marker
+        elif head.startswith(b"\xff\xd8"):  # JPEG: walk segments to SOF
             f.seek(2)
+            swap = False  # EXIF orientation 5-8 = decoded image transposed
             while True:
                 seg = f.read(4)
                 if len(seg) < 4 or seg[0] != 0xFF:
                     break
                 marker, size = seg[1], int.from_bytes(seg[2:4], "big")
+                if marker == 0xE1 and size > 8:  # APP1: maybe EXIF
+                    body = f.read(size - 2)
+                    orient = _exif_orientation(body)
+                    if orient in (5, 6, 7, 8):
+                        swap = True
+                    continue
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     sof = f.read(5)
                     h = int.from_bytes(sof[1:3], "big")
                     w = int.from_bytes(sof[3:5], "big")
-                    return h, w
+                    # cv2.imdecode auto-applies EXIF rotation, so the
+                    # probed size must match the DECODED orientation or
+                    # bucketing / canvas="auto" see an inverted aspect
+                    return (w, h) if swap else (h, w)
                 f.seek(size - 2, os.SEEK_CUR)
     img = imread_cv2(path)
     return img.shape[0], img.shape[1]
 
 
+def _exif_orientation(app1: bytes) -> int:
+    """EXIF orientation (tag 0x0112) from a JPEG APP1 body, 0 if absent.
+
+    Minimal TIFF walk — enough to know whether the decoder will transpose
+    the image (orientations 5-8); anything unparseable returns 0."""
+    try:
+        if not app1.startswith(b"Exif\x00\x00"):
+            return 0
+        tiff = app1[6:]
+        if tiff[:2] == b"II":
+            bo = "little"
+        elif tiff[:2] == b"MM":
+            bo = "big"
+        else:
+            return 0
+        ifd0 = int.from_bytes(tiff[4:8], bo)
+        n = int.from_bytes(tiff[ifd0 : ifd0 + 2], bo)
+        for i in range(n):
+            e = ifd0 + 2 + 12 * i
+            tag = int.from_bytes(tiff[e : e + 2], bo)
+            if tag == 0x0112:
+                return int.from_bytes(tiff[e + 8 : e + 10], bo)
+        return 0
+    except Exception:
+        return 0
+
+
 def ensure_rgb(img: np.ndarray) -> np.ndarray:
-    """Gray/RGBA -> RGB uint8."""
+    """Gray (HxW or HxWx1) / RGBA -> RGB uint8."""
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]  # HxWx1 grayscale (np.expand_dims et al.)
     if img.ndim == 2:
         return cv2.cvtColor(img, cv2.COLOR_GRAY2RGB)
     if img.shape[2] == 4:

@@ -199,16 +199,20 @@ def device_train_augment(
     k_ssr, k_bc, k_inv = jax.random.split(key, 3)
     x = shift_scale_rotate_batch(
         x, k_ssr,
-        p=float(p.get("p_ShiftScaleRotate", 0.3)),
-        shift_limit=float(p.get("shift_limit", 0.03)),
-        scale_limit=float(p.get("scale_limit", 0.08)),
-        rotate_limit=float(p.get("rotate_limit", 3.0)),
+        # coercions mirror the HOST pipeline exactly (transforms.py:
+        # round(.., 4) on the float limits, int() on rotate — itself
+        # reference parity), so device_augment trains the same
+        # distribution as the host path for any config value
+        p=round(float(p.get("p_ShiftScaleRotate", 0.3)), 4),
+        shift_limit=round(float(p.get("shift_limit", 0.03)), 4),
+        scale_limit=round(float(p.get("scale_limit", 0.08)), 4),
+        rotate_limit=int(p.get("rotate_limit", 3)),
     )
     x = brightness_contrast_batch(
         x, k_bc,
-        p=float(p.get("p_BrightnessContrast", 0.3)),
-        brightness_limit=float(p.get("brightness_limit", 0.2)),
-        contrast_limit=float(p.get("contrast_limit", 0.2)),
+        p=round(float(p.get("p_BrightnessContrast", 0.3)), 4),
+        brightness_limit=round(float(p.get("brightness_limit", 0.2)), 4),
+        contrast_limit=round(float(p.get("contrast_limit", 0.2)), 4),
     )
-    x = invert_batch(x, k_inv, p=float(p.get("invert_p", 0.0)))
+    x = invert_batch(x, k_inv, p=round(float(p.get("invert_p", 0.0)), 4))
     return (x - 0.5) / 0.5

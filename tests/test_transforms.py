@@ -112,3 +112,75 @@ def test_build_file_index_and_imread(tmp_path):
 def test_imread_missing_raises(tmp_path):
     with pytest.raises(Exception):
         imread_cv2(str(tmp_path / "missing.png"))
+
+
+def test_image_size_exif_rotated_jpeg(tmp_path):
+    """cv2 auto-applies EXIF orientation at decode; the header probe must
+    report the DECODED orientation or bucketing / canvas='auto' see an
+    inverted aspect (round-4 review, verified against cv2 5.0)."""
+    import cv2
+
+    from rcnn_ocr_tpu.data.transforms import image_size, imread_cv2
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (37, 211, 3)).astype(np.uint8)
+    plain = str(tmp_path / "plain.jpg")
+    cv2.imwrite(plain, img)
+    assert image_size(plain) == imread_cv2(plain).shape[:2]
+
+    # splice an EXIF APP1 with orientation=6 (90-degree rotation) into
+    # the JPEG stream right after SOI
+    exif = (
+        b"Exif\x00\x00"
+        + b"II*\x00\x08\x00\x00\x00"          # TIFF little-endian, IFD at 8
+        + b"\x01\x00"                           # one entry
+        + b"\x12\x01\x03\x00\x01\x00\x00\x00\x06\x00\x00\x00"  # 0x0112=6
+        + b"\x00\x00\x00\x00"                   # next IFD = none
+    )
+    app1 = b"\xff\xe1" + (len(exif) + 2).to_bytes(2, "big") + exif
+    raw = open(plain, "rb").read()
+    rotated = str(tmp_path / "rotated.jpg")
+    open(rotated, "wb").write(raw[:2] + app1 + raw[2:])
+
+    decoded = imread_cv2(rotated)
+    probed = image_size(rotated)
+    assert probed == decoded.shape[:2], (probed, decoded.shape)
+
+
+def test_image_size_os2_core_header_bmp(tmp_path):
+    """A 12-byte OS/2 BITMAPCOREHEADER stores int16 width/height at
+    offsets 18/20 — parsing it with the 40-byte-header offsets yields
+    multi-million-pixel nonsense (round-4 review)."""
+    from rcnn_ocr_tpu.data.transforms import image_size
+
+    w, h, bpp = 100, 50, 24
+    row = (w * 3 + 3) & ~3
+    pixel_bytes = row * h
+    header = (
+        b"BM"
+        + (26 + pixel_bytes).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (26).to_bytes(4, "little")          # pixel data offset
+        + (12).to_bytes(4, "little")          # BITMAPCOREHEADER size
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+    )
+    path = str(tmp_path / "core.bmp")
+    open(path, "wb").write(header + b"\x7f" * pixel_bytes)
+    assert image_size(path) == (h, w)
+
+
+def test_load_rgb_uint8_hxwx1_grayscale():
+    """HxWx1 grayscale (np.expand_dims output) must canonicalize to RGB
+    like HxW does — it used to pass through and crash ResizeAndPad."""
+    from rcnn_ocr_tpu.data.transforms import ResizeAndPad, load_rgb_uint8
+
+    g = np.full((20, 40, 1), 128, np.uint8)
+    rgb = load_rgb_uint8(g)
+    assert rgb.shape == (20, 40, 3)
+    out = ResizeAndPad(img_h=32, img_w=128)(rgb)
+    assert out.shape == (32, 128, 3)
+    # float HxWx1 follows the same path
+    assert load_rgb_uint8(g.astype(np.float32)).shape == (20, 40, 3)
