@@ -72,6 +72,7 @@ class TransformCache:
         self._data = None
         self._valid = None
         self._label_of = getattr(dataset, "sample_label", None)
+        self._warned_nonint = False
 
     # -- lazy init -----------------------------------------------------------
     def _probe_row(self) -> Optional[Tuple[tuple, np.dtype]]:
@@ -122,12 +123,22 @@ class TransformCache:
                 os.replace(tmp, meta_path)
             data_path = os.path.join(d, "data.u8")
             valid_path = os.path.join(d, "valid.u8")
-            mode = "r+" if os.path.exists(data_path) else "w+"
+            # create-without-truncate, then ALWAYS open 'r+': the old
+            # exists()->mode choice was a TOCTOU — a second process whose
+            # exists() check raced the first's creation re-opened data.u8
+            # with 'w+' (truncating rows already written) while inheriting
+            # the first's valid flags, serving zeroed rows as cache hits
+            for path, size in (
+                (data_path, n * int(np.prod(row_shape)) * np.dtype(dtype).itemsize),
+                (valid_path, n),
+            ):
+                with open(path, "ab") as f:  # O_CREAT, no truncation
+                    if f.tell() < size:
+                        f.truncate(size)  # extend-only (sparse zeros)
             self._data = np.memmap(
-                data_path, dtype=dtype, mode=mode, shape=(n,) + row_shape
+                data_path, dtype=dtype, mode="r+", shape=(n,) + row_shape
             )
-            vmode = "r+" if os.path.exists(valid_path) else "w+"
-            self._valid = np.memmap(valid_path, dtype=np.uint8, mode=vmode, shape=(n,))
+            self._valid = np.memmap(valid_path, dtype=np.uint8, mode="r+", shape=(n,))
             self._row_shape = row_shape
             self._dtype = dtype
             self._enabled = True
@@ -148,7 +159,19 @@ class TransformCache:
     def fetch(self, idx: Any, fetch_fn: Callable[[], Tuple[np.ndarray, str]]):
         """Serve ``(image, label)`` for ``idx`` — memmap row when cached,
         else ``fetch_fn()`` (cached afterwards when safe)."""
-        if not isinstance(idx, (int, np.integer)) or not self._init():
+        if not isinstance(idx, (int, np.integer)):
+            # tuple (ds_idx, sample_idx) indices — the proportional
+            # MultiDataset — are not cacheable by row position; say so
+            # ONCE instead of silently serving every row uncached
+            if not self._warned_nonint:
+                self._warned_nonint = True
+                print(
+                    "[cache] transform cache inactive for this dataset: "
+                    "non-integer sample indices (proportional "
+                    "MultiDataset) — rows serve uncached"
+                )
+            return fetch_fn()
+        if not self._init():
             return fetch_fn()
         i = int(idx)
         if 0 <= i < self._valid.shape[0] and self._valid[i]:

@@ -11,9 +11,13 @@ greedy path.
 Token ids are the charset's: row = previous token (``<SOS>`` row holds the
 start-of-word distribution), column = next token.  Counts come from the
 same labels CSVs training uses; add-alpha smoothing keeps unseen pairs
-finite.  Structural transitions the decoder itself handles (everything ->
-``<EOS>``; ``<EOS>``/``<PAD>`` rows) are left uniform so fusion never
-fights the model's stopping behavior.
+finite.  The ``<PAD>``/``<EOS>``/``<BLANK>`` ROWS are uniform (their
+successors are decoder-structural — fusion adds the same constant to
+every hypothesis there).  The ``last -> <EOS>`` COLUMN is deliberately
+kept informative: where a line plausibly ENDS is in-domain signal (high
+after word-final characters, low mid-word), so fusion participates in
+the stop decision with the same weight as any other transition — this
+is the behavior the lm-weight sweeps measured (PERF.md).
 
 Build offline with `tools/train_lm.py`; pass to ``OCRInference`` via
 ``lm="lm.npz"`` + per-call ``lm_weight``.
@@ -63,6 +67,8 @@ def bigram_logp(
     Rows with no mass (and the ``<PAD>``/``<EOS>`` rows, whose successors
     are decoder-structural, plus the ``<BLANK>`` CTC token if present) are
     exactly uniform — adding a constant per step, i.e. fusion-neutral.
+    The ``<EOS>`` COLUMN stays informative by design (see the module
+    docstring): stop statistics are part of the prior being fused.
     """
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (add-alpha smoothing)")

@@ -54,6 +54,11 @@ class RCNN(nn.Module):
     sampling_prob: float = 0.0
     with_attention_head: bool = True
     with_ctc_head: bool = False
+    # NOT read by the model (the CTC head is a plain projection — blank
+    # semantics live in the loss/decode utilities, which take the id as
+    # an explicit argument).  Accepted so call sites can configure the
+    # whole decode contract in one place; do not expect changing it to
+    # alter the forward pass.
     ctc_blank_id: int = 0
     lstm_layers: int = 2  # encoder BiLSTM depth (HPO: "LSTM 2 512" variants)
     width_mult: float = 1.0  # CNN width multiplier (HPO / tiny-test knob)

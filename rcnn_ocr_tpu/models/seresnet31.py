@@ -240,6 +240,12 @@ class SEBasicBlock(nn.Module):
                 train,
             )
         if self.stride != 1 or in_features != self.features:
+            # DELIBERATELY not int8-quantized: the 1x1 stride-2 projection
+            # is a tiny fraction of a block's FLOPs (one per stage
+            # transition), so int8 buys ~nothing while adding a
+            # quantize/dequantize round-trip and extra calibration state —
+            # and the shipped int8 path already audits at conv
+            # speed-of-light (PERF.md per-stage audit)
             identity = ConvBN(
                 self.features,
                 kernel=(1, 1),
@@ -284,6 +290,16 @@ class SEResNet31(nn.Module):
         x = x.astype(self.dtype)
         # stem
         q_stem = self.quantize and self.quantize_stem
+        if q_stem and self.stem_s2d:
+            # the int8 conv branch returns before the s2d rewrite is ever
+            # considered — accepting the combination would silently run
+            # the plain int8 conv and mislabel any s2d measurement
+            # (the silently-dropped-knob rule)
+            raise ValueError(
+                "stem_s2d composes with the fp/bf16 stem only; the int8 "
+                "stem (quantize_stem) bypasses the space-to-depth rewrite "
+                "— pick one"
+            )
         x = nn.relu(
             ConvBN(
                 self._w(64), dtype=self.dtype, s2d=self.stem_s2d,

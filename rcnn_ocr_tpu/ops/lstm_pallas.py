@@ -33,14 +33,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gates_update(gates: jnp.ndarray, c: jnp.ndarray, hidden: int):
-    i = jax.nn.sigmoid(gates[..., :hidden])
-    f = jax.nn.sigmoid(gates[..., hidden : 2 * hidden])
-    g = jnp.tanh(gates[..., 2 * hidden : 3 * hidden])
-    o = jax.nn.sigmoid(gates[..., 3 * hidden :])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
-    return h_new, c_new
+# ONE copy of the (i,f,g,o) gate contract — the exact ordering that makes
+# torch checkpoint import work — shared with the XLA scan and the
+# attention cell (models/lstm.py), so the BENCH_CHECK_PALLAS parity can
+# never be broken by the two copies drifting.
+from rcnn_ocr_tpu.models.lstm import lstm_cell_gates as _gates_update
 
 
 def _scan_reference(xs: jnp.ndarray, w_hh: jnp.ndarray, hidden: int) -> jnp.ndarray:

@@ -106,19 +106,27 @@ class Charset:
 
     def encode(self, text: str, drop_blank: bool = True) -> List[int]:
         """Text -> ids, silently dropping unknown chars (and BLANK)."""
-        blank = self.blank_id
-        ids = []
-        for ch in text:
-            idx = self.stoi.get(ch)
-            if idx is None:
-                continue
-            if drop_blank and blank is not None and idx == blank:
-                continue
-            ids.append(idx)
-        return ids
+        return _encode_ids(text, self.stoi, self.blank_id, drop_blank)
 
     def decode(self, ids: Sequence[int]) -> str:
         return decode_tokens(ids, list(self.itos), self.pad_id, self.eos_id, self.blank_id)
+
+
+def _encode_ids(
+    text: str, stoi: Dict[str, int], blank, drop_blank: bool
+) -> List[int]:
+    """THE text->ids policy (skip-unknown, optional drop-blank) — one
+    implementation shared by `Charset.encode` and the target packers, so
+    train-time targets can never diverge from eval-time encoding."""
+    ids = []
+    for ch in text:
+        idx = stoi.get(ch)
+        if idx is None:
+            continue
+        if drop_blank and blank is not None and idx == blank:
+            continue
+        ids.append(idx)
+    return ids
 
 
 def pack_attention_targets(
@@ -150,14 +158,7 @@ def pack_attention_targets(
     lengths = np.zeros((batch,), dtype=np.int32)
 
     for i, s in enumerate(texts):
-        ids = []
-        for ch in s:
-            idx = stoi.get(ch)
-            if idx is None:
-                continue
-            if drop_blank and blank is not None and idx == blank:
-                continue
-            ids.append(idx)
+        ids = _encode_ids(s, stoi, blank, drop_blank)
         length = min(len(ids), max_len)
         if length > 0:
             arr = np.asarray(ids[:length], dtype=np.int32)
