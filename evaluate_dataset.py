@@ -33,6 +33,7 @@ import numpy as np
 
 from rcnn_ocr_tpu.inference import OCRInference
 from rcnn_ocr_tpu.training.metrics import (
+    batch_character_error_rate,
     character_error_rate,
     compute_accuracy,
     word_error_rate,
@@ -365,7 +366,8 @@ def _report_metrics(
     """Accuracy/CER/WER summary + per-sample CSV (shared by the live-engine
     and --artifact evaluation paths)."""
     accuracy = compute_accuracy(true_texts, predicted)
-    cers = [character_error_rate(t, p) for t, p in zip(true_texts, predicted)]
+    # one native FFI call for the whole dataset (falls back per-pair)
+    cers = batch_character_error_rate(true_texts, predicted)
     wers = []
     for t, p in zip(true_texts, predicted):
         w = word_error_rate(t, p)

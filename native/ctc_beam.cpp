@@ -91,6 +91,9 @@ int64_t rcnn_ctc_beam_search(const float* log_probs, int64_t T, int64_t V,
                              int32_t* out_labels, int64_t max_out,
                              float* out_log_prob) {
   if (T < 0 || V <= 0 || blank < 0 || blank >= V || beam_width <= 0) return -1;
+  // exceptions (bad_alloc from beam_width-scaled reserves) must not cross
+  // the C ABI into the ctypes frame — that aborts the whole process
+  try {
 
   thread_local Trie trie;
   trie.Reset();
@@ -176,6 +179,9 @@ int64_t rcnn_ctc_beam_search(const float* log_probs, int64_t T, int64_t V,
   }
   if (out_log_prob != nullptr) *out_log_prob = static_cast<float>(best->total);
   return n;
+  } catch (...) {
+    return -1;
+  }
 }
 
 // Batched variant: log_probs [B, T, V]; per-row valid frame counts in
@@ -187,7 +193,10 @@ int64_t rcnn_ctc_beam_search_batch(const float* log_probs, int64_t B, int64_t T,
                                    int32_t* out_labels, int64_t max_out,
                                    int64_t* out_lens, float* out_log_probs) {
   for (int64_t b = 0; b < B; ++b) {
-    const int64_t t = lengths ? lengths[b] : T;
+    // clamp: an out-of-range per-row length must not read past the row
+    // (heap overread / cross-row contamination)
+    const int64_t t =
+        lengths ? std::min(std::max<int64_t>(lengths[b], 0), T) : T;
     const int64_t n = rcnn_ctc_beam_search(
         log_probs + b * T * V, t, V, blank, beam_width, out_labels + b * max_out,
         max_out, out_log_probs ? out_log_probs + b : nullptr);
@@ -221,8 +230,10 @@ int64_t rcnn_ctc_beam_search_batch_mt(const float* log_probs, int64_t B,
 
   std::atomic<bool> ok{true};
   auto work = [&](int64_t lo, int64_t hi) {
+    try {
     for (int64_t b = lo; b < hi && ok.load(std::memory_order_relaxed); ++b) {
-      const int64_t tb = lengths ? lengths[b] : T;
+      const int64_t tb =
+          lengths ? std::min(std::max<int64_t>(lengths[b], 0), T) : T;
       const int64_t n = rcnn_ctc_beam_search(
           log_probs + b * T * V, tb, V, blank, beam_width,
           out_labels + b * max_out, max_out,
@@ -233,16 +244,23 @@ int64_t rcnn_ctc_beam_search_batch_mt(const float* log_probs, int64_t B,
       }
       out_lens[b] = n;
     }
+    } catch (...) {  // a worker exception must not terminate the process
+      ok.store(false, std::memory_order_relaxed);
+    }
   };
 
   std::vector<std::thread> pool;
-  pool.reserve(static_cast<size_t>(t));
-  const int64_t chunk = (B + t - 1) / t;
-  for (int64_t i = 0; i < t; ++i) {
-    const int64_t lo = i * chunk;
-    const int64_t hi = std::min(B, lo + chunk);
-    if (lo >= hi) break;
-    pool.emplace_back(work, lo, hi);
+  try {
+    pool.reserve(static_cast<size_t>(t));
+    const int64_t chunk = (B + t - 1) / t;
+    for (int64_t i = 0; i < t; ++i) {
+      const int64_t lo = i * chunk;
+      const int64_t hi = std::min(B, lo + chunk);
+      if (lo >= hi) break;
+      pool.emplace_back(work, lo, hi);
+    }
+  } catch (...) {  // thread-resource exhaustion: fail the call, not python
+    ok.store(false, std::memory_order_relaxed);
   }
   for (auto& th : pool) th.join();
   return ok.load() ? B : -1;

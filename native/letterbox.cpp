@@ -37,8 +37,11 @@ extern "C" int64_t rcnn_letterbox_u8(
   auto work = [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       const uint8_t* src = srcs[i];
-      const int64_t h = std::min<int64_t>(src_h[i], ch);
-      const int64_t w = std::min<int64_t>(src_w[i], cw);
+      // clamp below at 0 too: a negative height would memset BEFORE the
+      // output buffer and a negative width flips the row memset size to
+      // a huge size_t (exported ABI — validate like the CTC entries do)
+      const int64_t h = std::max<int64_t>(0, std::min<int64_t>(src_h[i], ch));
+      const int64_t w = std::max<int64_t>(0, std::min<int64_t>(src_w[i], cw));
       const int64_t src_row = src_w[i] * 3;
       uint8_t* dst = out + i * img_bytes;
       for (int64_t r = 0; r < h; ++r) {
@@ -63,13 +66,19 @@ extern "C" int64_t rcnn_letterbox_u8(
     return 0;
   }
   std::vector<std::thread> pool;
-  pool.reserve(static_cast<size_t>(t));
-  const int64_t chunk = (n + t - 1) / t;
-  for (int64_t k = 0; k < t; ++k) {
-    const int64_t lo = k * chunk;
-    const int64_t hi = std::min<int64_t>(n, lo + chunk);
-    if (lo >= hi) break;
-    pool.emplace_back(work, lo, hi);
+  try {  // thread-resource exhaustion must fail the call, not the process
+    pool.reserve(static_cast<size_t>(t));
+    const int64_t chunk = (n + t - 1) / t;
+    for (int64_t k = 0; k < t; ++k) {
+      const int64_t lo = k * chunk;
+      const int64_t hi = std::min<int64_t>(n, lo + chunk);
+      if (lo >= hi) break;
+      pool.emplace_back(work, lo, hi);
+    }
+  } catch (...) {
+    for (auto& th : pool) th.join();
+    work(0, n);  // serial fallback still completes the job
+    return 0;
   }
   for (auto& th : pool) th.join();
   return 0;

@@ -33,8 +33,9 @@ int64_t rcnn_levenshtein_u32(const uint32_t* a, int64_t la, const uint32_t* b,
 }
 
 // Batched edit distance: refs/hyps are concatenated id sequences with
-// per-row lengths; out receives n distances.  Lets the evaluation CLI score
-// a whole dataset in one call.
+// per-row lengths; out receives n distances — ONE FFI call for a whole
+// dataset (bound as native.levenshtein_batch; the eval CLI's CER loop
+// rides it via metrics.batch_character_error_rate).
 void rcnn_levenshtein_batch_u32(const uint32_t* refs, const int64_t* ref_lens,
                                 const uint32_t* hyps, const int64_t* hyp_lens,
                                 int64_t n, int64_t* out) {

@@ -82,6 +82,18 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int64,
         ]
+        try:
+            lib.rcnn_levenshtein_batch_u32.restype = None
+            lib.rcnn_levenshtein_batch_u32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+        except AttributeError:
+            pass  # stale library; callers fall back to per-pair calls
         lib.rcnn_ctc_beam_search_batch.restype = ctypes.c_int64
         lib.rcnn_ctc_beam_search_batch.argtypes = [
             ctypes.POINTER(ctypes.c_float),
@@ -133,13 +145,11 @@ def _as_u32(seq) -> np.ndarray:
     return np.asarray(seq, dtype=np.uint32)
 
 
-def levenshtein(a: str, b: str) -> int:
-    """Edit distance between two strings; -1 when the library is missing."""
+def _lev_u32(aa: np.ndarray, bb: np.ndarray) -> int:
+    """One FFI body for both public entry points (strings / id lists)."""
     lib = _load()
     if lib is None:
         return -1
-    aa = _as_u32(a)
-    bb = _as_u32(b)
     return int(
         lib.rcnn_levenshtein_u32(
             aa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
@@ -148,23 +158,54 @@ def levenshtein(a: str, b: str) -> int:
             len(bb),
         )
     )
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Edit distance between two strings; -1 when the library is missing."""
+    return _lev_u32(_as_u32(a), _as_u32(b))
 
 
 def levenshtein_ids(a: Sequence[int], b: Sequence[int]) -> int:
     """Edit distance between two id sequences; -1 when unavailable."""
+    return _lev_u32(_as_u32(a), _as_u32(b))
+
+
+def levenshtein_batch(refs: Sequence, hyps: Sequence) -> Optional[np.ndarray]:
+    """Edit distances for N (ref, hyp) pairs in ONE FFI call.
+
+    Accepts strings or id sequences per row; returns ``int64 [N]`` or
+    ``None`` when the library (or the batch entry) is unavailable — the
+    caller falls back to per-pair calls.  One call per dataset instead of
+    one per pair is what the eval CLI's CER/WER loop wants.
+    """
     lib = _load()
-    if lib is None:
-        return -1
-    aa = _as_u32(a)
-    bb = _as_u32(b)
-    return int(
-        lib.rcnn_levenshtein_u32(
-            aa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            len(aa),
-            bb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            len(bb),
-        )
+    if lib is None or not hasattr(lib, "rcnn_levenshtein_batch_u32"):
+        return None
+    if len(refs) != len(hyps):
+        raise ValueError("refs and hyps must have equal length")
+    n = len(refs)
+    out = np.zeros((n,), np.int64)
+    if n == 0:
+        return out
+    ref_rows = [_as_u32(r) for r in refs]
+    hyp_rows = [_as_u32(h) for h in hyps]
+    ref_lens = np.asarray([len(r) for r in ref_rows], np.int64)
+    hyp_lens = np.asarray([len(h) for h in hyp_rows], np.int64)
+    ref_cat = (
+        np.concatenate(ref_rows) if ref_lens.sum() else np.zeros(1, np.uint32)
     )
+    hyp_cat = (
+        np.concatenate(hyp_rows) if hyp_lens.sum() else np.zeros(1, np.uint32)
+    )
+    lib.rcnn_levenshtein_batch_u32(
+        ref_cat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ref_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        hyp_cat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        hyp_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
 
 
 def letterbox_u8(

@@ -135,3 +135,27 @@ def edit_ops(reference: str, hypothesis: str) -> List[tuple]:
             j -= 1
     ops.reverse()
     return ops
+
+
+def batch_character_error_rate(
+    references: List[str], hypotheses: List[str]
+) -> List[float]:
+    """CER for N pairs with ONE native FFI call (the eval CLI's loop).
+
+    Exact per-pair semantics (`character_error_rate`, incl. the empty-
+    reference inf/0 contract); falls back to per-pair calls when the
+    native batch entry is unavailable.
+    """
+    dists = _native.levenshtein_batch(references, hypotheses)
+    if dists is None:
+        return [
+            character_error_rate(r, h)
+            for r, h in zip(references, hypotheses)
+        ]
+    out: List[float] = []
+    for dist, r, h in zip(dists, references, hypotheses):
+        if len(r) == 0:
+            out.append(float("inf") if len(h) > 0 else 0.0)
+        else:
+            out.append(float(dist) / len(r))
+    return out

@@ -136,3 +136,55 @@ def test_native_ctc_beam_pooled_matches_serial():
     assert serial is not None and pooled is not None
     assert pooled[0] == serial[0]
     np.testing.assert_allclose(pooled[1], serial[1], rtol=1e-6)
+
+
+def test_levenshtein_batch_matches_per_pair():
+    """native.levenshtein_batch: one FFI call == per-pair distances
+    (strings and id rows, empty rows included)."""
+    from rcnn_ocr_tpu import native
+
+    refs = ["kitten", "", "abc", "same"]
+    hyps = ["sitting", "xy", "", "same"]
+    out = native.levenshtein_batch(refs, hyps)
+    if out is None:
+        pytest.skip("native library unavailable")
+    expected = [native.levenshtein(r, h) for r, h in zip(refs, hyps)]
+    assert out.tolist() == expected == [3, 2, 3, 0]
+    assert native.levenshtein_batch([], []).tolist() == []
+    with pytest.raises(ValueError):
+        native.levenshtein_batch(["a"], [])
+
+
+def test_batch_cer_matches_per_pair():
+    """metrics.batch_character_error_rate preserves the per-pair contract
+    exactly, including the empty-reference inf/0 semantics."""
+    import math
+
+    from rcnn_ocr_tpu.training.metrics import (
+        batch_character_error_rate,
+        character_error_rate,
+    )
+
+    refs = ["hello", "", "", "abc"]
+    hyps = ["hallo", "", "x", "abcd"]
+    got = batch_character_error_rate(refs, hyps)
+    for g, r, h in zip(got, refs, hyps):
+        e = character_error_rate(r, h)
+        assert (math.isinf(g) and math.isinf(e)) or g == e
+
+
+def test_ctc_beam_batch_clamps_out_of_range_lengths():
+    """An out-of-range per-row length must not read past the row (heap
+    overread) — it clamps to [0, T] and decodes like lengths=T."""
+    from rcnn_ocr_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    lp = np.log(rng.dirichlet(np.ones(5), size=(2, 6)).astype(np.float32))
+    full = native.ctc_beam_search_batch(lp, blank=0, beam_width=4)
+    huge = native.ctc_beam_search_batch(
+        lp, blank=0, beam_width=4, lengths=np.array([999, 6], np.int64)
+    )
+    assert full is not None and huge is not None
+    assert [r for r in huge[0]] == [r for r in full[0]]
