@@ -66,7 +66,10 @@ def main():
             args.image, canvas="auto",
             method="attention_beam" if beam else "attention",
             beam_width=args.beam_width or 16,
-            length_penalty=args.length_penalty if beam else 0.0,
+            # pass through unmasked: predict_serving refuses the knob
+            # without a beam (masking silently dropped it — the
+            # silently-dropped-knob rule)
+            length_penalty=args.length_penalty,
             lm_weight=args.lm_weight,
         )
     else:

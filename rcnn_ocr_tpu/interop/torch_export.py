@@ -80,16 +80,37 @@ class _StateDictBuilder:
         self.sd[f"{torch_key}.weight"] = _np32(_get(self.params, flax_path)).T
 
 
-def export_torch_state_dict(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+def export_torch_state_dict(
+    variables: Dict[str, Any], strict: bool = True
+) -> Dict[str, np.ndarray]:
     """Flax ``{"params", "batch_stats"}`` -> reference torch ``state_dict``.
 
     Returns NumPy arrays keyed exactly as ``RCNN().state_dict()`` in the
     reference (`/root/reference/model/model.py:166`); convert with
     ``torch.from_numpy`` or use :func:`save_torch_checkpoint`.
+
+    ``strict`` (default) enforces reference loadability: a width_mult != 1
+    checkpoint would otherwise export fine here and then fail the
+    reference's strict ``load_state_dict`` with a wall of shape
+    mismatches.  ``strict=False`` skips the width check for
+    framework-internal round-trips (our own importer reads shapes from
+    the tensors).
     """
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     b = _StateDictBuilder(params, stats)
+
+    if strict:
+        stem_w = int(
+            np.asarray(_get(params, "cnn/stem0/conv/kernel")).shape[-1]
+        )
+        if stem_w != 64:
+            raise ValueError(
+                f"reference architecture has a 64-channel stem, found "
+                f"{stem_w} (width_mult != 1.0 checkpoints cannot export a "
+                "reference-loadable .pth; pass strict=False for a "
+                "framework-internal one)"
+            )
 
     # --- CNN stem ---
     b.conv_bn("cnn/stem0", "cnn.conv0.0", "cnn.conv0.1")
@@ -164,7 +185,8 @@ def save_torch_checkpoint(
     itos: Optional[List[str]] = None,
     stoi: Optional[Dict[str, int]] = None,
     config: Optional[Dict[str, Any]] = None,
-    hidden_size: int = 256,
+    hidden_size: Optional[int] = None,  # default: derived from the tensors
+    strict: bool = True,
 ) -> None:
     """Write a reference-layout ``.pth`` (`/root/reference/inference.py:67-75`).
 
@@ -173,11 +195,18 @@ def save_torch_checkpoint(
     """
     import torch  # offline tool dependency only
 
+    if hidden_size is None:
+        # derive from the model itself — a blind 256 default wrote WRONG
+        # metadata into the .pth config for any other hidden size, which
+        # the importer then (correctly) refused against the tensors
+        hidden_size = int(
+            np.asarray(_get(variables["params"], "enc_rnn0/w_hh")).shape[1]
+        )
     sd = {
         # copy: msgpack-restored arrays can be read-only views, which
         # torch.from_numpy warns about (and torch.save would then share)
         k: torch.from_numpy(np.array(v, copy=True))
-        for k, v in export_torch_state_dict(variables).items()
+        for k, v in export_torch_state_dict(variables, strict=strict).items()
     }
     if layout == "bare":
         blob: Any = sd

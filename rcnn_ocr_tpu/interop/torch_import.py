@@ -84,6 +84,15 @@ def import_torch_state_dict(
 ) -> Dict[str, Any]:
     """torch state_dict -> flax variables ``{"params": ..., "batch_stats": ...}``."""
     sd = state_dict
+    # all shapes come from the tensors; hidden_size is VALIDATED (not
+    # used for reshaping) so a caller's wrong expectation fails here
+    # instead of producing a silently mismatched model downstream
+    hh = sd.get("enc_rnn.0.rnn.weight_hh_l0")
+    if hh is not None and int(_np(hh).shape[1]) != int(hidden_size):
+        raise ValueError(
+            f"hidden_size={hidden_size} does not match the checkpoint "
+            f"(enc_rnn weight_hh is {int(_np(hh).shape[1])}-hidden)"
+        )
     tb = _TreeBuilder()
 
     # --- CNN stem ---
@@ -198,7 +207,12 @@ def import_torch_checkpoint(
         else:
             raise ValueError("num_classes not derivable; pass it explicitly")
     if hidden_size is None:
-        hidden_size = 256
+        # derive from the tensors — the reference's saved config carries
+        # no hidden_size key, and a fabricated 256 default used to shadow
+        # the architecture-derived value downstream (an hs=512 reference
+        # checkpoint then crashed on the first predict)
+        hh = sd.get("enc_rnn.0.rnn.weight_hh_l0")
+        hidden_size = int(_np(hh).shape[1]) if hh is not None else 256
 
     variables = import_torch_state_dict(sd, num_classes=num_classes, hidden_size=hidden_size)
     return {

@@ -69,6 +69,11 @@ def load_model(
 
     if itos is not None:
         charset = Charset.from_tokens(itos)
+    elif stoi is not None:
+        # stoi alone works too (the docstring promised it and the old
+        # code ignored it): rebuild the token order from the id mapping
+        inv = {int(v): k for k, v in stoi.items()}
+        charset = Charset.from_tokens([inv[i] for i in range(len(inv))])
     elif charset_path is not None:
         charset = Charset.from_file(charset_path)
     elif meta.get("itos"):

@@ -685,3 +685,18 @@ def test_auto_buckets_not_locked_by_single_warmup_image(tiny_state, tmp_path):
     ocr.predict([narrow, wide], max_length=4, batch_size=2)
     assert ocr.width_buckets is not None
     assert max(ocr.width_buckets) == 64  # the full engine width
+
+
+def test_load_model_accepts_stoi_alone(tiny_state, tmp_path):
+    """The docstring promises 'pass itos/stoi or charset_path' — stoi
+    alone used to be silently ignored and raise 'charset required'
+    (round-4 review).  The token order rebuilds from the id mapping."""
+    from rcnn_ocr_tpu.utils.common import load_model
+
+    model, state, _ = tiny_state
+    ckpt = str(tmp_path / "w.msgpack")
+    ckpt_io.save_weights(ckpt, state)
+    stoi = {t: i for i, t in enumerate(TOKENS)}
+    _, variables, charset = load_model(ckpt, stoi=stoi, hidden_size=16)
+    assert list(charset.itos) == TOKENS
+    assert "params" in variables

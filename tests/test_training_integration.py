@@ -521,7 +521,8 @@ def test_resume_from_torch_checkpoint_warm_starts(tiny_env):
         os.path.join(exp_dir, "last_ckpt.msgpack")
     )
     pth = str(tiny_env["tmp"] / "warm.pth")
-    save_torch_checkpoint(pth, variables)
+    # strict=False: a width_mult=0.125 test model is framework-internal
+    save_torch_checkpoint(pth, variables, strict=False)
 
     exp2 = str(tiny_env["tmp"] / "exp_warm_dst")
     cfg2 = _base_cfg(tiny_env, exp2, epochs=1, resume_path=pth)

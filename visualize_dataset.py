@@ -6,8 +6,9 @@ grid of denormalized images with the token-id strings of ``text_in`` /
 
     python visualize_dataset.py <labels.csv> <images_root> [charset.txt] [out.png]
 
-When an output path is given the figure is saved instead of shown (useful
-on headless TPU hosts).
+The figure is always SAVED (default ``dataset_preview.png``) — unlike the
+reference script's ``plt.show()``, this targets headless TPU hosts, so the
+Agg backend is unconditional and no window is ever opened.
 """
 
 import sys
