@@ -53,12 +53,21 @@ __all__ = [
     "generate_dataset",
     "DIFFICULTIES",
     "GENERATION_ALPHABET",
+    "HOMOGLYPH_FREE_ALPHABET",
 ]
 
 # Characters every discovered system font (DejaVu family) covers with real
 # glyphs.  A deliberate subset of the shipped 194-token charset
 # (configs/charset.txt): the historic Cyrillic block is excluded because
 # missing glyphs rasterize as .notdef boxes and would poison labels.
+#
+# NOTE on ceiling accuracy: this alphabet contains Latin/Cyrillic
+# homoglyph pairs (a/а, c/с, e/е, o/о, p/р, x/х, y/у and their uppers)
+# that rasterize IDENTICALLY in most fonts — with random-string labels
+# the same image legitimately carries different labels, so exact-match
+# accuracy saturates well below 1.0 (CER is less affected).  For
+# learning-curve demos or accuracy gates, pass a homoglyph-free alphabet
+# (e.g. ``HOMOGLYPH_FREE_ALPHABET``) or a single-script ``--chars``.
 GENERATION_ALPHABET = (
     " "
     + "abcdefghijklmnopqrstuvwxyz"
@@ -66,6 +75,21 @@ GENERATION_ALPHABET = (
     + "0123456789"
     + "абвгдеёжзийклмнопрстуфхцчшщъыьэюя"
     + "АБВГДЕЁЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ"
+    + ".,:;!?-()\"'/%№"
+)
+
+# GENERATION_ALPHABET minus visually-identical glyph pairs: the
+# Latin/Cyrillic homoglyphs (a/а, c/с, e/е, o/о, p/р, x/х, y/у + upper
+# twins), sans-serif I≡l, and з/З vs digit 3.  Every remaining pair is
+# visually distinct in the DejaVu family, so exact-match accuracy can
+# reach 1.0 on random-string labels.
+HOMOGLYPH_FREE_ALPHABET = (
+    " "
+    + "bdfghijklmnqrstuvwz"
+    + "DFGJLNQRSUVWZ"
+    + "0123456789"
+    + "бвгдёжийлмнптфцчшщъыьэюя"
+    + "БГДЁЖИЙЛПФЦЧШЩЪЫЬЭЮЯ"
     + ".,:;!?-()\"'/%№"
 )
 

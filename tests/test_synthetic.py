@@ -12,6 +12,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from rcnn_ocr_tpu.data.synthetic import (  # noqa: E402
     DIFFICULTIES,
     GENERATION_ALPHABET,
+    HOMOGLYPH_FREE_ALPHABET,
     discover_fonts,
     generate_dataset,
     render_line,
@@ -153,6 +154,27 @@ def test_cli_end_to_end(tmp_path):
         for fname, text in _csv.reader(f):
             assert set(text) <= set(charset.stoi), text
             assert os.path.exists(os.path.join(out, "train", fname))
+
+
+def test_homoglyph_free_alphabet_contract():
+    # a strict subset of the full alphabet, with the known twins gone
+    assert set(HOMOGLYPH_FREE_ALPHABET) < set(GENERATION_ALPHABET)
+    for ch in "aceopxy" + "ACEHKMOPTXY" + "асеорху" + "АСЕНКМОРТХУ" + "зЗI":
+        assert ch not in HOMOGLYPH_FREE_ALPHABET, ch
+    assert len(set(HOMOGLYPH_FREE_ALPHABET)) == len(HOMOGLYPH_FREE_ALPHABET)
+
+
+def test_cli_homoglyph_free_chars(tmp_path):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import make_synthetic_dataset as cli
+
+    out = str(tmp_path / "hf")
+    rc = cli.main(
+        ["--out", out, "--n-train", "2", "--n-val", "1", "--chars", "homoglyph-free"]
+    )
+    assert rc == 0
+    charset = open(os.path.join(out, "charset.txt"), encoding="utf-8").read()
+    assert "a" not in charset.splitlines() and "b" in charset.splitlines()
 
 
 def test_cli_corpus_extends_alphabet(tmp_path):

@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rcnn_ocr_tpu.data.synthetic import (  # noqa: E402
     DIFFICULTIES,
     GENERATION_ALPHABET,
+    HOMOGLYPH_FREE_ALPHABET,
     discover_fonts,
     generate_dataset,
 )
@@ -65,7 +66,10 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--chars", default=None,
-        help="generation alphabet (default: latin+digits+cyrillic+punct)",
+        help="generation alphabet: literal characters, or 'homoglyph-free' "
+        "(drops Latin/Cyrillic twins like a/а so exact-match accuracy can "
+        "reach 1.0 — use for learning-curve demos and accuracy gates; "
+        "default: full latin+digits+cyrillic+punct)",
     )
     p.add_argument(
         "--corpus", default=None,
@@ -74,7 +78,10 @@ def main(argv=None) -> int:
     p.add_argument("--max-len", type=int, default=25, help="label length cap")
     args = p.parse_args(argv)
 
-    alphabet = args.chars if args.chars else GENERATION_ALPHABET
+    if args.chars == "homoglyph-free":
+        alphabet = HOMOGLYPH_FREE_ALPHABET
+    else:
+        alphabet = args.chars if args.chars else GENERATION_ALPHABET
     corpus = None
     if args.corpus:
         with open(args.corpus, encoding="utf-8") as f:
