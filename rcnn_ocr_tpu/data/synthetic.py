@@ -190,7 +190,11 @@ def render_line(
     text_w = max(1, bbox[2] - bbox[0])
     text_h = max(1, bbox[3] - bbox[1])
     pad_x = max(4, render_h // 6)
-    canvas_w = min(int(text_w + 2 * pad_x + abs(p["shear"]) * render_h), max_w * 2)
+    # Render the FULL text (hard-capped only against pathological inputs):
+    # cropping here would silently break the image↔label contract, while
+    # overflowing max_w is handled below by an aspect squash, like the
+    # fixed-canvas resize the reference trains with.
+    canvas_w = min(int(text_w + 2 * pad_x + abs(p["shear"]) * render_h), 1 << 15)
 
     paper = int(p["paper"])
     ink = int(p["ink"])

@@ -156,6 +156,18 @@ def test_cli_end_to_end(tmp_path):
             assert os.path.exists(os.path.join(out, "train", fname))
 
 
+def test_render_line_long_text_squashes_not_crops(tmp_path):
+    # past max_w the image compresses horizontally; the glyphs of the END
+    # of the text must still be present (ink in the right-most columns)
+    img = render_line(
+        "w" * 200, FONTS[0], img_h=32, rng=np.random.default_rng(0),
+        difficulty="clean", max_w=256,
+    )
+    assert img.shape[1] == 256
+    right = img[:, -16:, 0]
+    assert right.min() < 200  # ink reaches the right edge region
+
+
 def test_homoglyph_free_alphabet_contract():
     # a strict subset of the full alphabet, with the known twins gone
     assert set(HOMOGLYPH_FREE_ALPHABET) < set(GENERATION_ALPHABET)
