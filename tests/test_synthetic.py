@@ -144,6 +144,13 @@ def test_cli_end_to_end(tmp_path):
     assert cfg.train_csvs == [os.path.join(out, "train", "labels.csv")]
     assert os.path.exists(cfg.charset_path)
 
+    # the emitted scheduler name must be accepted by the actual training
+    # entry point (Config itself doesn't validate scheduler names — an
+    # invalid value would only explode at train startup)
+    from rcnn_ocr_tpu.training.optim import build_scheduler
+
+    assert build_scheduler(cfg.scheduler, cfg.lr, cfg.epochs) is not None
+
     # charset file loads and covers every generated label
     from rcnn_ocr_tpu.vocab.charset import Charset
 

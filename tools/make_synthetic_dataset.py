@@ -142,7 +142,7 @@ def main(argv=None) -> int:
         # epochs to reach val acc 0.95 (PERF.md end-to-end demos).
         "epochs": args.epochs,
         "lr": 1e-3,
-        "scheduler": "cosine",
+        "scheduler": "CosineAnnealingLR",
         "head": "attention",
         "eval_every": 5,
         "exp_dir": os.path.join(args.out, "exp"),
