@@ -76,7 +76,7 @@ struct Cand {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
 // Decode one sequence.
 //   log_probs: [T, V] row-major float32 log-probabilities
@@ -86,10 +86,13 @@ extern "C" {
 //   out_labels: buffer of capacity `max_out` receiving the best label
 //               sequence; returns its length (or -1 on error)
 //   out_log_prob: receives the total log-prob of the best prefix
-int64_t rcnn_ctc_beam_search(const float* log_probs, int64_t T, int64_t V,
-                             int64_t blank, int64_t beam_width,
-                             int32_t* out_labels, int64_t max_out,
-                             float* out_log_prob) {
+//   out_total_log_prob: receives logsumexp over ALL final beams' totals —
+//               exp(best - total) is the winner's normalized posterior,
+//               the beam-confidence contract shared with the device search
+int64_t BeamSearchOne(const float* log_probs, int64_t T, int64_t V,
+                      int64_t blank, int64_t beam_width,
+                      int32_t* out_labels, int64_t max_out,
+                      float* out_log_prob, float* out_total_log_prob) {
   if (T < 0 || V <= 0 || blank < 0 || blank >= V || beam_width <= 0) return -1;
   // exceptions (bad_alloc from beam_width-scaled reserves) must not cross
   // the C ABI into the ctypes frame — that aborts the whole process
@@ -178,54 +181,86 @@ int64_t rcnn_ctc_beam_search(const float* log_probs, int64_t T, int64_t V,
     node = trie.parent[node];
   }
   if (out_log_prob != nullptr) *out_log_prob = static_cast<float>(best->total);
+  if (out_total_log_prob != nullptr) {
+    double total = kNegInf;
+    for (const Cand& b : beams) total = LogAdd(total, b.total);
+    *out_total_log_prob = static_cast<float>(total);
+  }
   return n;
   } catch (...) {
     return -1;
   }
 }
 
+}  // namespace
+
+extern "C" {
+
+// Single-sequence entry point (see BeamSearchOne for the contract).
+int64_t rcnn_ctc_beam_search(const float* log_probs, int64_t T, int64_t V,
+                             int64_t blank, int64_t beam_width,
+                             int32_t* out_labels, int64_t max_out,
+                             float* out_log_prob) {
+  return BeamSearchOne(log_probs, T, V, blank, beam_width, out_labels, max_out,
+                       out_log_prob, nullptr);
+}
+
 // Batched variant: log_probs [B, T, V]; per-row valid frame counts in
 // `lengths` (NULL means all T frames are valid).  Outputs are written to a
 // [B, max_out] label buffer and length/log-prob arrays.
-int64_t rcnn_ctc_beam_search_batch(const float* log_probs, int64_t B, int64_t T,
-                                   int64_t V, const int64_t* lengths,
-                                   int64_t blank, int64_t beam_width,
-                                   int32_t* out_labels, int64_t max_out,
-                                   int64_t* out_lens, float* out_log_probs) {
+// `out_total_log_probs` (nullable) receives the per-row logsumexp over
+// final beams (v2 extension; the v1 symbol passes NULL).
+int64_t rcnn_ctc_beam_search_batch_v2(const float* log_probs, int64_t B,
+                                      int64_t T, int64_t V,
+                                      const int64_t* lengths, int64_t blank,
+                                      int64_t beam_width, int32_t* out_labels,
+                                      int64_t max_out, int64_t* out_lens,
+                                      float* out_log_probs,
+                                      float* out_total_log_probs) {
   for (int64_t b = 0; b < B; ++b) {
     // clamp: an out-of-range per-row length must not read past the row
     // (heap overread / cross-row contamination)
     const int64_t t =
         lengths ? std::min(std::max<int64_t>(lengths[b], 0), T) : T;
-    const int64_t n = rcnn_ctc_beam_search(
+    const int64_t n = BeamSearchOne(
         log_probs + b * T * V, t, V, blank, beam_width, out_labels + b * max_out,
-        max_out, out_log_probs ? out_log_probs + b : nullptr);
+        max_out, out_log_probs ? out_log_probs + b : nullptr,
+        out_total_log_probs ? out_total_log_probs + b : nullptr);
     if (n < 0) return -1;
     out_lens[b] = n;
   }
   return B;
 }
 
+int64_t rcnn_ctc_beam_search_batch(const float* log_probs, int64_t B, int64_t T,
+                                   int64_t V, const int64_t* lengths,
+                                   int64_t blank, int64_t beam_width,
+                                   int32_t* out_labels, int64_t max_out,
+                                   int64_t* out_lens, float* out_log_probs) {
+  return rcnn_ctc_beam_search_batch_v2(log_probs, B, T, V, lengths, blank,
+                                       beam_width, out_labels, max_out,
+                                       out_lens, out_log_probs, nullptr);
+}
+
 // Thread-pooled batched variant (the `letterbox.cpp` pool pattern): rows
 // are embarrassingly parallel — each worker runs the single-row search on
 // a contiguous block (the trie is thread_local, so workers never share
 // state).  `n_threads <= 0` uses the hardware concurrency.
-int64_t rcnn_ctc_beam_search_batch_mt(const float* log_probs, int64_t B,
-                                      int64_t T, int64_t V,
-                                      const int64_t* lengths, int64_t blank,
-                                      int64_t beam_width, int32_t* out_labels,
-                                      int64_t max_out, int64_t* out_lens,
-                                      float* out_log_probs,
-                                      int64_t n_threads) {
+int64_t rcnn_ctc_beam_search_batch_mt_v2(
+    const float* log_probs, int64_t B, int64_t T, int64_t V,
+    const int64_t* lengths, int64_t blank, int64_t beam_width,
+    int32_t* out_labels, int64_t max_out, int64_t* out_lens,
+    float* out_log_probs, float* out_total_log_probs, int64_t n_threads) {
   if (B <= 0) return B == 0 ? 0 : -1;
   int64_t t = n_threads > 0
                   ? n_threads
                   : static_cast<int64_t>(std::thread::hardware_concurrency());
   t = std::max<int64_t>(1, std::min(t, B));
   if (t == 1) {
-    return rcnn_ctc_beam_search_batch(log_probs, B, T, V, lengths, blank,
-                                      beam_width, out_labels, max_out,
-                                      out_lens, out_log_probs);
+    return rcnn_ctc_beam_search_batch_v2(log_probs, B, T, V, lengths, blank,
+                                         beam_width, out_labels, max_out,
+                                         out_lens, out_log_probs,
+                                         out_total_log_probs);
   }
 
   std::atomic<bool> ok{true};
@@ -234,10 +269,11 @@ int64_t rcnn_ctc_beam_search_batch_mt(const float* log_probs, int64_t B,
     for (int64_t b = lo; b < hi && ok.load(std::memory_order_relaxed); ++b) {
       const int64_t tb =
           lengths ? std::min(std::max<int64_t>(lengths[b], 0), T) : T;
-      const int64_t n = rcnn_ctc_beam_search(
+      const int64_t n = BeamSearchOne(
           log_probs + b * T * V, tb, V, blank, beam_width,
           out_labels + b * max_out, max_out,
-          out_log_probs ? out_log_probs + b : nullptr);
+          out_log_probs ? out_log_probs + b : nullptr,
+          out_total_log_probs ? out_total_log_probs + b : nullptr);
       if (n < 0) {
         ok.store(false, std::memory_order_relaxed);
         return;
@@ -264,6 +300,19 @@ int64_t rcnn_ctc_beam_search_batch_mt(const float* log_probs, int64_t B,
   }
   for (auto& th : pool) th.join();
   return ok.load() ? B : -1;
+}
+
+int64_t rcnn_ctc_beam_search_batch_mt(const float* log_probs, int64_t B,
+                                      int64_t T, int64_t V,
+                                      const int64_t* lengths, int64_t blank,
+                                      int64_t beam_width, int32_t* out_labels,
+                                      int64_t max_out, int64_t* out_lens,
+                                      float* out_log_probs,
+                                      int64_t n_threads) {
+  return rcnn_ctc_beam_search_batch_mt_v2(log_probs, B, T, V, lengths, blank,
+                                          beam_width, out_labels, max_out,
+                                          out_lens, out_log_probs, nullptr,
+                                          n_threads);
 }
 
 }  // extern "C"

@@ -416,8 +416,9 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
 
         return self._cached(("ctc_frame_ids",), build)
 
-    def _ctc_fn(self, greedy: bool, prune_k: int = 0):
-        """CTC head kernel.  ``greedy``: on-device collapse -> tokens.
+    def _ctc_fn(self, greedy: bool, prune_k: int = 0, with_conf: bool = False):
+        """CTC head kernel.  ``greedy``: on-device collapse -> tokens
+        (``with_conf`` adds the mean emitted-frame max-softmax [B] row).
         Beam mode ships frame log-probs to the host beam search; with
         ``prune_k`` > 0 only the top-k candidates per frame cross the
         device->host link (k=16 at vocab 194 is ~12x less traffic, and
@@ -431,10 +432,10 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
                     method=self.model.ctc_logits,
                 )
                 if greedy:
-                    tokens, valid = ctc_greedy_decode_jnp(
-                        logits, self.charset.ctc_blank_id
+                    return ctc_greedy_decode_jnp(
+                        logits, self.charset.ctc_blank_id,
+                        return_confidence=with_conf,
                     )
-                    return tokens, valid
                 log_probs = jax.nn.log_softmax(logits, axis=-1)
                 if prune_k:
                     vals, idx = jax.lax.top_k(log_probs, prune_k)
@@ -443,10 +444,11 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
 
             return self._jit(run)
 
-        return self._cached(("ctc", greedy, prune_k), build)
+        return self._cached(("ctc", greedy, prune_k, with_conf), build)
 
     def _ctc_beam_device_fn(
-        self, beam_width: int, prune_k: int, lm_weight: float = 0.0
+        self, beam_width: int, prune_k: int, lm_weight: float = 0.0,
+        with_conf: bool = False,
     ):
         """Whole-beam-on-device kernel: encoder -> CTC log-probs -> top-k
         frame pruning -> vectorized prefix beam search, one jit.  Only the
@@ -472,12 +474,13 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
                     lm_logp=lm,
                     lm_weight=lm_weight,
                     sos_id=self.charset.sos_id,
+                    return_confidence=with_conf,
                 )
 
             return self._jit(run)
 
         return self._cached(
-            ("ctc_beam_dev", beam_width, prune_k, lm_weight), build
+            ("ctc_beam_dev", beam_width, prune_k, lm_weight, with_conf), build
         )
 
     # -- public API --------------------------------------------------------
@@ -691,6 +694,7 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
         prune_k: int = 16,  # beam: top-k frame candidates considered (0 = full V)
         device_beam: bool = True,
         lm_weight: float = 0.0,  # device-beam shallow fusion (engine lm=)
+        return_confidence: bool = False,
     ):
         """CTC decode via the shared-encoder CTC head.
 
@@ -701,6 +705,13 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
         also the fallback when ``prune_k`` is 0 (the device kernel needs a
         static candidate count).  ``lm_weight`` > 0 shallow-fuses the
         engine's bigram LM on the device beam's label extensions.
+
+        ``return_confidence`` yields ``(text, confidence)`` per image (the
+        ``predict()`` contract, `/root/reference/inference.py:169-188`):
+        greedy — mean max-softmax over the emitted frames, computed on
+        device as one extra fp32 [B] row (the fetch shape is otherwise
+        unchanged); beam — the winner's normalized posterior among the
+        final beams, identical on the device and host searches.
         """
         if not self.model.with_ctc_head:
             raise ValueError("this checkpoint has no CTC head")
@@ -722,23 +733,36 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
             self.charset.eos_id,
             self.charset.ctc_blank_id,
         )
-        results: List[Optional[str]] = [None] * len(images_list)
+        results: List[Any] = [None] * len(images_list)
         for bucket, chunk_idx in self._bucket_chunks(images_list, batch_size):
             arrays = [
                 self._preprocess(images_list[j], width=bucket) for j in chunk_idx
             ]
             arrays, n_real = self._pad_rows(arrays, batch_size)
             batch = self._device_batch(np.stack(arrays))
+            confs: Optional[np.ndarray] = None
             if method == "greedy":
-                tokens, valid = self._ctc_fn(True)(self.variables, batch)
+                out = self._ctc_fn(True, with_conf=return_confidence)(
+                    self.variables, batch
+                )
+                if return_confidence:
+                    tokens, valid, conf = out
+                    confs = np.asarray(conf)[:n_real]
+                else:
+                    tokens, valid = out
                 tokens, valid = np.asarray(tokens), np.asarray(valid)
                 rows = [tokens[b, : valid[b]].tolist() for b in range(n_real)]
             elif method == "beam":
                 k = min(prune_k, self.charset.num_classes) if prune_k else 0
                 if k and device_beam:
-                    tokens, valid = self._ctc_beam_device_fn(
-                        beam_width, k, lm_weight
+                    out = self._ctc_beam_device_fn(
+                        beam_width, k, lm_weight, with_conf=return_confidence
                     )(self.variables, batch)
+                    if return_confidence:
+                        tokens, valid, conf = out
+                        confs = np.asarray(conf)[:n_real]
+                    else:
+                        tokens, valid = out
                     tokens, valid = np.asarray(tokens), np.asarray(valid)
                     rows = [tokens[b, : valid[b]].tolist() for b in range(n_real)]
                 else:
@@ -760,16 +784,25 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
                         log_probs = np.asarray(
                             self._ctc_fn(False)(self.variables, batch)
                         )[:n_real]
-                    rows, _ = ctc_beam_search(
+                    got = ctc_beam_search(
                         log_probs,
                         blank_id=self.charset.ctc_blank_id,
                         beam_width=beam_width,
                         already_log_probs=True,
+                        return_totals=return_confidence,
                     )
+                    if return_confidence:
+                        rows, lps, totals = got
+                        confs = np.exp(lps - totals)
+                    else:
+                        rows, _ = got
             else:
                 raise ValueError(f"Unsupported decode method: {method}")
             texts = ids_to_text(rows, self._itos, skip_ids=skip)
             for j, out_idx in enumerate(chunk_idx):
-                results[out_idx] = texts[j]
+                results[out_idx] = (
+                    (texts[j], float(confs[j])) if return_confidence
+                    else texts[j]
+                )
 
         return results[0] if is_single else results

@@ -117,6 +117,19 @@ def _load() -> Optional[ctypes.CDLL]:
             # stale library predating the pooled beam; serial path used
             pass
         try:
+            # v2: + final-beam logsumexp output (beam confidence)
+            v2_args = lib.rcnn_ctc_beam_search_batch.argtypes + [
+                ctypes.POINTER(ctypes.c_float)
+            ]
+            lib.rcnn_ctc_beam_search_batch_v2.restype = ctypes.c_int64
+            lib.rcnn_ctc_beam_search_batch_v2.argtypes = v2_args
+            lib.rcnn_ctc_beam_search_batch_mt_v2.restype = ctypes.c_int64
+            lib.rcnn_ctc_beam_search_batch_mt_v2.argtypes = v2_args + [
+                ctypes.c_int64
+            ]
+        except AttributeError:
+            pass  # stale library; totals requests fall back to Python
+        try:
             lib.rcnn_letterbox_u8.restype = ctypes.c_int64
             lib.rcnn_letterbox_u8.argtypes = [
                 ctypes.POINTER(ctypes.c_void_p),
@@ -262,16 +275,23 @@ def ctc_beam_search_batch(
     lengths: Optional[np.ndarray] = None,
     max_out: Optional[int] = None,
     threads: int = 0,
-) -> Optional[Tuple[List[List[int]], np.ndarray]]:
+    want_totals: bool = False,
+):
     """Beam-search decode a batch of CTC log-prob frames.
 
     ``log_probs``: float32 [B, T, V]. Returns ``(label_lists, log_probs)``
     or ``None`` when the native library is unavailable.  Rows run on a
     thread pool when the library ships the pooled entry point
     (``threads=0`` uses the hardware concurrency; 1 forces serial).
+    ``want_totals`` appends the per-row final-beam logsumexp (confidence
+    numerator); requires the v2 symbols — returns ``None`` on a stale
+    library so callers fall back to the Python search.
     """
     lib = _load()
     if lib is None:
+        return None
+    have_v2 = hasattr(lib, "rcnn_ctc_beam_search_batch_v2")
+    if want_totals and not have_v2:
         return None
     lp = np.ascontiguousarray(log_probs, dtype=np.float32)
     batch, t_steps, vocab = lp.shape
@@ -279,6 +299,7 @@ def ctc_beam_search_batch(
     out_labels = np.zeros((batch, max(cap, 1)), dtype=np.int32)
     out_lens = np.zeros((batch,), dtype=np.int64)
     out_lp = np.zeros((batch,), dtype=np.float32)
+    out_totals = np.zeros((batch,), dtype=np.float32)
     lens_arr = None
     lens_ptr = None
     if lengths is not None:
@@ -297,11 +318,21 @@ def ctc_beam_search_batch(
         out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         out_lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
-    if hasattr(lib, "rcnn_ctc_beam_search_batch_mt") and threads != 1:
+    if want_totals:
+        totals_ptr = out_totals.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if hasattr(lib, "rcnn_ctc_beam_search_batch_mt_v2") and threads != 1:
+            res = lib.rcnn_ctc_beam_search_batch_mt_v2(
+                *args, totals_ptr, int(threads)
+            )
+        else:
+            res = lib.rcnn_ctc_beam_search_batch_v2(*args, totals_ptr)
+    elif hasattr(lib, "rcnn_ctc_beam_search_batch_mt") and threads != 1:
         res = lib.rcnn_ctc_beam_search_batch_mt(*args, int(threads))
     else:
         res = lib.rcnn_ctc_beam_search_batch(*args)
     if res < 0:
         return None
     labels = [out_labels[i, : out_lens[i]].tolist() for i in range(batch)]
+    if want_totals:
+        return labels, out_lp, out_totals
     return labels, out_lp

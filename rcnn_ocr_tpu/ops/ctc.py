@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -92,13 +93,23 @@ def ctc_greedy_collapse_np(
 def ctc_greedy_decode_jnp(
     logits: jnp.ndarray,  # [B, T, V]
     blank_id: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_confidence: bool = False,
+):
     """Fully on-device greedy decode.
 
     Returns ``(tokens, valid)``: ``tokens`` [B, T] holds the collapsed label
     ids left-packed (padded with ``blank_id``), ``valid`` [B] the counts.
     Left-packing uses a stable cumsum-scatter — no dynamic shapes, safe
     under jit and pjit.
+
+    ``return_confidence`` appends a float32 ``conf`` [B] row — the mean
+    max-softmax probability over the EMITTED frames (non-blank, non-repeat:
+    the frames that produced the text), the CTC twin of the reference's
+    attention confidence contract (`/root/reference/inference.py:169-188`,
+    mean max-softmax over decoded steps).  An empty decode falls back to
+    the mean max-softmax over ALL frames (the model's confidence that the
+    line is blank).  One [B] fp32 row — the 30k img/s fetch shape is
+    otherwise unchanged.
     """
     pred = jnp.argmax(logits, axis=-1)  # [B, T]
     prev = jnp.concatenate([jnp.full_like(pred[:, :1], -1), pred[:, :-1]], axis=1)
@@ -112,7 +123,17 @@ def ctc_greedy_decode_jnp(
     packed = jnp.take_along_axis(pred, order, axis=1)
     valid = jnp.sum(keep.astype(jnp.int32), axis=1)
     tokens = jnp.where(t_idx < valid[:, None], packed, blank_id)
-    return tokens, valid
+    if not return_confidence:
+        return tokens, valid
+    # max softmax prob per frame, in fp32: exp(max - logsumexp)
+    lg = logits.astype(jnp.float32)
+    maxp = jnp.exp(jnp.max(lg, axis=-1) - jax.nn.logsumexp(lg, axis=-1))
+    emitted = jnp.sum(jnp.where(keep, maxp, 0.0), axis=1) / jnp.maximum(
+        valid.astype(jnp.float32), 1.0
+    )
+    all_frames = jnp.mean(maxp, axis=1)
+    conf = jnp.where(valid > 0, emitted, all_frames)
+    return tokens, valid, conf
 
 
 def ctc_beam_search_jax(
@@ -124,7 +145,8 @@ def ctc_beam_search_jax(
     lm_logp: Optional[jnp.ndarray] = None,  # [V, V] bigram log P(next|prev)
     lm_weight: float = 0.0,  # shallow-fusion weight on label extensions
     sos_id: int = 1,  # LM row for the empty prefix (start distribution)
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_posterior: bool = False,  # + winner posterior among final beams
+):
     """Fully on-device batched CTC prefix beam search.
 
     TPU-native formulation of the same search the host C++ runs
@@ -317,7 +339,12 @@ def ctc_beam_search_jax(
     )[:, 0]
     out_len = jnp.take_along_axis(state["length"], best[:, None], axis=1)[:, 0]
     out_lp = jnp.take_along_axis(total, best[:, None], axis=1)[:, 0]
-    return labels, out_len, out_lp
+    if not return_posterior:
+        return labels, out_len, out_lp
+    # winner's normalized posterior among the W surviving prefixes — the
+    # beam-CTC confidence contract (dead beams sit at -inf and drop out)
+    posterior = jnp.exp(out_lp - jax.nn.logsumexp(total, axis=1))
+    return labels, out_len, out_lp, posterior
 
 
 def _ctc_beam_py(
@@ -353,7 +380,10 @@ def _ctc_beam_py(
             sorted(nxt.items(), key=lambda kv: -np.logaddexp(*kv[1]))[:beam_width]
         )
     best, (pb, pnb) = max(beams.items(), key=lambda kv: np.logaddexp(*kv[1]))
-    return list(best), float(np.logaddexp(pb, pnb))
+    finals = np.array([np.logaddexp(pb_, pnb_) for pb_, pnb_ in beams.values()])
+    m = float(finals.max())
+    total = m + float(np.log(np.exp(finals - m).sum()))
+    return list(best), float(np.logaddexp(pb, pnb)), total
 
 
 def ctc_beam_search(
@@ -362,8 +392,15 @@ def ctc_beam_search(
     beam_width: int = 16,
     lengths: Optional[np.ndarray] = None,
     already_log_probs: bool = False,
-) -> Tuple[List[List[int]], np.ndarray]:
-    """Batched prefix beam search on host (native C++ when available)."""
+    return_totals: bool = False,
+):
+    """Batched prefix beam search on host (native C++ when available).
+
+    ``return_totals`` appends the per-row logsumexp over the final beams'
+    totals, so callers can form the winner's normalized posterior
+    ``exp(best - total)`` — the same beam-confidence contract as the
+    device search (``ctc_beam_search_jax(return_posterior=True)``).
+    """
     logits = np.asarray(logits, dtype=np.float32)
     if already_log_probs:
         log_probs = logits
@@ -372,17 +409,22 @@ def ctc_beam_search(
         log_probs = logits - m - np.log(np.exp(logits - m).sum(-1, keepdims=True))
 
     got = native.ctc_beam_search_batch(
-        log_probs, blank=blank_id, beam_width=beam_width, lengths=lengths
+        log_probs, blank=blank_id, beam_width=beam_width, lengths=lengths,
+        want_totals=return_totals,
     )
     if got is not None:
         return got
     labels: List[List[int]] = []
     lps = np.zeros((log_probs.shape[0],), np.float32)
+    totals = np.zeros((log_probs.shape[0],), np.float32)
     for b in range(log_probs.shape[0]):
         t_valid = int(lengths[b]) if lengths is not None else log_probs.shape[1]
-        lab, lp = _ctc_beam_py(log_probs[b, :t_valid], blank_id, beam_width)
+        lab, lp, tot = _ctc_beam_py(log_probs[b, :t_valid], blank_id, beam_width)
         labels.append(lab)
         lps[b] = lp
+        totals[b] = tot
+    if return_totals:
+        return labels, lps, totals
     return labels, lps
 
 
@@ -407,13 +449,15 @@ def ctc_beam_from_logits(
     lm_logp=None,  # [V, V] bigram log P(next|prev) or None
     lm_weight: float = 0.0,
     sos_id: int = 1,
+    return_confidence: bool = False,
 ) -> tuple:
     """log-softmax -> top-k frame pruning -> device prefix beam.
 
     The ONE sequence every on-device CTC beam caller runs (`predict_ctc`'s
     kernel and the serving/export kernel), factored so the pruning and
     fusion semantics cannot diverge between paths.  Returns
-    ``(labels [B, T], lengths [B])``.
+    ``(labels [B, T], lengths [B])`` — plus the winner's normalized
+    posterior among the final beams [B] with ``return_confidence``.
     """
     import jax
 
@@ -421,7 +465,7 @@ def ctc_beam_from_logits(
         raise ValueError(f"prune_k must be >= 1 inside a kernel, got {prune_k}")
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     vals, idx = jax.lax.top_k(log_probs, prune_k)
-    labels, lens, _ = ctc_beam_search_jax(
+    out = ctc_beam_search_jax(
         vals,
         idx.astype(jnp.int32),
         blank_id=blank_id,
@@ -429,5 +473,10 @@ def ctc_beam_from_logits(
         lm_logp=lm_logp,
         lm_weight=lm_weight,
         sos_id=sos_id,
+        return_posterior=return_confidence,
     )
+    if return_confidence:
+        labels, lens, _, posterior = out
+        return labels, lens, posterior.astype(jnp.float32)
+    labels, lens, _ = out
     return labels, lens

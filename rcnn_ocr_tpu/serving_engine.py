@@ -30,6 +30,7 @@ class ServingEngineMixin:
         attn_beam: int = 0,  # attention-head beam width (0 = greedy)
         length_penalty: float = 0.0,
         lm_weight: float = 0.0,  # attn_beam / ctc beam shallow fusion (engine lm=)
+        with_conf: bool = False,  # ctc methods: + confidence [B] fp32 row
     ):
         from rcnn_ocr_tpu.ops.ctc import ctc_greedy_decode_jnp
 
@@ -79,8 +80,12 @@ class ServingEngineMixin:
                             lm_logp=lm,
                             lm_weight=lm_weight,
                             sos_id=self.charset.sos_id,
+                            return_confidence=with_conf,
                         )
-                    return ctc_greedy_decode_jnp(logits, self.charset.ctc_blank_id)
+                    return ctc_greedy_decode_jnp(
+                        logits, self.charset.ctc_blank_id,
+                        return_confidence=with_conf,
+                    )
                 logits = self.model.apply(
                     variables, x, train=False, batch_max_length=steps - 1
                 )
@@ -94,7 +99,7 @@ class ServingEngineMixin:
         key_steps = 0 if ctc else steps
         return self._cached(
             ("serving", key_steps, target_w, ctc, beam_width, prune_k,
-             attn_beam, length_penalty, lm_weight),
+             attn_beam, length_penalty, lm_weight, ctc and with_conf),
             build
         )
 
@@ -107,12 +112,16 @@ class ServingEngineMixin:
         prune_k: int = 16,
         length_penalty: float = 0.0,  # attention_beam: score / len**p
         lm_weight: float = 0.0,  # attention_beam shallow fusion (engine lm=)
+        with_confidence: bool = False,  # ctc methods: + confidence [B] row
     ):
         """The jitted serving decode kernel for one static configuration.
 
         Public accessor for ahead-of-time export (`rcnn_ocr_tpu.export`):
         ``kernel(variables, raw_uint8 [B, Hc, Wc, 3], sizes [B, 5])`` —
         exactly the function ``predict_serving`` dispatches per chunk.
+        ``with_confidence`` shapes only the CTC kernels (a third [B] fp32
+        output row); the attention kernels already ship their max-softmax /
+        score aux row unconditionally.
         """
         ctc = method in ("ctc", "ctc_greedy", "ctc_beam")
         if not ctc and method not in ("attention", "attention_beam"):
@@ -147,6 +156,7 @@ class ServingEngineMixin:
             attn_beam=beam_width if method == "attention_beam" else 0,
             length_penalty=length_penalty,
             lm_weight=lm_weight,
+            with_conf=ctc and with_confidence,
         )
 
     def decode_kernel(
@@ -212,7 +222,7 @@ class ServingEngineMixin:
         batch_size: int = 256,
         canvas: Union[Tuple[int, int], str] = (64, 512),
         method: str = "attention",  # or "attention_beam" / "ctc_greedy" / "ctc_beam"
-        return_confidence: bool = False,  # attention heads only (predict() parity)
+        return_confidence: bool = False,  # every method (predict() parity)
         beam_width: int = 16,  # ctc_beam / attention_beam
         prune_k: int = 16,  # ctc_beam: top-k frame candidates considered
         length_penalty: float = 0.0,  # attention_beam: score / len**p
@@ -241,6 +251,12 @@ class ServingEngineMixin:
         Like ``predict_ctc``, the CTC decodes have no ``max_length``
         notion — output length is bounded by the collapsed frame count, and
         the ``max_length`` arg only shapes the attention kernel.
+        ``return_confidence`` works on EVERY method: attention — mean
+        max-softmax over decoded steps (reference contract); ctc_greedy —
+        mean max-softmax over emitted frames (one extra [B] fp32 row in the
+        kernel, fetch shape otherwise unchanged); ctc_beam /
+        attention_beam — the winner's normalized posterior / per-token
+        geometric-mean score.
 
         The on-device resize reproduces the host cv2 pipeline exactly
         (INTER_AREA coverage / clamped INTER_LINEAR as MXU matmuls with
@@ -251,8 +267,6 @@ class ServingEngineMixin:
         ctc = method in ("ctc", "ctc_greedy", "ctc_beam")
         ctc_beam_w = beam_width if method == "ctc_beam" else 0
         attn_beam = method == "attention_beam"
-        if ctc and return_confidence:
-            raise ValueError("return_confidence requires an attention method")
         if ctc and not self.model.with_ctc_head:
             raise ValueError("this checkpoint has no CTC head")
         if not ctc and method not in ("attention", "attention_beam"):
@@ -320,12 +334,19 @@ class ServingEngineMixin:
                     attn_beam=beam_width if attn_beam else 0,
                     length_penalty=length_penalty if attn_beam else 0.0,
                     lm_weight=lm_weight if (attn_beam or ctc_beam_w) else 0.0,
+                    with_conf=ctc and return_confidence,
                 )
-                pred, aux = run(
+                out = run(
                     self.variables,
                     self._device_batch(raw),
                     self._device_batch(sizes),
                 )
+                conf_rows = None
+                if ctc and return_confidence:
+                    pred, aux, conf = out
+                    conf_rows = np.asarray(conf)
+                else:
+                    pred, aux = out
                 # np.asarray blocks on device compute while the NEXT chunk
                 # letterboxes in the worker thread (overlap)
                 pred_rows = np.asarray(pred)
@@ -348,7 +369,10 @@ class ServingEngineMixin:
                         ),
                     )
                     for j, out_idx in enumerate(idxs):
-                        results[out_idx] = texts[j]
+                        results[out_idx] = (
+                            (texts[j], float(conf_rows[j]))
+                            if return_confidence else texts[j]
+                        )
                     continue
                 if attn_beam:
                     scores = np.asarray(aux) if return_confidence else None
