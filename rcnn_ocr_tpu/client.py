@@ -137,8 +137,8 @@ class OCRClient:
         (queue full, draining) with exponential backoff; raises
         :class:`OCRClientError` on permanent failure.  With
         ``confidence=True`` returns ``(text, confidence)`` pairs — the
-        daemon must have been started with ``--confidence`` (an
-        attention-read method), else this raises.
+        daemon must have been started with ``--confidence`` (every
+        method except the tiled attention merge), else this raises.
         """
         if not images:
             return []
@@ -168,8 +168,7 @@ class OCRClient:
                     if not isinstance(confs, list) or len(confs) != len(texts):
                         raise OCRClientError(
                             "server returned no confidences — start the "
-                            "daemon with --confidence (attention-read "
-                            "methods only)",
+                            "daemon with --confidence",
                             status=status,
                         )
                     return list(zip(texts, confs))

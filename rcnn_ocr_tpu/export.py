@@ -48,7 +48,12 @@ import numpy as np
 # v4: argmax tile kernels (hybrid_long* and greedy/midpoint ctc_long) —
 #     a single [B,T] ids output that a v3 loader would mis-unpack as the
 #     top-k (vals, idx) pair; manifest carries tile_kernel="argmax"
-MANIFEST_VERSION = 4
+# v5: CTC confidence — fixed-width ctc_greedy/ctc_beam kernels carry a
+#     THIRD [B] fp32 confidence row (a v4 loader would fail to unpack),
+#     and greedy/midpoint ctc_long ships the (ids, maxp) tile kernel
+#     (manifest tile_kernel="argmax_maxp").  hybrid_long* and the
+#     attention methods are unchanged and keep their older stamps.
+MANIFEST_VERSION = 5
 
 
 CTC_LONG_METHODS = ("ctc_long", "ctc_long_beam")
@@ -372,9 +377,10 @@ def export_serving_artifact(
                 )
             elif method == "ctc_long" and snap == "midpoint":
                 # greedy/midpoint consumes only the per-frame argmax —
-                # bake the ids kernel (1/32nd the host transfer); beam
+                # bake the (ids, maxp) kernel (still 16x under the top-k
+                # transfer; maxp is the stitched-confidence input); beam
                 # and blank-snap need the top-k candidates
-                kernel = ocr.tile_ids_kernel()
+                kernel = ocr.tile_ids_kernel(with_maxp=True)
             else:
                 kernel = ocr.tile_kernel(prune_k=prune_k)
             tiles_spec = jax.ShapeDtypeStruct(
@@ -393,6 +399,11 @@ def export_serving_artifact(
                 prune_k=prune_k,
                 length_penalty=length_penalty,
                 lm_weight=lm_weight,  # the LM table bakes into the kernel bytes
+                # CTC kernels always ship the [B] fp32 confidence row (v5):
+                # +4 bytes/row of fetch buys request-time confidence with
+                # no second kernel flavor (attention aux is unconditional
+                # for the same reason)
+                with_confidence=True,
             )
             exported = jax.export.export(
                 kernel, platforms=list(platforms) if platforms else None
@@ -429,10 +440,13 @@ def export_serving_artifact(
     #       would unpack them as the (vals, idx) pair)
     #   3 — align attention_long kernels (extra alignment output)
     #   2 — everything else
-    uses_argmax_kernel = method in HYBRID_LONG_METHODS or (
+    #   5 — CTC confidence outputs: fixed ctc kernels (3 outputs) and the
+    #       (ids, maxp) ctc_long/midpoint tile kernel
+    if method in ("ctc_greedy", "ctc_beam") or (
         method == "ctc_long" and snap == "midpoint"
-    )
-    if uses_argmax_kernel:
+    ):
+        fmt = 5
+    elif method in HYBRID_LONG_METHODS:
         fmt = 4
     elif method in ATTN_LONG_METHODS and merge == "align":
         fmt = 3
@@ -473,11 +487,12 @@ def export_serving_artifact(
         manifest["overlap"] = int(overlap)
         if method in CTC_LONG_METHODS:
             manifest["snap"] = snap
-            # which tile kernel the artifact carries: "argmax" (per-frame
-            # ids, the greedy/midpoint fast path) or "topk" (candidates,
-            # for beam / blank-snap)
+            # which tile kernel the artifact carries: "argmax_maxp"
+            # (per-frame ids + max-softmax, the greedy/midpoint fast path
+            # with stitched confidence, v5) or "topk" (candidates, for
+            # beam / blank-snap)
             manifest["tile_kernel"] = (
-                "argmax"
+                "argmax_maxp"
                 if method == "ctc_long" and snap == "midpoint"
                 else "topk"
             )
@@ -602,11 +617,13 @@ class ServingArtifact:
         return cls(base_dir, mesh=mesh)
 
     # -- host pipeline (predict_serving parity) -----------------------------
-    def _decode_rows(self, pred, aux, n_real: int, return_confidence: bool):
+    def _decode_rows(
+        self, pred, aux, n_real: int, return_confidence: bool, conf=None
+    ):
         """Token rows -> texts via the SHARED contracts in
         `rcnn_ocr_tpu.postprocess` — the same functions the live engine's
         `predict_serving` runs, so artifact and live decodes cannot
-        diverge."""
+        diverge.  ``conf`` is the v5 CTC kernels' [B] confidence row."""
         from rcnn_ocr_tpu.postprocess import (
             ctc_skip_ids,
             decode_attention_row,
@@ -632,7 +649,7 @@ class ServingArtifact:
                 for j in range(n_real)
             ]
         if self.method in ("ctc", "ctc_greedy", "ctc_beam"):
-            return decode_ctc_batch(
+            texts = decode_ctc_batch(
                 pred,
                 aux,
                 n_real,
@@ -641,6 +658,12 @@ class ServingArtifact:
                     ids["pad"], ids["sos"], ids["eos"], ids["ctc_blank"]
                 ),
             )
+            if return_confidence:
+                conf_rows = np.asarray(conf)
+                return [
+                    (texts[j], float(conf_rows[j])) for j in range(n_real)
+                ]
+            return texts
         if self.method != "attention":
             raise ValueError(
                 f"artifact decode method {self.method!r} is unknown to this "
@@ -754,15 +777,21 @@ class ServingArtifact:
         skip = ctc_skip_ids(
             ids["pad"], ids["sos"], ids["eos"], ids["ctc_blank"]
         )
-        if m.get("tile_kernel") == "argmax":
+        tk = m.get("tile_kernel")
+        if tk in ("argmax", "argmax_maxp"):
             # greedy/midpoint artifacts carry the per-frame-ids kernel
-            frame_ids = extract_tile_ids(
+            # (v5: + the max-softmax row feeding stitched confidence)
+            with_maxp = tk == "argmax_maxp"
+            got = extract_tile_ids(
                 tiles, self.batch_size,
                 lambda b: call(self.variables, self._device_batch(b)),
+                with_maxp=with_maxp,
             )
+            frame_ids, maxp = got if with_maxp else (got, None)
             return decode_stitched_ids(
                 frame_ids, plans, tile_w,
                 blank_id=ids["ctc_blank"], itos=self._itos, skip_ids=skip,
+                maxp=maxp if return_confidence else None,
             )
         vals, idx = extract_tile_frames(
             tiles, self.batch_size,
@@ -777,6 +806,7 @@ class ServingArtifact:
             method="beam" if self.method == "ctc_long_beam" else "greedy",
             beam_width=int(m.get("beam_width", 16)),
             snap=m.get("snap", "midpoint"),
+            return_confidence=return_confidence,
         )
 
     def _predict_hybrid(
@@ -858,12 +888,27 @@ class ServingArtifact:
             host_resize_geometry,
         )
 
-        if return_confidence and self.method not in (
-            "attention", "attention_beam", *HYBRID_LONG_METHODS
+        if return_confidence and self.method in ATTN_LONG_METHODS:
+            raise ValueError(
+                "return_confidence is not supported by tiled attention-merge "
+                "artifacts (junction-merged decodes have no step-aligned "
+                "confidence) — use hybrid_long or a ctc method"
+            )
+        if (
+            return_confidence
+            and self.manifest["format_version"] < 5
+            and (
+                self.method in ("ctc", "ctc_greedy", "ctc_beam")
+                or (
+                    self.method == "ctc_long"
+                    and self.manifest.get("tile_kernel") == "argmax"
+                )
+            )
         ):
             raise ValueError(
-                "return_confidence requires an attention-reading artifact "
-                "(attention, attention_beam, hybrid_long, hybrid_long_beam)"
+                "this artifact predates the CTC confidence outputs "
+                f"(format {self.manifest['format_version']} < 5) — "
+                "re-export it to serve confidences"
             )
         is_single = not isinstance(images, list)
         images_list = [images] if is_single else list(images)
@@ -904,8 +949,14 @@ class ServingArtifact:
                 w, idxs, n_real, raw, sizes = pending.result()
                 if k + 1 < len(chunks):
                     pending = pool.submit(letterbox_chunk, chunks[k + 1])
-                pred, aux = self._calls[w](self.variables, raw, sizes)
-                texts = self._decode_rows(pred, aux, n_real, return_confidence)
+                out = self._calls[w](self.variables, raw, sizes)
+                # v5 CTC kernels always ship (pred, aux, conf); older
+                # kernels and every attention kernel ship (pred, aux)
+                pred, aux = out[0], out[1]
+                conf = out[2] if len(out) == 3 else None
+                texts = self._decode_rows(
+                    pred, aux, n_real, return_confidence, conf=conf
+                )
                 for j, out_idx in enumerate(idxs):
                     results[out_idx] = texts[j]
         return results[0] if is_single else results

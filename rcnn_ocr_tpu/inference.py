@@ -394,7 +394,7 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
             )
         return self._lm
 
-    def _ctc_frame_ids_fn(self):
+    def _ctc_frame_ids_fn(self, with_maxp: bool = False):
         """Per-frame argmax class ids ``[B, T] int32`` — everything the
         greedy/midpoint long-line stitcher and the hybrid segmenter
         consume.  Fetching ids instead of the top-k ``(vals, idx)`` pair
@@ -402,7 +402,9 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
         ``predict_ctc_long`` 255 -> 347 img/s on 256 long lines, now
         within ~12% of the per-tile device compute floor — PERF.md
         round 4; the bytes saved are HBM->host on any platform, not
-        just this tunnel)."""
+        just this tunnel).  ``with_maxp`` adds the per-frame max-softmax
+        probability ``[B, T] float32`` (the stitched-confidence input —
+        2x the ids bytes, still 16x under the top-k pair)."""
 
         def build():
             def run(variables, images):
@@ -410,11 +412,18 @@ class OCRInference(CalibrationMixin, ServingEngineMixin, LongLineMixin):
                     variables, device_normalize(images), train=False,
                     method=self.model.ctc_logits,
                 )
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                if not with_maxp:
+                    return ids
+                lg = logits.astype(jnp.float32)
+                maxp = jnp.exp(
+                    jnp.max(lg, axis=-1) - jax.nn.logsumexp(lg, axis=-1)
+                )
+                return ids, maxp
 
             return self._jit(run)
 
-        return self._cached(("ctc_frame_ids",), build)
+        return self._cached(("ctc_frame_ids", with_maxp), build)
 
     def _ctc_fn(self, greedy: bool, prune_k: int = 0, with_conf: bool = False):
         """CTC head kernel.  ``greedy``: on-device collapse -> tokens

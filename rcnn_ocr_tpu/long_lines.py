@@ -229,21 +229,31 @@ def extract_tile_ids(
     tiles: List[np.ndarray],
     batch_size: int,
     run,  # (tile_batch uint8 [B, H, W, 3]) -> per-frame argmax ids [B, T]
-) -> np.ndarray:
+    with_maxp: bool = False,  # run also yields max-softmax [B, T] fp32
+):
     """Argmax flavor of :func:`extract_tile_frames`: ``ids [n_tiles, T]``.
 
     The greedy/midpoint stitcher and the hybrid segmenter consume ONLY
     the per-frame argmax — fetching ids instead of the top-k pair cuts
     device->host traffic 32x at k=16 (measured: +36% end-to-end on
-    ``predict_ctc_long``, PERF.md round 4).
+    ``predict_ctc_long``, PERF.md round 4).  ``with_maxp`` expects the
+    kernel's confidence flavor and returns ``(ids, maxp)``.
     """
     from rcnn_ocr_tpu.postprocess import pad_rows
 
     out: List[np.ndarray] = []
+    out_p: List[np.ndarray] = []
     for i in range(0, len(tiles), batch_size):
         chunk, n_real = pad_rows(tiles[i : i + batch_size], batch_size)
-        ids = run(np.stack(chunk))
+        got = run(np.stack(chunk))
+        if with_maxp:
+            ids, maxp = got
+            out_p.append(np.asarray(maxp)[:n_real])
+        else:
+            ids = got
         out.append(np.asarray(ids)[:n_real])
+    if with_maxp:
+        return np.concatenate(out), np.concatenate(out_p)
     return np.concatenate(out)
 
 
@@ -331,6 +341,22 @@ def stitch_frame_ids(
     return np.concatenate([ids[first + j, a:b] for j, a, b in spans])
 
 
+def _emitted_frame_confidence(
+    i_cat: np.ndarray,  # [T_total] stitched argmax class ids
+    maxp_cat: np.ndarray,  # [T_total] stitched max-softmax probabilities
+    blank_id: int,
+) -> float:
+    """Mean max-softmax over the emitted (non-blank, non-repeat) frames —
+    the stitched-line form of the greedy CTC confidence contract
+    (`ops/ctc.py:ctc_greedy_decode_jnp`); all-blank lines fall back to the
+    mean over every frame."""
+    keep = (i_cat != blank_id)
+    keep[1:] &= i_cat[1:] != i_cat[:-1]
+    if not keep.any():
+        return float(maxp_cat.mean()) if maxp_cat.size else 1.0
+    return float(maxp_cat[keep].mean())
+
+
 def decode_stitched_ids(
     ids: np.ndarray,  # [n_tiles, T] per-frame argmax class ids
     plans: List[Tuple[int, List[int]]],
@@ -339,19 +365,29 @@ def decode_stitched_ids(
     blank_id: int,
     itos: List[str],
     skip_ids,
-) -> List[str]:
+    maxp: Optional[np.ndarray] = None,  # [n_tiles, T] -> (text, conf) pairs
+) -> List:
     """Greedy/midpoint fast path of :func:`decode_stitched` over argmax
     ids (the two produce IDENTICAL text — argmax == top-1 of top-k — at
     1/32nd the device->host bytes; equality-tested).  Shared by the live
-    engine and exported ``ctc_long`` artifacts."""
+    engine and exported ``ctc_long`` artifacts.  Passing ``maxp`` yields
+    ``(text, confidence)`` pairs (emitted-frame mean max-softmax over the
+    stitched sequence)."""
     from rcnn_ocr_tpu.ops.ctc import ctc_greedy_collapse_np, ids_to_text
 
     frames_t = ids.shape[1]
-    results: List[str] = []
+    results: List = []
     for first, starts in plans:
         i_cat = stitch_frame_ids(ids, first, starts, tile_w, frames_t)
         row = ctc_greedy_collapse_np(i_cat[None], blank_id)[0]
-        results.append(ids_to_text([row], itos, skip_ids=skip_ids)[0])
+        text = ids_to_text([row], itos, skip_ids=skip_ids)[0]
+        if maxp is not None:
+            p_cat = stitch_frame_ids(maxp, first, starts, tile_w, frames_t)
+            results.append(
+                (text, _emitted_frame_confidence(i_cat, p_cat, blank_id))
+            )
+        else:
+            results.append(text)
     return results
 
 
@@ -579,7 +615,8 @@ def decode_stitched(
     method: str = "greedy",
     beam_width: int = 16,
     snap: str = "midpoint",  # junction cuts: "midpoint" | "blank" (snap)
-) -> List[str]:
+    return_confidence: bool = False,
+) -> List:
     """Stitch per-tile frames into one sequence per image and collapse it.
 
     The ONE stitched-decode implementation shared by
@@ -610,25 +647,37 @@ def decode_stitched(
         else None
     )
 
-    results: List[str] = []
+    results: List = []
     for first, starts in plans:
         v_cat, i_cat = stitch_frames(
             vals, idx, first, starts, tile_w, frames_t,
             blank_lp=blank_lp,
         )
+        conf = None
         if method == "greedy":
             row = ctc_greedy_collapse_np(i_cat[None, :, 0], blank_id)[0]
+            if return_confidence:
+                # slot 0 is the argmax: exp(top-1 log-prob) == max-softmax
+                conf = _emitted_frame_confidence(
+                    i_cat[:, 0], np.exp(v_cat[:, 0]), blank_id
+                )
         else:
             dense = np.full(
                 (1, v_cat.shape[0], num_classes), -1e30, np.float32
             )
             np.put_along_axis(dense, i_cat[None], v_cat[None], -1)
-            rows, _ = ctc_beam_search(
+            got = ctc_beam_search(
                 dense, blank_id=blank_id, beam_width=beam_width,
-                already_log_probs=True,
+                already_log_probs=True, return_totals=return_confidence,
             )
+            if return_confidence:
+                rows, lps, totals = got
+                conf = float(np.exp(lps[0] - totals[0]))
+            else:
+                rows, _ = got
             row = rows[0]
-        results.append(ids_to_text([row], itos, skip_ids=skip_ids)[0])
+        text = ids_to_text([row], itos, skip_ids=skip_ids)[0]
+        results.append((text, conf) if return_confidence else text)
     return results
 
 
@@ -645,6 +694,7 @@ class LongLineMixin:
         beam_width: int = 16,
         prune_k: int = 16,
         snap: str = "midpoint",  # junction cuts: "midpoint" | "blank" (snap)
+        return_confidence: bool = False,
     ):
         """Unbounded-width decode: tile, trim, and concatenate CTC frames.
 
@@ -659,6 +709,12 @@ class LongLineMixin:
 
         The attention head has no frame/position alignment to stitch —
         see ``predict_long`` for its segmentation-based counterpart.
+
+        ``return_confidence`` yields ``(text, confidence)`` pairs: greedy
+        — mean max-softmax over the stitched line's emitted frames (the
+        ``predict_ctc`` contract applied to the concatenated sequence; the
+        fast path fetches one extra [B, T] fp32 row); beam — the winner's
+        normalized posterior among the final beams of the stitched search.
         """
         if not self.model.with_ctc_head:
             raise ValueError("this checkpoint has no CTC head")
@@ -687,16 +743,20 @@ class LongLineMixin:
         )
         if method == "greedy" and snap == "midpoint":
             # fast path: only the per-frame argmax crosses the link
-            # (identical text to the top-k path; equality-tested)
-            ids_kernel = self._ctc_frame_ids_fn()
-            ids = extract_tile_ids(
+            # (identical text to the top-k path; equality-tested);
+            # confidence adds one [B, T] fp32 max-softmax row
+            ids_kernel = self._ctc_frame_ids_fn(with_maxp=return_confidence)
+            got = extract_tile_ids(
                 tiles, batch_size,
                 lambda b: ids_kernel(self.variables, self._device_batch(b)),
+                with_maxp=return_confidence,
             )
+            ids, maxp = got if return_confidence else (got, None)
             results = decode_stitched_ids(
                 ids, plans, tile_w,
                 blank_id=self.charset.ctc_blank_id,
                 itos=self._itos, skip_ids=skip,
+                maxp=maxp,
             )
             return results[0] if is_single else results
 
@@ -718,6 +778,7 @@ class LongLineMixin:
             method=method,
             beam_width=beam_width,
             snap=snap,
+            return_confidence=return_confidence,
         )
         return results[0] if is_single else results
 
@@ -869,14 +930,18 @@ class LongLineMixin:
         ``max_length`` bounds the PER-TILE decode (a tile holds at most
         ~tile_w/char_w characters, so the default is usually ample).
 
-        ``return_confidence`` is supported by the hybrid methods only
-        (they READ with the attention head, whose confidence contract
-        applies per segment); the tiled paths raise — a junction-merged
-        tile decode has no step-aligned confidence to report.
+        ``return_confidence`` is supported by the hybrid methods (they
+        READ with the attention head, whose contract applies per segment)
+        and the CTC stitcher (emitted-frame mean max-softmax / stitched
+        beam posterior, :meth:`predict_ctc_long`); the tiled ATTENTION
+        paths raise — a junction-merged tile decode has no step-aligned
+        confidence to report.
         """
-        if return_confidence and method not in ("hybrid", "hybrid_beam"):
+        if return_confidence and method in ("attention", "attention_beam"):
             raise ValueError(
-                "return_confidence requires method='hybrid' or 'hybrid_beam'"
+                "return_confidence is not supported by the tiled attention "
+                "merge (junction-merged decodes have no step-aligned "
+                "confidence) — use the hybrid or ctc methods"
             )
         if method in ("ctc_greedy", "ctc_beam", "greedy", "beam"):
             return self.predict_ctc_long(
@@ -884,6 +949,7 @@ class LongLineMixin:
                 batch_size=batch_size,
                 method="beam" if method.endswith("beam") else "greedy",
                 beam_width=beam_width, prune_k=prune_k, snap=snap,
+                return_confidence=return_confidence,
             )
         if method in ("hybrid", "hybrid_beam"):
             return self.predict_hybrid_long(

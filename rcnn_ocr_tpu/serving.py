@@ -28,7 +28,7 @@ HTTP API::
                     or JSON {"images": ["<base64>", ...]}
                     -> {"texts": ["...", ...]}   (raw body -> one entry)
                     (+ "confidences": [...] when the daemon runs with
-                    --confidence on an attention-read method)
+                    --confidence; every method except attention_long*)
 
 Run it: ``python tools/serve.py --artifact <dir> --port 8000`` (or
 ``--model + --charset`` for a live engine).  Signals: SIGTERM/SIGINT
@@ -724,17 +724,23 @@ def serving_predict_fn(
     """
     from rcnn_ocr_tpu.export import ServingArtifact
 
-    CONF_METHODS = (
-        "attention", "attention_beam", "hybrid_long", "hybrid_long_beam",
-    )
+    # every decode method carries a confidence contract EXCEPT the tiled
+    # attention merge (junction-merged decodes have no step-aligned
+    # confidence): attention* — mean max-softmax / beam score; ctc* —
+    # emitted-frame mean max-softmax / winner beam posterior; hybrid —
+    # per-segment attention confidence
+    NO_CONF_METHODS = ("attention_long", "attention_long_beam")
     if isinstance(engine, ServingArtifact):
         if not return_confidence:
             return engine.predict
-        if engine.method not in CONF_METHODS:
+        if engine.method in NO_CONF_METHODS:
             raise ValueError(
-                "return_confidence requires an attention-reading artifact "
-                f"(got method={engine.method!r})"
+                "return_confidence is not supported by tiled attention-merge "
+                f"artifacts (got method={engine.method!r})"
             )
+        # old CTC artifacts without confidence outputs must refuse at
+        # server START, not on the first request (ServingArtifact's gate)
+        engine.predict([], return_confidence=True)
 
         def fn_art_conf(images: List[Any]):
             out = engine.predict(images, return_confidence=True)
@@ -742,10 +748,10 @@ def serving_predict_fn(
 
         return fn_art_conf
 
-    if return_confidence and method not in CONF_METHODS:
+    if return_confidence and method in NO_CONF_METHODS:
         raise ValueError(
             f"return_confidence is not supported with method={method!r} "
-            "(attention-read decodes only)"
+            "(junction-merged tile decodes have no step-aligned confidence)"
         )
 
     long_method = method.startswith(("ctc_long", "attention_long", "hybrid_long"))
@@ -773,7 +779,7 @@ def serving_predict_fn(
 
         # unbounded-width decode (predict_ctc_long): requests of wildly
         # different widths still share the per-tile static-shape kernel
-        def fn_long(images: List[Any]) -> List[str]:
+        def fn_long(images: List[Any]):
             out = engine.predict_ctc_long(
                 images,
                 tile_w=tile_w,
@@ -782,6 +788,7 @@ def serving_predict_fn(
                 method="beam" if method == "ctc_long_beam" else "greedy",
                 beam_width=beam_width,
                 snap=snap,
+                return_confidence=return_confidence,
             )
             return out if isinstance(out, list) else [out]
 

@@ -205,15 +205,17 @@ class ServingEngineMixin:
         k = max(1, min(prune_k, self.charset.num_classes))
         return self._ctc_fn(False, k)
 
-    def tile_ids_kernel(self):
+    def tile_ids_kernel(self, with_maxp: bool = False):
         """The argmax flavor of :meth:`tile_kernel`: ``kernel(variables,
         uint8 tiles [B, H, tile_w, 3]) -> per-frame class ids [B, T]
         int32`` — all the greedy/midpoint stitcher and the hybrid
         segmenter consume, at 1/32nd the device->host bytes of the top-k
-        pair.  Public accessor for the AOT export."""
+        pair.  ``with_maxp`` adds the per-frame max-softmax [B, T] fp32
+        row (stitched-confidence input).  Public accessor for the AOT
+        export."""
         if not self.model.with_ctc_head:
             raise ValueError("this checkpoint has no CTC head")
-        return self._ctc_frame_ids_fn()
+        return self._ctc_frame_ids_fn(with_maxp=with_maxp)
 
     def predict_serving(
         self,

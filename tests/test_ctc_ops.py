@@ -56,7 +56,7 @@ def test_beam_search_python_fallback_agrees_with_native(rng):
         m = logits.max(-1, keepdims=True)
         log_probs = logits - m - np.log(np.exp(logits - m).sum(-1, keepdims=True))
         for b in range(2):
-            lab, lp = _ctc_beam_py(log_probs[b], 0, 512)
+            lab, lp, _tot = _ctc_beam_py(log_probs[b], 0, 512)
             assert lab == labels[b]
             assert abs(lp - lps[b]) < 1e-3
 
@@ -157,7 +157,7 @@ def test_ctc_beam_search_jax_matches_host():
     dense = np.full((B, T, V), -np.inf, np.float32)
     np.put_along_axis(dense, order, vals, -1)
     for b in range(B):
-        ref, ref_lp = _ctc_beam_py(dense[b], 0, W)
+        ref, ref_lp, _tot = _ctc_beam_py(dense[b], 0, W)
         got = labels[b, : lens[b]].tolist()
         assert got == ref, (b, got, ref)
         assert np.isclose(lps[b], ref_lp, atol=1e-4), (b, lps[b], ref_lp)
@@ -194,7 +194,7 @@ def test_ctc_beam_search_jax_lengths_and_jit():
         if lengths[b] == 0:
             assert lens[b] == 0
             continue
-        ref, _ = _ctc_beam_py(dense[b, : lengths[b]], 0, W)
+        ref, _, _tot = _ctc_beam_py(dense[b, : lengths[b]], 0, W)
         assert labels[b, : lens[b]].tolist() == ref, b
 
 

@@ -216,13 +216,25 @@ def test_artifact_confidence_and_mesh_guard(tiny_ckpt, tmp_path):
     )
     assert outs == live
 
-    # confidence is an attention-only contract (predict_serving parity)
+    # v5: the CTC artifact carries the confidence contract too, and the
+    # artifact confidences equal the live engine's (same kernel math)
     ctc_dir = str(tmp_path / "artifact_ctc2")
     export_serving_artifact(
         ocr, ctc_dir, method="ctc_greedy", batch_size=2, canvas=(32, 64)
     )
-    with pytest.raises(ValueError):
-        ServingArtifact.load(ctc_dir).predict(_images(n=1), return_confidence=True)
+    ctc_art = ServingArtifact.load(ctc_dir)
+    assert ctc_art.manifest["format_version"] == 5
+    ctc_outs = ctc_art.predict(_images(n=2), return_confidence=True)
+    ctc_live = ocr.predict_serving(
+        _images(n=2), batch_size=2, canvas=(32, 64),
+        method="ctc_greedy", return_confidence=True,
+    )
+    assert [t for t, _ in ctc_outs] == [t for t, _ in ctc_live]
+    for (_, ca), (_, cl) in zip(ctc_outs, ctc_live):
+        assert 0.0 <= ca <= 1.0 and abs(ca - cl) < 1e-5
+    # plain predictions are unchanged (the extra row is ignored)
+    assert ctc_art.predict(_images(n=2)) == [t for t, _ in ctc_outs]
+    # an attention_long artifact still refuses (no step-aligned conf)
 
     # mesh-backed engines must be exported unsharded
     mesh_ocr = OCRInference(

@@ -950,18 +950,21 @@ def test_daemon_confidence_responses_and_client():
 
 
 def test_serving_predict_fn_confidence_validation():
-    """return_confidence is refused at construction for methods with no
-    confidence contract (mirrors the engines), live and artifact."""
+    """return_confidence is refused at construction ONLY for the tiled
+    attention merge (no step-aligned confidence); every other method now
+    carries a confidence contract (r5: the CTC paths gained theirs)."""
 
     class _Engine:
         pass
 
     with pytest.raises(ValueError, match="return_confidence"):
-        serving_predict_fn(_Engine(), method="ctc_greedy",
-                           return_confidence=True)
-    with pytest.raises(ValueError, match="return_confidence"):
-        serving_predict_fn(_Engine(), method="ctc_long",
-                           return_confidence=True)
-    with pytest.raises(ValueError, match="return_confidence"):
         serving_predict_fn(_Engine(), method="attention_long",
                            return_confidence=True)
+    with pytest.raises(ValueError, match="return_confidence"):
+        serving_predict_fn(_Engine(), method="attention_long_beam",
+                           return_confidence=True)
+    # ctc methods construct fine (the engine call itself is deferred)
+    for ok in ("ctc_greedy", "ctc_long"):
+        assert callable(
+            serving_predict_fn(_Engine(), method=ok, return_confidence=True)
+        )

@@ -87,8 +87,9 @@ def main() -> None:
     )
     p.add_argument(
         "--confidence", action="store_true",
-        help="attention-read methods: responses carry per-text "
-        "confidences ({'texts': [...], 'confidences': [...]})",
+        help="responses carry per-text confidences ({'texts': [...], "
+        "'confidences': [...]}); every method except the tiled "
+        "attention merge (attention_long*)",
     )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
@@ -144,12 +145,11 @@ def main() -> None:
     if (
         args.confidence
         and not args.artifact  # artifact method known only after load
-        and args.method not in (
-            "attention", "attention_beam", "hybrid_long", "hybrid_long_beam"
-        )
+        and args.method in ("attention_long", "attention_long_beam")
     ):
-        p.error("--confidence requires an attention-read method "
-                "(attention, attention_beam, hybrid_long[_beam])")
+        p.error("--confidence is not supported by the tiled attention "
+                "merge (attention_long*) — every other method carries a "
+                "confidence contract")
 
     if args.compile_cache_dir:
         from rcnn_ocr_tpu.utils import enable_compile_cache

@@ -91,8 +91,14 @@ def _common_cfg(args, out: str, aug: bool) -> dict:
 
 def stage_gen(args, out: str) -> None:
     """Render the shared corpus once (pure function of the seed)."""
-    from rcnn_ocr_tpu.data.synthetic import generate_dataset
+    from rcnn_ocr_tpu.data.synthetic import discover_fonts, generate_dataset
 
+    # `--n-fonts 1` makes the CPU-scale run convergence-feasible (the
+    # budget is ~800 optimizer steps; a multi-font corpus plateaus before
+    # the attention alignment cliff at that budget — measured round 5)
+    fonts = discover_fonts()
+    if args.n_fonts:
+        fonts = fonts[: args.n_fonts]
     data = os.path.join(out, "data")
     for split, n, seed in (
         ("train", args.n_train, args.seed), ("val", args.n_val, args.seed + 1)
@@ -104,17 +110,20 @@ def stage_gen(args, out: str) -> None:
         t0 = time.time()
         generate_dataset(
             root, n, seed=seed, img_h=args.img_h, difficulty=args.difficulty,
-            alphabet=ALPHABET, max_len=args.max_len,
+            alphabet=ALPHABET, max_len=args.max_len, fonts=fonts,
         )
         print(f"[gen] {split}: {n} lines in {time.time() - t0:.0f}s")
     charset_path = os.path.join(data, "charset.txt")
     if not os.path.exists(charset_path):
         from rcnn_ocr_tpu.vocab.charset import EOS_TOKEN, PAD_TOKEN, SOS_TOKEN
 
+        # " " is in the charset because sample_texts joins words with
+        # spaces — without it BOTH stacks' strict charset screening drops
+        # every multi-word label (measured: 91/512)
+        tokens = [PAD_TOKEN, SOS_TOKEN, EOS_TOKEN] + list(ALPHABET) + [" "]
         with open(charset_path, "w", encoding="utf-8") as f:
-            f.write("\n".join([PAD_TOKEN, SOS_TOKEN, EOS_TOKEN] + list(ALPHABET)))
-            f.write("\n")
-        print(f"[gen] charset: {3 + len(ALPHABET)} tokens")
+            f.write("\n".join(tokens) + "\n")
+        print(f"[gen] charset: {len(tokens)} tokens")
 
 
 def _install_torch_stubs(seed: int) -> None:
@@ -273,6 +282,8 @@ def main(argv=None) -> int:
     ap.add_argument("--eval-every", type=int, default=2)
     ap.add_argument("--max-len", type=int, default=7)
     ap.add_argument("--difficulty", default="clean")
+    ap.add_argument("--n-fonts", type=int, default=0,
+                    help="restrict the rendering font pool (0 = all)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
     out = os.path.abspath(args.out)
