@@ -305,6 +305,35 @@ def invert_img(img: np.ndarray) -> np.ndarray:
     return 255 - img
 
 
+def random_edge_crop(
+    img: np.ndarray,
+    rng: np.random.Generator,
+    limit: float = 0.35,
+) -> np.ndarray:
+    """Clip a thin strip off the left or right edge (label-preserving).
+
+    Long-line tiling (`rcnn_ocr_tpu/long_lines.py`) presents the decoder
+    with characters CUT at tile boundaries — a condition the training
+    distribution otherwise never contains (``ResizeAndPad`` always shows
+    whole lines), which PERF.md round 4 diagnosed as the root cause of
+    the attention heads' long-line error plateau (edge-truncated glyphs
+    derail the autoregressive LSTM state).  This augmentation simulates
+    that boundary: crop ``U(0.05, limit) * img_h`` pixels (glyph widths
+    scale with line height, so height is the right yardstick) from one
+    side.  The label is untouched — the cut clips at most roughly half a
+    character, teaching the decoder to read clipped edge glyphs from
+    context instead of derailing.  No reference counterpart (the
+    reference has no tiling to train for).
+    """
+    h, w = img.shape[:2]
+    crop = int(round(rng.uniform(0.05, limit) * h))
+    if crop <= 0 or crop >= w // 4:
+        return img
+    if rng.random() < 0.5:
+        return img[:, crop:]
+    return img[:, : w - crop]
+
+
 def normalize_unit(img: np.ndarray) -> np.ndarray:
     """uint8 -> float32 in [-1, 1] (Normalize(mean=std=0.5))."""
     return (img.astype(np.float32) / 255.0 - 0.5) / 0.5
@@ -326,9 +355,15 @@ def get_train_transform(
     contrast = round(float(params.get("contrast_limit", 0.2)), 4)
     p_bc = round(float(params.get("p_BrightnessContrast", 0.3)), 4)
     p_inv = round(float(params.get("invert_p", 0.0)), 4)
+    # tile-edge truncation (long-line robustness; default OFF = reference
+    # parity) — must run on the RAW image, before the resize
+    p_edge = round(float(params.get("p_EdgeCrop", 0.0)), 4)
+    edge_limit = round(float(params.get("edge_crop_limit", 0.35)), 4)
 
     def transform(img: np.ndarray, rng: Optional[np.random.Generator] = None):
         rng = rng if rng is not None else np.random.default_rng()
+        if p_edge and rng.random() < p_edge:
+            img = random_edge_crop(img, rng, edge_limit)
         img = resize(img)
         if rng.random() < p_ssr:
             img = shift_scale_rotate(img, rng, shift, scale, rot)

@@ -108,6 +108,18 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
     seed = cfg.get("seed", 42)
     set_seed(seed)
 
+    if (
+        bool(cfg.get("device_augment", False))
+        and float(cfg.get("p_EdgeCrop", 0.0) or 0.0) > 0
+    ):
+        # the edge crop must run on the RAW image before the resize; the
+        # device pipeline only sees resize-padded tensors — refuse up
+        # front instead of silently dropping the knob
+        raise ValueError(
+            "p_EdgeCrop requires host augmentation (device_augment=false): "
+            "the crop applies to the raw image before ResizeAndPad"
+        )
+
     if cfg.get("compile_cache_dir"):
         from rcnn_ocr_tpu.utils import enable_compile_cache
 

@@ -184,3 +184,58 @@ def test_load_rgb_uint8_hxwx1_grayscale():
     assert out.shape == (32, 128, 3)
     # float HxWx1 follows the same path
     assert load_rgb_uint8(g.astype(np.float32)).shape == (20, 40, 3)
+
+
+def test_random_edge_crop():
+    from rcnn_ocr_tpu.data.transforms import random_edge_crop
+
+    img = np.arange(64 * 200 * 3, dtype=np.uint8).reshape(64, 200, 3)
+    rng = np.random.default_rng(0)
+    out = random_edge_crop(img, rng, limit=0.35)
+    # crops a strip off exactly one side, height untouched
+    assert out.shape[0] == 64 and out.shape[2] == 3
+    assert 200 - int(0.35 * 64) - 1 <= out.shape[1] < 200
+    lost = 200 - out.shape[1]
+    left = np.array_equal(out, img[:, lost:])
+    right = np.array_equal(out, img[:, : 200 - lost])
+    assert left or right
+    # degenerate: a narrow image is returned unchanged (crop >= w/4)
+    tiny = np.zeros((64, 20, 3), np.uint8)
+    assert random_edge_crop(tiny, np.random.default_rng(1)).shape == (64, 20, 3)
+
+
+def test_train_transform_edge_crop_key():
+    """p_EdgeCrop=1 changes the pre-resize geometry (content shifts);
+    p_EdgeCrop=0 (the default, reference parity) leaves the pipeline
+    byte-identical to the no-key transform."""
+    t_off = get_train_transform({"p_ShiftScaleRotate": 0.0,
+                                 "p_BrightnessContrast": 0.0}, 32, 64)
+    t_off2 = get_train_transform({"p_ShiftScaleRotate": 0.0,
+                                  "p_BrightnessContrast": 0.0,
+                                  "p_EdgeCrop": 0.0}, 32, 64)
+    t_on = get_train_transform({"p_ShiftScaleRotate": 0.0,
+                                "p_BrightnessContrast": 0.0,
+                                "p_EdgeCrop": 1.0}, 32, 64)
+    img = np.zeros((32, 64, 3), np.uint8)
+    img[:, ::7] = 255  # vertical stripes: any crop shifts the phase
+    a = t_off(img, np.random.default_rng(3))
+    b = t_off2(img, np.random.default_rng(3))
+    c = t_on(img, np.random.default_rng(3))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_edge_crop_refused_with_device_augment(tmp_path):
+    from rcnn_ocr_tpu.training.config import Config
+    from rcnn_ocr_tpu.training.train import run_training
+
+    cfg = Config({
+        "exp_dir": str(tmp_path / "exp"),
+        "train_csvs": [str(tmp_path / "nope.csv")],
+        "train_roots": [str(tmp_path)],
+        "charset_path": str(tmp_path / "cs.txt"),
+        "device_augment": True,
+        "p_EdgeCrop": 0.2,
+    })
+    with pytest.raises(ValueError, match="p_EdgeCrop"):
+        run_training(cfg)

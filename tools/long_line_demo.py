@@ -77,6 +77,11 @@ def main() -> int:
                     help="reuse the model already in --work")
     ap.add_argument("--tile-w", type=int, default=64)
     ap.add_argument("--overlap", type=int, default=24)
+    ap.add_argument(
+        "--edge-crop", type=float, default=0.0,
+        help="p_EdgeCrop for training (tile-edge truncation augmentation; "
+        "the round-5 experiment against the attention long-line plateau)",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
@@ -109,6 +114,7 @@ def main() -> int:
                 "use_pallas": False,
                 "head": "both",
                 "val_size": 96,
+                "p_EdgeCrop": args.edge_crop,
             }
         )
         run_training(cfg)
@@ -167,7 +173,7 @@ def main() -> int:
         print(f"[long_line_demo] {k:20s} CER {v:.4f}", file=sys.stderr)
     print(json.dumps({
         "long_line_cer": results, "tile_w": tw, "overlap": ov,
-        "n_eval": len(truths), "ckpt": ckpt,
+        "n_eval": len(truths), "ckpt": ckpt, "edge_crop": args.edge_crop,
     }))
     return 0
 
