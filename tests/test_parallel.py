@@ -452,3 +452,47 @@ def test_ema_advances_and_round_trips_checkpoints(tmp_path):
     )
     for g, e in zip(flat_w, jax.tree_util.tree_leaves(state1.ema_params)):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(e))
+
+
+def test_tp_fallback_report_classifies_replication():
+    """The replicated remainder decomposes into divisibility FALLBACKS
+    (rule-matched but indivisible) vs rule-EXCLUDED small params — the
+    round-4 verdict's '99/128 replicated' made honest (r5 #5)."""
+    from rcnn_ocr_tpu.parallel.mesh import tp_fallback_report
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    params = {
+        "attn": {"w_gen": jnp.zeros((32, 15))},   # 15 % 2 -> fallback
+        "enc_rnn0": {"w_ih": jnp.zeros((2, 12, 32))},  # shards
+        "other": {"w": jnp.zeros((5, 7))},        # rule-excluded
+    }
+    fb = tp_fallback_report(params, mesh)
+    assert list(fb) == ["attn/w_gen"]
+    assert "15" in fb["attn/w_gen"]
+    # pure DP: nothing can fall back
+    assert tp_fallback_report(params, make_mesh()) == {}
+
+
+def test_tp_production_shape_has_zero_fallbacks():
+    """At the flagship shape (hidden 256, vocab 194) on the shipped
+    data x model(2) mesh, EVERY rule-matched tensor shards — the vocab
+    head only falls back on a model axis that does not divide 194
+    (documented in the rules; e.g. model=8 would land w_gen here)."""
+    import jax
+
+    from rcnn_ocr_tpu.models import RCNN
+    from rcnn_ocr_tpu.parallel.mesh import tp_fallback_report, tp_report
+
+    model = RCNN(
+        num_classes=194, hidden_size=256, with_ctc_head=True,
+        dtype=jnp.float32,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 64, 3)),
+        text=jnp.zeros((1, 5), jnp.int32), batch_max_length=4,
+        method=model.init_all,
+    )
+    mesh = make_mesh((4, 2), ("data", "model"))
+    assert tp_fallback_report(variables["params"], mesh) == {}
+    sh = param_shardings(variables["params"], mesh)
+    assert len(tp_report(sh)) >= 25  # the big conv/rnn/attn/ctc tensors
