@@ -256,6 +256,36 @@ def test_http_end_to_end_real_engine(tmp_path):
         server.close()
         thread.join(timeout=10)
 
+    # the same engine behind a --confidence daemon on the CTC method
+    # (r5: the headline serving path carries the confidence contract)
+    predict_c = serving_predict_fn(
+        ocr, method="ctc_greedy", batch_size=2, canvas=(32, 64), max_length=4,
+        return_confidence=True,
+    )
+    server_c = OCRServer(
+        predict_c, host="127.0.0.1", port=0, max_batch=2, max_wait_ms=0,
+        confidence=True,
+    )
+    thread_c = threading.Thread(target=server_c.serve_forever, daemon=True)
+    thread_c.start()
+    try:
+        host, port = server_c.address[:2]
+        expect_c = ocr.predict_serving(
+            imgs, method="ctc_greedy", batch_size=2, canvas=(32, 64),
+            max_length=4, return_confidence=True,
+        )
+        status, out = _post(
+            f"http://{host}:{port}/predict", payload, "application/json"
+        )
+        assert status == 200
+        assert out["texts"] == [t for t, _ in expect_c]
+        assert len(out["confidences"]) == len(imgs)
+        for got, (_, want) in zip(out["confidences"], expect_c):
+            assert abs(got - want) < 1e-6 and 0.0 <= got <= 1.0
+    finally:
+        server_c.close()
+        thread_c.join(timeout=10)
+
 
 def test_batcher_queue_full_backpressure():
     """Beyond max_queued the batcher sheds load instead of accumulating."""
