@@ -326,12 +326,12 @@ def test_artifact_ctc_long_matches_live_engine(tiny_ckpt, tmp_path, method):
     assert manifest["tile_w"] == 64  # defaults to the engine img_w
     assert manifest["overlap"] == 32  # min(64, tile_w // 2)
     assert list(manifest["files"]) == ["64"]
-    # greedy/midpoint ships the single-output argmax kernel — a v3 loader
-    # would unpack it as the (vals, idx) pair, so the stamp MUST be 4;
-    # the beam artifact keeps the top-k kernel and stays v2-readable
+    # greedy/midpoint ships the (ids, maxp) kernel (r5: stitched
+    # confidence) — older loaders would mis-unpack, so the stamp MUST be
+    # 5; the beam artifact keeps the top-k kernel and stays v2-readable
     if method == "ctc_long":
-        assert manifest["tile_kernel"] == "argmax"
-        assert manifest["format_version"] == 4
+        assert manifest["tile_kernel"] == "argmax_maxp"
+        assert manifest["format_version"] == 5
     else:
         assert manifest["tile_kernel"] == "topk"
         assert manifest["format_version"] == 2
