@@ -350,9 +350,17 @@ def test_artifact_ctc_long_matches_live_engine(tiny_ckpt, tmp_path, method):
     assert art.predict(wide) == live[1]
     # daemon route: the adapter hands the batcher art.predict directly
     assert serving_predict_fn(art)([narrow, wide]) == live
-    # confidence is an attention-head contract
-    with pytest.raises(ValueError, match="attention"):
-        art.predict([wide], return_confidence=True)
+    # r5: the stitched CTC paths carry the confidence contract too, and
+    # artifact confidences equal the live engine's (shared host driver)
+    live_c = ocr.predict_ctc_long(
+        [narrow, wide], batch_size=2, prune_k=5,
+        method="beam" if method == "ctc_long_beam" else "greedy",
+        beam_width=4, return_confidence=True,
+    )
+    got_c = art.predict([narrow, wide], return_confidence=True)
+    assert [t for t, _ in got_c] == [t for t, _ in live_c]
+    for (_, ca), (_, cl) in zip(got_c, live_c):
+        assert 0.0 <= ca <= 1.0 and abs(ca - cl) < 1e-5
 
 
 def test_artifact_mesh_load_decode_equality(tiny_ckpt, tmp_path):
@@ -570,13 +578,13 @@ def test_artifact_info_tool(tiny_ckpt, tmp_path, monkeypatch, capsys):
         ocr, out_dir, method="ctc_long", batch_size=2, max_length=4
     )
     info = ai.artifact_info(out_dir)
-    assert info["format_version"] == 4 and info["readable"]
-    assert info["method"] == "ctc_long" and info["tile_kernel"] == "argmax"
+    assert info["format_version"] == 5 and info["readable"]
+    assert info["method"] == "ctc_long" and info["tile_kernel"] == "argmax_maxp"
     assert info["kernel_count"] == 1 and info["total_bytes"] > 0
 
     monkeypatch.setattr(_sys, "argv", ["artifact_info.py", out_dir])
     assert ai.main() == 0
-    assert "format_version:  4" in capsys.readouterr().out
+    assert "format_version:  5" in capsys.readouterr().out
 
     # a future artifact is reported but refused (exit 2), like the loader
     manifest = json.load(open(os.path.join(out_dir, "manifest.json")))
@@ -697,7 +705,7 @@ def test_validate_export_request_calibrate_rules():
 def test_serving_predict_fn_artifact_confidence(tiny_ckpt, tmp_path):
     """The daemon adapter surfaces artifact confidences: the wrapped fn
     yields the same (text, conf) pairs as a direct artifact predict, and
-    a non-attention artifact is refused at construction."""
+    every method (r5: incl. CTC) rides the same route."""
     from rcnn_ocr_tpu.serving import serving_predict_fn
 
     ckpt_path, charset_path = tiny_ckpt
@@ -715,14 +723,14 @@ def test_serving_predict_fn_artifact_confidence(tiny_ckpt, tmp_path):
     imgs = _images(n=2)
     assert fn(imgs) == art.predict(imgs, return_confidence=True)
 
+    # r5: a CTC artifact (v5, confidence kernels) is adapted too
     ctc_dir = str(tmp_path / "art_ctc")
     export_serving_artifact(
         ocr, ctc_dir, method="ctc_greedy", batch_size=2, canvas=(32, 64),
     )
-    with pytest.raises(ValueError, match="attention-reading"):
-        serving_predict_fn(
-            ServingArtifact.load(ctc_dir), return_confidence=True
-        )
+    ctc_art = ServingArtifact.load(ctc_dir)
+    fn_ctc = serving_predict_fn(ctc_art, return_confidence=True)
+    assert fn_ctc(imgs) == ctc_art.predict(imgs, return_confidence=True)
 
 
 def test_failed_reexport_leaves_artifact_intact(tiny_ckpt, tmp_path):

@@ -366,11 +366,16 @@ def test_predict_hybrid_long_confidence(engine):
         return_confidence=True,
     )
     assert isinstance(outb[0][0], str) and 0.0 <= outb[0][1] <= 1.0
-    # non-hybrid long methods have no step-aligned confidence -> refuse
-    with pytest.raises(ValueError, match="hybrid"):
+    # the tiled attention merge has no step-aligned confidence -> refuse
+    # (the ctc long methods carry their own stitched contract since r5)
+    with pytest.raises(ValueError, match="confidence"):
         engine.predict_long([wide], method="attention", return_confidence=True)
-    with pytest.raises(ValueError, match="hybrid"):
-        engine.predict_long([wide], method="ctc_greedy", return_confidence=True)
+    # ctc long confidence routes through predict_ctc_long (r5)
+    ctc_pairs = engine.predict_long(
+        [wide], method="ctc_greedy", return_confidence=True
+    )
+    assert isinstance(ctc_pairs[0][0], str) and 0.0 <= ctc_pairs[0][1] <= 1.0
+    assert ctc_pairs == engine.predict_ctc_long([wide], return_confidence=True)
 
 
 def test_long_line_spans_fuzz():

@@ -24,7 +24,7 @@ import sys
 
 # keep in sync with rcnn_ocr_tpu.export.MANIFEST_VERSION — duplicated on
 # purpose so this tool stays import-free (usable on hosts with no JAX)
-KNOWN_MANIFEST_VERSION = 4
+KNOWN_MANIFEST_VERSION = 5
 
 
 def _fmt_bytes(n: int) -> str:
