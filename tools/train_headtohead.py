@@ -186,6 +186,8 @@ def stage_torch(args, out: str, aug: bool) -> None:
     exp_dir = os.path.join(out, tag)
     cfg_dict = _common_cfg(args, out, aug)
     cfg_dict["exp_dir"] = exp_dir
+    if args.resume:
+        cfg_dict["resume_path"] = os.path.join(exp_dir, "last_ckpt.pth")
     os.makedirs(exp_dir, exist_ok=True)
     cfg_path = os.path.join(out, f"{tag}_config.json")
     with open(cfg_path, "w", encoding="utf-8") as f:
@@ -213,6 +215,8 @@ def stage_jax(args, out: str, aug: bool, tpu: bool = False) -> None:
         "compute_dtype": "bfloat16" if tpu else "float32",
         "use_pallas": False,
     })
+    if args.resume:
+        cfg_dict["resume_path"] = os.path.join(exp_dir, "last_ckpt.msgpack")
     os.makedirs(exp_dir, exist_ok=True)
     cfg_path = os.path.join(out, f"{tag}_config.json")
     with open(cfg_path, "w", encoding="utf-8") as f:
@@ -284,6 +288,11 @@ def main(argv=None) -> int:
     ap.add_argument("--difficulty", default="clean")
     ap.add_argument("--n-fonts", type=int, default=0,
                     help="restrict the rendering font pool (0 = all)")
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="continue the stage from its exp dir's last checkpoint "
+        "(budget-extension runs; --epochs sets the NEW total)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
     out = os.path.abspath(args.out)
