@@ -48,11 +48,14 @@ import numpy as np
 # v4: argmax tile kernels (hybrid_long* and greedy/midpoint ctc_long) —
 #     a single [B,T] ids output that a v3 loader would mis-unpack as the
 #     top-k (vals, idx) pair; manifest carries tile_kernel="argmax"
-# v5: CTC confidence — fixed-width ctc_greedy/ctc_beam kernels carry a
-#     THIRD [B] fp32 confidence row (a v4 loader would fail to unpack),
-#     and greedy/midpoint ctc_long ships the (ids, maxp) tile kernel
-#     (manifest tile_kernel="argmax_maxp").  hybrid_long* and the
-#     attention methods are unchanged and keep their older stamps.
+# v5: CTC confidence (OPT-IN, `with_confidence=True`) — fixed-width
+#     ctc_greedy/ctc_beam kernels carry a THIRD [B] fp32 confidence row
+#     (a v4 loader would fail to unpack), and greedy/midpoint ctc_long
+#     ships the (ids, maxp) tile kernel (manifest
+#     tile_kernel="argmax_maxp").  Opt-in because the extra output is one
+#     more device->host fetch per batch: measured -4.5% on the headline
+#     serving rate through this tunnel (PERF.md r5).  Confidence-free
+#     exports and every other method keep their older stamps.
 MANIFEST_VERSION = 5
 
 
@@ -76,7 +79,7 @@ EXPORT_REQUEST_KEYS = frozenset({
     "batch_size", "canvas",
     "max_length", "beam_width", "prune_k", "length_penalty", "lm_weight",
     "width_buckets", "platforms", "tile_w", "overlap", "snap", "merge",
-    "min_gap", "margin",
+    "min_gap", "margin", "confidence",
 })
 
 
@@ -228,6 +231,7 @@ def export_serving_artifact(
     merge: str = "align",  # attention_long*: junction merge ("align"|"text")
     min_gap: int = 3,  # hybrid_long*: blank frames that split segments
     margin: int = 1,  # hybrid_long*: context frames around each segment
+    with_confidence: bool = False,  # ctc methods: bake confidence outputs
 ) -> str:
     """Export an :class:`OCRInference` serving configuration to disk.
 
@@ -377,10 +381,11 @@ def export_serving_artifact(
                 )
             elif method == "ctc_long" and snap == "midpoint":
                 # greedy/midpoint consumes only the per-frame argmax —
-                # bake the (ids, maxp) kernel (still 16x under the top-k
-                # transfer; maxp is the stitched-confidence input); beam
-                # and blank-snap need the top-k candidates
-                kernel = ocr.tile_ids_kernel(with_maxp=True)
+                # bake the ids kernel; `with_confidence` swaps in the
+                # (ids, maxp) flavor (still 16x under the top-k transfer;
+                # maxp is the stitched-confidence input); beam and
+                # blank-snap need the top-k candidates
+                kernel = ocr.tile_ids_kernel(with_maxp=with_confidence)
             else:
                 kernel = ocr.tile_kernel(prune_k=prune_k)
             tiles_spec = jax.ShapeDtypeStruct(
@@ -399,11 +404,14 @@ def export_serving_artifact(
                 prune_k=prune_k,
                 length_penalty=length_penalty,
                 lm_weight=lm_weight,  # the LM table bakes into the kernel bytes
-                # CTC kernels always ship the [B] fp32 confidence row (v5):
-                # +4 bytes/row of fetch buys request-time confidence with
-                # no second kernel flavor (attention aux is unconditional
-                # for the same reason)
-                with_confidence=True,
+                # OPT-IN (`with_confidence`): the extra [B] fp32 output is
+                # one more device->host fetch per batch — measured −4.5%
+                # on the headline serving rate through this tunnel
+                # (29.2k -> 27.9k img/s, PERF.md r5) — so the default
+                # artifact keeps the 2-output kernels
+                with_confidence=with_confidence and method in (
+                    "ctc", "ctc_greedy", "ctc_beam"
+                ),
             )
             exported = jax.export.export(
                 kernel, platforms=list(platforms) if platforms else None
@@ -440,13 +448,18 @@ def export_serving_artifact(
     #       would unpack them as the (vals, idx) pair)
     #   3 — align attention_long kernels (extra alignment output)
     #   2 — everything else
-    #   5 — CTC confidence outputs: fixed ctc kernels (3 outputs) and the
-    #       (ids, maxp) ctc_long/midpoint tile kernel
-    if method in ("ctc_greedy", "ctc_beam") or (
+    #   5 — CTC confidence outputs (OPT-IN, `with_confidence`): fixed ctc
+    #       kernels (3 outputs) and the (ids, maxp) ctc_long/midpoint
+    #       tile kernel; confidence-free artifacts keep the older stamps
+    ctc_conf = bool(with_confidence) and (
+        method in ("ctc_greedy", "ctc_beam")
+        or (method == "ctc_long" and snap == "midpoint")
+    )
+    if ctc_conf:
+        fmt = 5
+    elif method in HYBRID_LONG_METHODS or (
         method == "ctc_long" and snap == "midpoint"
     ):
-        fmt = 5
-    elif method in HYBRID_LONG_METHODS:
         fmt = 4
     elif method in ATTN_LONG_METHODS and merge == "align":
         fmt = 3
@@ -476,6 +489,9 @@ def export_serving_artifact(
         # are traced from the engine's model, quant_stats ship in params)
         "quantize": bool(getattr(ocr.model, "quantize", False)),
         "act_quant": getattr(ocr.model, "act_quant", None),
+        # whether the CTC kernels carry confidence outputs (v5 opt-in;
+        # attention/hybrid confidence needs no extra outputs)
+        "ctc_confidence": ctc_conf,
         "platforms": list(platforms) if platforms else None,
         "jax_version": jax.__version__,
         "files": files,
@@ -487,15 +503,16 @@ def export_serving_artifact(
         manifest["overlap"] = int(overlap)
         if method in CTC_LONG_METHODS:
             manifest["snap"] = snap
-            # which tile kernel the artifact carries: "argmax_maxp"
-            # (per-frame ids + max-softmax, the greedy/midpoint fast path
-            # with stitched confidence, v5) or "topk" (candidates, for
-            # beam / blank-snap)
-            manifest["tile_kernel"] = (
-                "argmax_maxp"
-                if method == "ctc_long" and snap == "midpoint"
-                else "topk"
-            )
+            # which tile kernel the artifact carries: "argmax" (per-frame
+            # ids, the greedy/midpoint fast path), "argmax_maxp" (+ the
+            # max-softmax row for stitched confidence, v5 opt-in) or
+            # "topk" (candidates, for beam / blank-snap)
+            if method == "ctc_long" and snap == "midpoint":
+                manifest["tile_kernel"] = (
+                    "argmax_maxp" if ctc_conf else "argmax"
+                )
+            else:
+                manifest["tile_kernel"] = "topk"
         elif method in HYBRID_LONG_METHODS:
             manifest["decode_files"] = decode_files
             manifest["min_gap"] = int(min_gap)
@@ -896,19 +913,20 @@ class ServingArtifact:
             )
         if (
             return_confidence
-            and self.manifest["format_version"] < 5
+            and not self.manifest.get("ctc_confidence", False)
             and (
                 self.method in ("ctc", "ctc_greedy", "ctc_beam")
                 or (
                     self.method == "ctc_long"
-                    and self.manifest.get("tile_kernel") == "argmax"
+                    and self.manifest.get("tile_kernel") != "topk"
                 )
             )
         ):
             raise ValueError(
-                "this artifact predates the CTC confidence outputs "
-                f"(format {self.manifest['format_version']} < 5) — "
-                "re-export it to serve confidences"
+                "this artifact was exported without the CTC confidence "
+                "outputs — re-export with with_confidence=True "
+                "(export_serving_artifact) / --confidence (the CLI) to "
+                "serve confidences"
             )
         is_single = not isinstance(images, list)
         images_list = [images] if is_single else list(images)

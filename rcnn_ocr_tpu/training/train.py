@@ -1040,8 +1040,13 @@ def run_training(cfg: Config, device: str = "tpu", eval_callback=None) -> Dict:
             knobs = {
                 k: v
                 for k, v in export_req.items()
-                if k not in ("slot", "out_dir", "quantize", "lm", "calibrate")
+                if k not in (
+                    "slot", "out_dir", "quantize", "lm", "calibrate",
+                    "confidence",
+                )
             }
+            if export_req.get("confidence"):
+                knobs["with_confidence"] = True
             out_dir = export_req.get("out_dir") or os.path.join(
                 exp_dir, "artifact"
             )

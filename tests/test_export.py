@@ -216,14 +216,27 @@ def test_artifact_confidence_and_mesh_guard(tiny_ckpt, tmp_path):
     )
     assert outs == live
 
-    # v5: the CTC artifact carries the confidence contract too, and the
-    # artifact confidences equal the live engine's (same kernel math)
+    # v5 (opt-in): a CTC artifact exported with_confidence carries the
+    # contract, and its confidences equal the live engine's (same kernel
+    # math); the default export keeps the 2-output kernels and refuses
+    ctc_plain = str(tmp_path / "artifact_ctc_plain")
+    export_serving_artifact(
+        ocr, ctc_plain, method="ctc_greedy", batch_size=2, canvas=(32, 64)
+    )
+    plain_art = ServingArtifact.load(ctc_plain)
+    assert plain_art.manifest["format_version"] == 2
+    assert plain_art.manifest["ctc_confidence"] is False
+    with pytest.raises(ValueError, match="re-export"):
+        plain_art.predict(_images(n=1), return_confidence=True)
+
     ctc_dir = str(tmp_path / "artifact_ctc2")
     export_serving_artifact(
-        ocr, ctc_dir, method="ctc_greedy", batch_size=2, canvas=(32, 64)
+        ocr, ctc_dir, method="ctc_greedy", batch_size=2, canvas=(32, 64),
+        with_confidence=True,
     )
     ctc_art = ServingArtifact.load(ctc_dir)
     assert ctc_art.manifest["format_version"] == 5
+    assert ctc_art.manifest["ctc_confidence"] is True
     ctc_outs = ctc_art.predict(_images(n=2), return_confidence=True)
     ctc_live = ocr.predict_serving(
         _images(n=2), batch_size=2, canvas=(32, 64),
@@ -326,12 +339,12 @@ def test_artifact_ctc_long_matches_live_engine(tiny_ckpt, tmp_path, method):
     assert manifest["tile_w"] == 64  # defaults to the engine img_w
     assert manifest["overlap"] == 32  # min(64, tile_w // 2)
     assert list(manifest["files"]) == ["64"]
-    # greedy/midpoint ships the (ids, maxp) kernel (r5: stitched
-    # confidence) — older loaders would mis-unpack, so the stamp MUST be
-    # 5; the beam artifact keeps the top-k kernel and stays v2-readable
+    # default exports keep their compact kernels: greedy/midpoint the
+    # single-output argmax (v4), beam the top-k pair (v2); the (ids,
+    # maxp) confidence flavor is opt-in (v5, below)
     if method == "ctc_long":
-        assert manifest["tile_kernel"] == "argmax_maxp"
-        assert manifest["format_version"] == 5
+        assert manifest["tile_kernel"] == "argmax"
+        assert manifest["format_version"] == 4
     else:
         assert manifest["tile_kernel"] == "topk"
         assert manifest["format_version"] == 2
@@ -351,12 +364,26 @@ def test_artifact_ctc_long_matches_live_engine(tiny_ckpt, tmp_path, method):
     # daemon route: the adapter hands the batcher art.predict directly
     assert serving_predict_fn(art)([narrow, wide]) == live
     # r5: the stitched CTC paths carry the confidence contract too, and
-    # artifact confidences equal the live engine's (shared host driver)
+    # artifact confidences equal the live engine's (shared host driver).
+    # beam/topk artifacts compute it host-side as-is; midpoint needs the
+    # opt-in (ids, maxp) kernel flavor
     live_c = ocr.predict_ctc_long(
         [narrow, wide], batch_size=2, prune_k=5,
         method="beam" if method == "ctc_long_beam" else "greedy",
         beam_width=4, return_confidence=True,
     )
+    if method == "ctc_long":
+        with pytest.raises(ValueError, match="re-export"):
+            art.predict([narrow], return_confidence=True)
+        conf_dir = str(tmp_path / "art_long_conf")
+        export_serving_artifact(
+            ocr, conf_dir, method=method, batch_size=2, beam_width=4,
+            prune_k=5, with_confidence=True,
+        )
+        art = ServingArtifact.load(conf_dir)
+        m2 = art.manifest
+        assert m2["format_version"] == 5
+        assert m2["tile_kernel"] == "argmax_maxp" and m2["ctc_confidence"]
     got_c = art.predict([narrow, wide], return_confidence=True)
     assert [t for t, _ in got_c] == [t for t, _ in live_c]
     for (_, ca), (_, cl) in zip(got_c, live_c):
@@ -578,13 +605,13 @@ def test_artifact_info_tool(tiny_ckpt, tmp_path, monkeypatch, capsys):
         ocr, out_dir, method="ctc_long", batch_size=2, max_length=4
     )
     info = ai.artifact_info(out_dir)
-    assert info["format_version"] == 5 and info["readable"]
-    assert info["method"] == "ctc_long" and info["tile_kernel"] == "argmax_maxp"
+    assert info["format_version"] == 4 and info["readable"]
+    assert info["method"] == "ctc_long" and info["tile_kernel"] == "argmax"
     assert info["kernel_count"] == 1 and info["total_bytes"] > 0
 
     monkeypatch.setattr(_sys, "argv", ["artifact_info.py", out_dir])
     assert ai.main() == 0
-    assert "format_version:  5" in capsys.readouterr().out
+    assert "format_version:  4" in capsys.readouterr().out
 
     # a future artifact is reported but refused (exit 2), like the loader
     manifest = json.load(open(os.path.join(out_dir, "manifest.json")))
@@ -723,10 +750,11 @@ def test_serving_predict_fn_artifact_confidence(tiny_ckpt, tmp_path):
     imgs = _images(n=2)
     assert fn(imgs) == art.predict(imgs, return_confidence=True)
 
-    # r5: a CTC artifact (v5, confidence kernels) is adapted too
+    # r5: a CTC artifact (v5, opt-in confidence kernels) is adapted too
     ctc_dir = str(tmp_path / "art_ctc")
     export_serving_artifact(
         ocr, ctc_dir, method="ctc_greedy", batch_size=2, canvas=(32, 64),
+        with_confidence=True,
     )
     ctc_art = ServingArtifact.load(ctc_dir)
     fn_ctc = serving_predict_fn(ctc_art, return_confidence=True)

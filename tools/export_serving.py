@@ -25,6 +25,13 @@ def main() -> None:
     p.add_argument("--charset", required=True, help="charset file")
     p.add_argument("--out", required=True, help="artifact output directory")
     p.add_argument(
+        "--confidence", action="store_true",
+        help="bake CTC confidence outputs into the kernels (manifest v5; "
+        "one extra [B] fp32 fetch per batch, measured -4.5%% on the "
+        "headline serving rate — leave off unless the deployment serves "
+        "confidences)",
+    )
+    p.add_argument(
         "--method",
         default="ctc_greedy",
         choices=[
@@ -177,6 +184,7 @@ def main() -> None:
         merge=args.merge,
         min_gap=args.min_gap,
         margin=args.margin,
+        with_confidence=args.confidence,
     )
     print(f"Artifact written to: {out}")
 
